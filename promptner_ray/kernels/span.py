@@ -145,6 +145,10 @@ def align_spans(
                     raise
                 continue
             if idx < 0 and not bug_compat:
+                # ambiguous (-1: more occurrences than sought): skip the tag
+                # write but still count the claim, so a later duplicate claim
+                # seeks the next occurrence exactly as compat counting would.
+                completed.append(answer)
                 continue
             # compat mode: idx == -1 falls through and tags span[-1], exactly
             # like the reference (algorithms.py:121-124).

@@ -1,0 +1,140 @@
+"""ModelClient protocol + deterministic stub.
+
+Everything LLM-shaped sits behind ``ModelClient`` (batch ``generate``).  The
+sandbox default is ``VocabStubModel`` — a deterministic, content-addressed
+fake that reads the paragraph back out of the *rendered prompt* (so the full
+prompt-render → model → parse → align path is exercised end-to-end) and
+answers in the reference's CoT exemplar format
+``n. surface | True/False | explanation (TYPE)`` (reference
+``utils.py:107-153`` consumes this).  An OpenAI-compatible HTTP client is
+sketched behind an import guard for real deployments (reference
+``models.py:10-52``); tests never touch it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Protocol
+
+Chat = list[tuple[str, str]]
+
+
+class ModelClient(Protocol):
+    """Batch text-in/text-out model interface (one response per prompt)."""
+
+    def generate(self, prompts: list[str | Chat]) -> list[str]: ...
+
+
+def _para_from_prompt(prompt: str | Chat) -> str:
+    """Recover the paragraph from a rendered prompt.
+
+    Completion prompts end with `` '{para}' \\nAnswer:`` (reference
+    ``algorithms.py:188``); chat transcripts end with a user message
+    ``\\nParagraph: {para} \\nAnswer:`` (``algorithms.py:212``).
+    """
+    if isinstance(prompt, str):
+        tail = prompt.rfind(" \nAnswer:")
+        if tail < 0:
+            return ""
+        body = prompt[:tail]
+        if body.endswith("'"):
+            start = body.rfind(" '")
+            return body[start + 2 : -1]
+        marker = body.rfind("\nParagraph: ")
+        return body[marker + len("\nParagraph: ") :] if marker >= 0 else ""
+    content = prompt[-1][0]
+    if content.startswith("\nParagraph: ") and content.endswith(" \nAnswer:"):
+        return content[len("\nParagraph: ") : -len(" \nAnswer:")]
+    return ""
+
+
+class VocabStubModel:
+    """Deterministic mention detector over a fixed surface-form vocabulary.
+
+    Greedy longest-match scan (up to ``max_words`` tokens) over the
+    paragraph's space-split tokens.  Per (paragraph, token) it also emits
+    deterministic False distractors — exercising the parser's per-entity
+    True/False verification filter — and, at a small deterministic rate,
+    a malformed explanation with no ``(TYPE)`` parens (exercising the
+    aligner's drop path).  Pure function of its inputs: identical output at
+    any parallelism level.
+    """
+
+    def __init__(
+        self,
+        vocab: dict[str, str],
+        distractor_rate: float = 0.15,
+        malformed_rate: float = 0.02,
+        max_words: int = 4,
+    ) -> None:
+        self.vocab = dict(vocab)
+        self.distractor_rate = distractor_rate
+        self.malformed_rate = malformed_rate
+        self.max_words = max_words
+
+    @staticmethod
+    def _chance(key: str, rate: float) -> bool:
+        h = hashlib.blake2b(key.encode(), digest_size=4).digest()
+        return int.from_bytes(h, "big") / 2**32 < rate
+
+    def _scan(self, para: str) -> list[tuple[str, str | None]]:
+        """(surface, type|None) in sentence order; None marks a distractor."""
+        tokens = para.split(" ")
+        found: list[tuple[str, str | None]] = []
+        i = 0
+        while i < len(tokens):
+            matched = None
+            for width in range(min(self.max_words, len(tokens) - i), 0, -1):
+                cand = " ".join(tokens[i : i + width])
+                if cand in self.vocab:
+                    matched = (cand, width)
+                    break
+            if matched is not None:
+                found.append((matched[0], self.vocab[matched[0]]))
+                i += matched[1]
+            else:
+                tok = tokens[i]
+                if (
+                    len(tok) > 3
+                    and tok.isalpha()
+                    and self._chance(f"{para}\x00{i}\x00{tok}", self.distractor_rate)
+                ):
+                    found.append((tok, None))
+                i += 1
+        return found
+
+    def _answer_for(self, para: str) -> str:
+        lines = ["Answer:"]
+        n = 1
+        for surface, etype in self._scan(para):
+            if etype is None:
+                lines.append(f"{n}. {surface} | False | as it is not an entity")
+            elif self._chance(f"mal\x00{para}\x00{surface}", self.malformed_rate):
+                lines.append(f"{n}. {surface} | True | a known entity of type {etype}")
+            else:
+                lines.append(f"{n}. {surface} | True | {surface} is a known entity ({etype})")
+            n += 1
+        if n == 1:
+            # No candidates: an unnumbered line the parser ignores.  (A bare
+            # "1." would hit the reference parser's IndexError row-drop path,
+            # reference utils.py:73 + run.py:43-44.)
+            lines.append("None")
+        return "\n".join(lines)
+
+    def generate(self, prompts: list[str | Chat]) -> list[str]:
+        return [self._answer_for(_para_from_prompt(p)) for p in prompts]
+
+
+def make_model(kind: str = "stub", **kwargs) -> ModelClient:
+    """Model factory used by the detection stage's actor ``__init__``."""
+    if kind == "stub":
+        from .synth import VOCAB
+
+        vocab = kwargs.pop("vocab", None) or VOCAB
+        return VocabStubModel(vocab, **kwargs)
+    if kind == "openai":  # pragma: no cover - requires network, never in tests
+        raise NotImplementedError(
+            "OpenAI-compatible endpoint client: point at a served model with "
+            "base_url/api_key; intentionally not available in this sandbox."
+        )
+    raise ValueError(f"unknown model kind {kind!r}")

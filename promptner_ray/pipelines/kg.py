@@ -1,0 +1,274 @@
+"""End-to-end KG construction pipeline: pages → … → nodes/edges parquet.
+
+Dataset-level builders (composable, each ``Dataset -> Dataset``, all lazy and
+streaming) plus the checkpointed driver ``run_kg`` that executes them in
+partition waves with per-partition lineage manifests (SURVEY.md §3.4, §4.3).
+
+DAG::
+
+    read_parquet(pages part dirs not yet committed)      # prune at the read
+      → extract_text (stateless map_batches, drops html)
+      → lang gate (vectorized filter)
+      → sentence split (flat batch kernel)
+      → MentionDetector (actor pool: prompt render → model → parse → align)
+      → mentions explode / triple induction (stateless; no regrouping shuffle)
+      → write mentions/, triples/ partitioned by part  + manifest per part
+    then one global graph job over committed triples/mentions:
+      → two-phase groupby canonicalization → links, nodes
+      → two-phase groupby edge dedup/weight → edges
+      → broadcast-map edge naming → edges_named
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..sources.corpus import N_PARTS, read_pages
+from ..stages.detect import MentionDetector
+from ..stages.extract import (
+    extract_text_batch,
+    lang_gate_batch,
+    split_sentences_batch,
+)
+from ..stages.induce import explode_mentions_batch, induce_triples_batch
+from ..stages.link import (
+    EdgeNamer,
+    links_to_nodes,
+    merge_edge_group,
+    merge_link_group,
+    partial_edge_counts,
+    partial_link_counts,
+)
+from ..state import lineage
+
+_PART_RE = re.compile(r"/part(\d+)/")
+
+
+def part_from_url(url: str) -> int:
+    m = _PART_RE.search(url)
+    return int(m.group(1)) if m else 0
+
+
+def add_part_batch(batch: pa.Table) -> pa.Table:
+    parts = [part_from_url(u) for u in batch.column("url").to_pylist()]
+    if "part" in batch.column_names:
+        batch = batch.drop_columns(["part"])
+    return batch.append_column("part", pa.array(parts, type=pa.int32()))
+
+
+@dataclass
+class KGConfig:
+    task: str = "conll"
+    lang: str = "en"
+    model_kind: str = "stub"
+    model_kwargs: dict = field(default_factory=dict)
+    chat: bool = False
+    detect_concurrency: int = 8
+    detect_batch_size: int = 128
+    wave_size: int = 16
+    n_parts: int = N_PARTS
+
+
+# ---------------------------------------------------------------------------
+# Dataset -> Dataset builders
+# ---------------------------------------------------------------------------
+
+def docs_text(pages, cfg: KGConfig):
+    return pages.map_batches(extract_text_batch, batch_format="pyarrow")
+
+
+def sentences(docs, cfg: KGConfig):
+    gated = docs.map_batches(
+        lang_gate_batch,
+        fn_kwargs={"lang": cfg.lang},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return gated.map_batches(split_sentences_batch, batch_format="pyarrow")
+
+
+def detected(sents, cfg: KGConfig):
+    return sents.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={
+            "task": cfg.task,
+            "model_kind": cfg.model_kind,
+            "model_kwargs": cfg.model_kwargs,
+            "chat": cfg.chat,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.detect_batch_size,
+        concurrency=cfg.detect_concurrency,
+    )
+
+
+def mentions(det, cfg: KGConfig):
+    return det.map_batches(explode_mentions_batch, batch_format="pyarrow")
+
+
+def triples(det, cfg: KGConfig):
+    return det.map_batches(induce_triples_batch, batch_format="pyarrow")
+
+
+def links(mentions_ds):
+    partials = mentions_ds.map_batches(
+        partial_link_counts, batch_format="pyarrow"
+    )
+    return partials.groupby("surface_norm").map_groups(
+        merge_link_group, batch_format="pyarrow"
+    )
+
+
+def edges(triples_ds):
+    partials = triples_ds.map_batches(
+        partial_edge_counts, batch_format="pyarrow"
+    )
+    return partials.groupby("edge_key").map_groups(
+        merge_edge_group, batch_format="pyarrow"
+    )
+
+
+def named_edges(edges_ds, nodes_by_id_ref):
+    return edges_ds.map_batches(
+        EdgeNamer,
+        fn_constructor_kwargs={"names_ref": nodes_by_id_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed driver
+# ---------------------------------------------------------------------------
+
+def run_extraction(
+    corpus_root: str | pathlib.Path,
+    out_dir: str | pathlib.Path,
+    cfg: KGConfig | None = None,
+    max_waves: int | None = None,
+) -> dict:
+    """Waved, resumable extraction: pages → mentions/ + triples/ (+manifests).
+
+    Each wave covers ``cfg.wave_size`` uncommitted partitions in ONE streaming
+    Dataset job; manifests commit per partition after the wave's parquet is on
+    disk.  ``max_waves`` bounds the run (used by the kill/resume test).
+    """
+    cfg = cfg or KGConfig()
+    if not (pathlib.Path(corpus_root) / "pages").is_dir():
+        raise FileNotFoundError(
+            f"no pages table under {corpus_root!s} (expected <root>/pages/part=*)"
+        )
+    out = pathlib.Path(out_dir)
+    done = lineage.committed_parts(out)
+    all_parts = set(range(cfg.n_parts))
+    todo = sorted(all_parts - done)
+    waves = [
+        todo[i : i + cfg.wave_size] for i in range(0, len(todo), cfg.wave_size)
+    ]
+    if max_waves is not None:
+        waves = waves[:max_waves]
+    summary = {"parts_done_before": len(done), "waves": 0, "parts_committed": 0}
+    for wave in waves:
+        t0 = time.monotonic()
+        skip = all_parts - set(wave)
+        pages = read_pages(corpus_root, exclude_parts=skip)
+        if pages is None:
+            continue
+        det = detected(sentences(docs_text(pages, cfg), cfg), cfg).map_batches(
+            add_part_batch, batch_format="pyarrow"
+        )
+        # One pass over the wave: sentence-level rows are written, then the
+        # cheap mention/triple explosions read them back (disk-backed reuse
+        # beats recomputing the model stage twice).
+        det_dir = out / "detected"
+        det.write_parquet(str(det_dir), partition_cols=["part"])
+        det_on_disk = _read_parts(det_dir, wave)
+        mentions(det_on_disk, cfg).map_batches(
+            add_part_batch, batch_format="pyarrow"
+        ).write_parquet(str(out / "mentions"), partition_cols=["part"])
+        triples(_read_parts(det_dir, wave), cfg).map_batches(
+            add_part_batch, batch_format="pyarrow"
+        ).write_parquet(str(out / "triples"), partition_cols=["part"])
+        wall = time.monotonic() - t0
+        for part in wave:
+            counters = {
+                "stage": "extraction",
+                "docs_in": lineage.parquet_rows(
+                    pathlib.Path(corpus_root) / "pages" / f"part={part}"
+                ),
+                "sentences": lineage.parquet_rows(det_dir / f"part={part}"),
+                "mentions": lineage.parquet_rows(
+                    out / "mentions" / f"part={part}"
+                ),
+                "triples": lineage.parquet_rows(
+                    out / "triples" / f"part={part}"
+                ),
+                "wall_s_wave": wall,
+            }
+            lineage.write_manifest(out, part, counters)
+            summary["parts_committed"] += 1
+        summary["waves"] += 1
+    return summary
+
+
+def _read_parts(root: pathlib.Path, parts: list[int] | None = None):
+    import ray
+
+    dirs = sorted(pathlib.Path(root).glob("part=*"))
+    if parts is not None:
+        keep = {int(d.name.split("=", 1)[1]) for d in dirs} & set(parts)
+        dirs = [d for d in dirs if int(d.name.split("=", 1)[1]) in keep]
+    files = [str(f) for d in dirs for f in sorted(d.rglob("*.parquet"))]
+    return ray.data.read_parquet(files)
+
+
+def run_graph(out_dir: str | pathlib.Path) -> dict:
+    """Global graph job over all committed partitions: links/nodes/edges."""
+    import ray
+
+    out = pathlib.Path(out_dir)
+    links_ds = links(_read_parts(out / "mentions"))
+    links_ds.write_parquet(str(out / "links"))
+    nodes_ds = _read_parts_flat(out / "links").map_batches(
+        links_to_nodes, batch_format="pyarrow"
+    )
+    nodes_ds.write_parquet(str(out / "nodes"))
+
+    edges_ds = edges(_read_parts(out / "triples"))
+    edges_ds.write_parquet(str(out / "edges_raw"))
+
+    nodes_df = (
+        _read_parts_flat(out / "nodes")
+        .select_columns(["entity_id", "canonical"])
+        .to_pandas()  # nodes table is small by construction (post-aggregate)
+    )
+    names = dict(zip(nodes_df["entity_id"], nodes_df["canonical"]))
+    names_ref = ray.put(names)
+    named = named_edges(_read_parts_flat(out / "edges_raw"), names_ref)
+    named.write_parquet(str(out / "edges"))
+    return {
+        "links": lineage.parquet_rows(out / "links"),
+        "nodes": lineage.parquet_rows(out / "nodes"),
+        "edges": lineage.parquet_rows(out / "edges"),
+    }
+
+
+def _read_parts_flat(root: pathlib.Path):
+    import ray
+
+    return ray.data.read_parquet(str(root))
+
+
+def run_kg(
+    corpus_root: str | pathlib.Path,
+    out_dir: str | pathlib.Path,
+    cfg: KGConfig | None = None,
+) -> dict:
+    s1 = run_extraction(corpus_root, out_dir, cfg)
+    s2 = run_graph(out_dir)
+    return {**s1, **s2}
