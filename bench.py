@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline KG pipeline + operator suite timings.
+
+Prints ONE JSON line::
+
+    {"metric": "kg_html_to_triples_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <dir>, "num_cpus": N,
+     "docs": D, "triples": T, "triples_per_sec": R}
+
+Env: ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1) selects the input
+tables; ``RAY_GRAFT_CPUS`` (default 32) sizes the local Ray session;
+``BENCH_DOCS`` overrides the synthetic pages-corpus size.
+
+``--scaling`` runs the headline pipeline in TWO fresh child processes
+(num_cpus=8 then num_cpus=32) over the same pre-built corpus and reports
+both throughputs plus scaling efficiency ``(thr32/thr8)/(32/8)`` — the
+sandbox stand-in for the N vs 4N-node cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "1024"))
+CORPUS_DIR = pathlib.Path("/tmp/promptner_bench_corpus")
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+        )
+
+
+def _ensure_bench_corpus() -> pathlib.Path:
+    from promptner_ray.sources.corpus import ensure_corpus
+
+    name = pathlib.Path(SF_DIR).name
+    return ensure_corpus(
+        CORPUS_DIR / name, n_docs=BENCH_DOCS, seed=42, sf_dir=SF_DIR
+    )
+
+
+def _headline(corpus_root: pathlib.Path) -> dict:
+    """HTML→triples end-to-end over the pages corpus (in-memory stream)."""
+    from promptner_ray.pipelines import kg
+    from promptner_ray.sources.corpus import read_pages
+
+    cfg = kg.KGConfig(detect_concurrency=max(2, NUM_CPUS // 4))
+    t0 = time.monotonic()
+    pages = read_pages(corpus_root)
+    det = kg.detected(kg.sentences(kg.docs_text(pages, cfg), cfg), cfg)
+    n_triples = kg.triples(det, cfg).count()
+    wall = time.monotonic() - t0
+    return {
+        "sec": wall,
+        "docs": BENCH_DOCS,
+        "triples": n_triples,
+        "triples_per_sec": n_triples / wall if wall else 0.0,
+    }
+
+
+def _graph_bench(corpus_root: pathlib.Path) -> float:
+    """Canonicalization + edge aggregation timing (triples → links/edges)."""
+    import ray
+
+    from promptner_ray.pipelines import kg
+    from promptner_ray.sources.corpus import read_pages
+
+    cfg = kg.KGConfig(detect_concurrency=max(2, NUM_CPUS // 4))
+    pages = read_pages(corpus_root)
+    det = kg.detected(kg.sentences(kg.docs_text(pages, cfg), cfg), cfg)
+    # materialize detection once so the timing isolates the shuffle stages
+    det = det.materialize()
+    t0 = time.monotonic()
+    links = kg.links(kg.mentions(det, cfg)).materialize()
+    edges = kg.edges(kg.triples(det, cfg))
+    nodes_df = links.select_columns(["entity_id", "canonical"]).to_pandas()
+    names_ref = ray.put(dict(zip(nodes_df["entity_id"], nodes_df["canonical"])))
+    kg.named_edges(edges, names_ref).count()
+    return time.monotonic() - t0
+
+
+def _operator_suite() -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    names = [
+        "doc_token_stats",
+        "doc_quality",
+        "doc_langid",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_jaccard_pairs",
+        "dedup_simhash_pairs",
+        "embed_knn",
+        "embed_knn_lsh",
+        "embed_cosine_pairs",
+        "multimodal_features",
+        "lineitem_stats",
+        "customer_nation_counts",
+        "events_tumbling",
+    ]
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        ds = qs[name](SF_DIR)
+        ds.count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def run_bench(headline_only: bool = False) -> dict:
+    _init_ray(NUM_CPUS)
+    corpus_root = _ensure_bench_corpus()
+    head = _headline(corpus_root)
+    queries: dict[str, float] = {"kg_html_to_triples": round(head["sec"], 3)}
+    if not headline_only:
+        queries["kg_graph"] = round(_graph_bench(corpus_root), 3)
+        queries.update(_operator_suite())
+    return {
+        "metric": "kg_html_to_triples_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": head["docs"],
+        "triples": head["triples"],
+        "triples_per_sec": round(head["triples_per_sec"], 2),
+    }
+
+
+def run_scaling(low: int = 8, high: int = 32) -> dict:
+    """Same job, two fresh processes at two parallelism levels."""
+    # Pre-build the corpus once so neither timed child pays generation cost.
+    _init_ray(NUM_CPUS)
+    _ensure_bench_corpus()
+    import ray
+
+    ray.shutdown()
+
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = SF_DIR
+        proc = subprocess.run(
+            [sys.executable, __file__, "--headline-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_low = results[low]["triples_per_sec"]
+    thr_high = results[high]["triples_per_sec"]
+    efficiency = (thr_high / thr_low) / (high / low) if thr_low else 0.0
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "queries": {
+            f"kg_html_to_triples_cpus{low}": results[low]["value"],
+            f"kg_html_to_triples_cpus{high}": results[high]["value"],
+        },
+        "sf": SF_DIR,
+        "num_cpus": high,
+        "throughput": {
+            f"cpus{low}": thr_low,
+            f"cpus{high}": thr_high,
+        },
+        "docs": BENCH_DOCS,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        out = run_scaling()
+    else:
+        out = run_bench(headline_only=args.headline_only)
+    print(json.dumps(out))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline primitives, each a vectorized
+``map_batches`` kernel over ``batch_format="pyarrow"`` blocks:
+
+- token counting (single-space split, mirroring the reference's universal
+  ``text.split(" ")`` convention, reference algorithms.py:77, run.py:82)
+- document fingerprinting (md5 content hash + winnowing rolling-hash
+  k-gram fingerprints, Schleimer et al. 2003 style)
+- quality scoring (length / punctuation-ratio / stopword-ratio gates)
+- language ID (marker-token n-gram heuristic with deterministic tie-break)
+- token explode (flat-map demo kernel)
+
+Every kernel is a pure function of its batch, so results are identical at
+any parallelism level.  The hot paths use ``pyarrow.compute`` and
+``numpy.add.reduceat`` over list offsets — no Python loop over rows except
+where hashing forces one (md5 per row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ASCII punctuation, exactly Python's string.punctuation as a regex class.
+PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+# Fixed stopword list — mirrored literally in the SQL oracle
+# (__ray_entry__.oracle_sql); NOT nltk (reference loads nltk stopwords per
+# call, algorithms.py:41 — the engine uses a frozen deterministic set).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "it")
+
+# Marker-token profiles for the n-gram language-ID heuristic.  Priority
+# order breaks ties deterministically; a zero best score → "und".
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow", "big", "small"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "et", "est", "petit", "grand"),
+    "es": ("el", "los", "es", "una", "por"),
+}
+LANG_PRIORITY = ("en", "de", "fr", "es")
+
+
+def _split_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Split the text column on single spaces.
+
+    Returns (flat token values as numpy object array is avoided — we keep
+    Arrow) — actually returns (flat_values: pa.Array, offsets: np.ndarray).
+    """
+    col = batch.column("text").combine_chunks()
+    lists = pc.split_pattern(col, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    return lists.values, np.asarray(lists.offsets)
+
+
+def _per_row_member_counts(
+    flat: pa.Array, offsets: np.ndarray, members: tuple[str, ...]
+) -> np.ndarray:
+    """Per-row count of tokens that appear in ``members`` (vectorized)."""
+    isin = pc.is_in(flat, value_set=pa.array(members)).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    if len(isin) == 0:
+        return np.zeros(len(offsets) - 1, dtype=np.int64)
+    return np.add.reduceat(isin, offsets[:-1])
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, n_tokens, n_chars)."""
+    _, offsets = _split_tokens(batch)
+    n_tokens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    n_chars = pc.utf8_length(batch.column("text")).cast(pa.int64())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_chars": n_chars,
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, fp): md5 content hash (exact-dedup key)."""
+    fps = [
+        hashlib.md5(t.encode("utf-8")).hexdigest()
+        for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fp": pa.array(fps, type=pa.string()),
+        }
+    )
+
+
+_WINNOW_MOD = (1 << 61) - 1
+_WINNOW_BASE = 257
+
+
+def winnow_fingerprints(text: str, k: int = 8, w: int = 6) -> list[int]:
+    """Winnowing fingerprint: min rolling hash per window of k-gram hashes.
+
+    Character-level polynomial rolling hash (base 257 mod 2^61-1) over the
+    raw text; one selected hash per sliding window of ``w`` consecutive
+    k-gram hashes, deduplicated, sorted.  Standard document-fingerprint
+    scheme for near-copy detection at corpus scale.
+    """
+    data = text.encode("utf-8")
+    if len(data) < k:
+        data = data + b"\x00" * (k - len(data))
+    # rolling k-gram hashes
+    h = 0
+    top = pow(_WINNOW_BASE, k - 1, _WINNOW_MOD)
+    hashes = []
+    for i, b in enumerate(data):
+        h = (h * _WINNOW_BASE + b) % _WINNOW_MOD
+        if i >= k - 1:
+            hashes.append(h)
+            h = (h - data[i - k + 1] * top) % _WINNOW_MOD
+    if not hashes:
+        return []
+    selected = set()
+    for i in range(max(1, len(hashes) - w + 1)):
+        selected.add(min(hashes[i : i + w]))
+    return sorted(selected)
+
+
+def winnow_batch(batch: pa.Table, k: int = 8, w: int = 6) -> pa.Table:
+    """documents → (doc_id, n_fp, fp_min): winnowing fingerprint summary."""
+    n_fp, fp_min = [], []
+    for t in batch.column("text").to_pylist():
+        fps = winnow_fingerprints(t, k=k, w=w)
+        n_fp.append(len(fps))
+        fp_min.append(fps[0] if fps else 0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_fp": pa.array(n_fp, type=pa.int64()),
+            "fp_min": pa.array(fp_min, type=pa.uint64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """documents → quality-scoring row per doc.
+
+    Integer counts plus ratios derived from them by exact IEEE division —
+    bit-identical to the SQL oracle's arithmetic.
+    """
+    flat, offsets = _split_tokens(batch)
+    n_tokens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    text_col = batch.column("text")
+    n_chars = pc.utf8_length(text_col).cast(pa.int64()).to_numpy()
+    stripped = pc.replace_substring_regex(text_col, PUNCT_RE, "")
+    n_punct = n_chars - pc.utf8_length(stripped).cast(pa.int64()).to_numpy()
+    n_stop = _per_row_member_counts(flat, offsets, STOPWORDS)
+    punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+    stop_ratio = np.where(
+        n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0
+    )
+    passes = (
+        (n_tokens >= 5)
+        & (n_tokens <= 5000)
+        & (punct_ratio < 0.3)
+        & (stop_ratio < 0.5)
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_punct": pa.array(n_punct, type=pa.int64()),
+            "n_stop": pa.array(n_stop, type=pa.int64()),
+            "punct_ratio": pa.array(punct_ratio, type=pa.float64()),
+            "stop_ratio": pa.array(stop_ratio, type=pa.float64()),
+            "passes": pa.array(passes, type=pa.bool_()),
+        }
+    )
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, lang_pred): marker-token language heuristic."""
+    flat, offsets = _split_tokens(batch)
+    scores = {
+        lang: _per_row_member_counts(flat, offsets, markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    n = len(offsets) - 1
+    preds = np.full(n, "und", dtype=object)
+    best = np.zeros(n, dtype=np.int64)
+    # priority order: first language reaching the max score wins
+    for lang in reversed(LANG_PRIORITY):
+        s = scores[lang]
+        take = (s >= best) & (s > 0)
+        preds[take] = lang
+        best = np.maximum(best, s)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds.tolist(), type=pa.string()),
+        }
+    )
+
+
+def explode_tokens_batch(batch: pa.Table) -> pa.Table:
+    """documents → one row per (doc_id, token): flat-map explode kernel."""
+    flat, offsets = _split_tokens(batch)
+    counts = offsets[1:] - offsets[:-1]
+    doc_ids = np.repeat(
+        batch.column("doc_id").to_numpy(zero_copy_only=False), counts
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "token": flat,
+        }
+    )

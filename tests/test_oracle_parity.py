@@ -1,0 +1,98 @@
+"""Mirror of the driver's correctness gate: every ``queries()`` entry that
+has an ``oracle_sql()`` twin must produce identical rows (order-insensitive,
+column-name-matched) to DuckDB over the same parquet tables.
+
+Runs at sf0.001 to keep test wall-time low; the driver re-runs the same
+comparison at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _oracle_con() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _sql_oracle_names() -> list[str]:
+    import __ray_entry__ as entrymod
+
+    return sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _sql_oracle_names())
+def test_query_matches_duckdb_oracle(ray_session, name: str) -> None:
+    import __ray_entry__ as entrymod
+
+    got = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    want = _canon(_oracle_con().execute(entrymod.oracle_sql()[name]).df())
+
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows vs {len(want)}"
+    for c in got.columns:
+        g, w = got[c].tolist(), want[c].tolist()
+        if pd.api.types.is_float_dtype(got[c]) or pd.api.types.is_float_dtype(
+            want[c]
+        ):
+            assert all(
+                math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+                for a, b in zip(g, w)
+            ), f"{name}.{c}: float values differ"
+        else:
+            assert g == w, f"{name}.{c}: values differ"
+
+
+def test_rows_only_queries_execute(ray_session) -> None:
+    """Every non-SQL query must at least run and return rows at sf0.001."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sql = set(entrymod.oracle_sql())
+    for name in sorted(set(qs) - sql):
+        df = _to_pandas(qs[name](SF_DIR))
+        assert len(df) > 0, f"{name}: returned no rows"
+
+
+def test_entry_runs(ray_session) -> None:
+    import __ray_entry__ as entrymod
+
+    df = _to_pandas(entrymod.entry())
+    assert len(df) > 0 and "subj_canonical" in df.columns
