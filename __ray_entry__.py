@@ -148,6 +148,26 @@ def _kg_eval(sf_dir: str):
     )
 
 
+def _kg_typed_mentions(sf_dir: str):
+    """Mentions after the optional second-pass type verification stage."""
+    from promptner_ray.pipelines import kg
+    from promptner_ray.stages.typecheck import verify_types
+
+    return kg.mentions(verify_types(_kg_detected(sf_dir)), _kg_cfg())
+
+
+def _kg_eval_f1(sf_dir: str):
+    """Distributed span-F1 of detection vs the corpus gold annotations."""
+    import pandas as pd
+    import ray
+
+    gold = ray.data.read_parquet(str(_corpus_root(sf_dir) / "gold"))
+    from promptner_ray.pipelines.eval import evaluate_f1
+
+    summary = evaluate_f1(_kg_detected(sf_dir), gold, num_partitions=8)
+    return pd.DataFrame([summary])
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: pages → …→ named edge table."""
     return _kg_edges("/root/testdata/sf0.001")
@@ -261,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_eval": _kg_eval,
+        "kg_eval_f1": _kg_eval_f1,
+        "kg_typed_mentions": _kg_typed_mentions,
     }
 
 

@@ -121,8 +121,46 @@ class VocabStubModel:
             lines.append("None")
         return "\n".join(lines)
 
+    # -- second-pass prompt kinds (type query / dispute / annotation) -----
+
+    def _lower_vocab(self) -> dict[str, str]:
+        cache = getattr(self, "_lv", None)
+        if cache is None:
+            cache = {k.lower(): v for k, v in self.vocab.items()}
+            self._lv = cache
+        return cache
+
+    def _type_answer(self, text: str) -> str:
+        """Answer ``Entity Phrase:`` type/dispute queries (reference
+        ``algorithms.py:371-401`` consumers parse the first parens)."""
+        seg = text.split("\nEntity Phrase: ", 1)[1]
+        if ", Options: " in seg:
+            phrase, _, opts = seg.partition(", Options: ")
+            etype = self._lower_vocab().get(phrase.strip())
+            if etype is None and "(" in opts and ")" in opts:
+                etype = opts[opts.find("(") + 1 : opts.find(")")]
+            if etype is None:
+                return "unable to decide between the options"
+            return f"the phrase is best typed as ({etype})"
+        phrase = seg.split(" \nAnswer:", 1)[0].strip()
+        etype = self._lower_vocab().get(phrase)
+        if etype is None:
+            # no parens → consumers take the -1 / fallback path
+            return "the type of this phrase cannot be determined"
+        return f"{phrase} is a known entity of type ({etype})"
+
+    def _respond(self, prompt: str | Chat) -> str:
+        text = prompt if isinstance(prompt, str) else prompt[-1][0]
+        if "\nEntity Phrase: " in text:
+            return self._type_answer(text)
+        if "In one line explain why. \nAnswer:" in text:
+            if "is not an entity because" in text:
+                return " it is a common word with no distinct existence"
+            return " it is a known named entity in this context "
+        return self._answer_for(_para_from_prompt(prompt))
+
     def generate(self, prompts: list[str | Chat]) -> list[str]:
-        return [self._answer_for(_para_from_prompt(p)) for p in prompts]
+        return [self._respond(p) for p in prompts]
 
 
 def make_model(kind: str = "stub", **kwargs) -> ModelClient:

@@ -1,0 +1,167 @@
+"""Tests for IOB2 source/sink, distributed F1, type verification, autogen."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from promptner_ray.kernels.autogen import autogenerate_exemplars
+from promptner_ray.kernels.parsing import parse_answer_list
+from promptner_ray.model import make_model
+from promptner_ray.sources.iob2 import parse_iob2_text, read_iob2, write_iob2
+
+IOB2_SAMPLE = """\
+Andy\tB-PER
+Caddick\tI-PER
+visited\tO
+Paris\tB-LOC
+.\tO
+
+Essex\tB-ORG
+won\tO
+"""
+
+FEWNERD_SAMPLE = """\
+Whitehall\tgovernment/governmentagency
+announced\tO
+cuts\tO
+"""
+
+
+def test_parse_iob2_text():
+    rows = parse_iob2_text(IOB2_SAMPLE)
+    assert len(rows) == 2
+    assert rows[0]["text"] == "Andy Caddick visited Paris ."
+    assert rows[0]["entities"] == ["Andy Caddick", "Paris"]
+    assert rows[0]["etypes"] == ["PER", "LOC"]
+    assert rows[1]["entities"] == ["Essex"]
+
+
+def test_parse_iob2_fewnerd_normalization():
+    # "-" appears in the tag only for FewNERD main-sub tags; the slash
+    # sub-type normalization applies there (reference data.py:79-80).
+    rows = parse_iob2_text(
+        "Whitehall\torganization-government/governmentagency\nx\tO\n"
+    )
+    assert rows[0]["bio"][0] == "organization-government"
+
+
+def test_iob2_roundtrip(ray_session, tmp_path):
+    rows = parse_iob2_text(IOB2_SAMPLE)
+    path = tmp_path / "sample.iob2"
+    write_iob2(rows, path)
+    back = read_iob2(str(path)).to_pandas()
+    assert len(back) == 2
+    assert list(back["text"]) == [r["text"] for r in rows]
+    assert [list(b) for b in back["bio"]] == [r["bio"] for r in rows]
+
+
+def _detected_table(rows):
+    from promptner_ray.stages.detect import MENTION_STRUCT
+
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], type=pa.string()),
+            "sent_id": pa.array([r[1] for r in rows], type=pa.int32()),
+            "text": pa.array([r[2] for r in rows], type=pa.string()),
+            "mentions": pa.array(
+                [r[3] for r in rows], type=pa.list_(MENTION_STRUCT)
+            ),
+        }
+    )
+
+
+def test_evaluate_f1_counts(ray_session):
+    import ray
+
+    from promptner_ray.pipelines.eval import evaluate_f1, f1_counts
+
+    det = _detected_table(
+        [
+            (
+                "u1",
+                0,
+                "Andy Caddick visited Paris .",
+                [
+                    {"surface": "Andy Caddick", "mtype": "PER",
+                     "span_start": 0, "span_end": 2},
+                    {"surface": "Paris", "mtype": "LOC",
+                     "span_start": 3, "span_end": 4},
+                ],
+            ),
+            ("u1", 1, "Essex won", []),  # missed ORG → FN
+        ]
+    )
+    gold = pa.table(
+        {
+            "url": pa.array(["u1", "u1"], type=pa.string()),
+            "sent_id": pa.array([0, 1], type=pa.int32()),
+            "bio": pa.array(
+                [
+                    ["B-PER", "I-PER", "O", "B-LOC", "O"],
+                    ["B-ORG", "O"],
+                ],
+                type=pa.list_(pa.string()),
+            ),
+        }
+    )
+    det_ds = ray.data.from_arrow(det)
+    gold_ds = ray.data.from_arrow(gold)
+    counts = {
+        r["etype"]: (r["tp"], r["n_pred"], r["n_truth"])
+        for r in f1_counts(det_ds, gold_ds, num_partitions=2).take_all()
+    }
+    assert counts == {"PER": (1, 1, 1), "LOC": (1, 1, 1), "ORG": (0, 0, 1)}
+    summary = evaluate_f1(det_ds, gold_ds, num_partitions=2)
+    assert summary["micro_precision"] == 1.0
+    assert summary["micro_recall"] == pytest.approx(2 / 3)
+
+
+def test_type_verifier_corrects_disputed_type(ray_session):
+    import ray
+
+    from promptner_ray.stages.typecheck import verify_types
+
+    det = _detected_table(
+        [
+            (
+                "u1",
+                0,
+                "England hosted the World Cup .",
+                [
+                    # first pass got the type WRONG; the stub's second
+                    # opinion (vocab-backed) disagrees → dispute resolves
+                    # to the vocab type.
+                    {"surface": "England", "mtype": "ORG",
+                     "span_start": 0, "span_end": 1},
+                    {"surface": "World Cup", "mtype": "MISC",
+                     "span_start": 3, "span_end": 5},
+                ],
+            )
+        ]
+    )
+    out = verify_types(
+        ray.data.from_arrow(det), task="conll", concurrency=1
+    ).take_all()
+    mtypes = [m["mtype"] for m in out[0]["mentions"]]
+    assert mtypes == ["LOC", "MISC"]
+
+
+def test_autogen_exemplars_parse_back():
+    model = make_model("stub")
+    rows = [
+        {
+            "text": "Andy Caddick joined Essex .",
+            "tokens": ["Andy", "Caddick", "joined", "Essex", "."],
+            "bio": ["B-PER", "I-PER", "O", "B-ORG", "O"],
+        }
+    ]
+    blocks = autogenerate_exemplars(
+        model, defn="An entity is a thing.", sentences=rows
+    )
+    assert len(blocks) == 1 and "Answer:" in blocks[0]
+    answers, typestrings = parse_answer_list(
+        blocks[0], separator="|", true_only=True, identify_types=True
+    )
+    assert "andy" in answers[0] and "(PER)" in typestrings[0]
+    assert any("essex" in a for a in answers)
