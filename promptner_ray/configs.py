@@ -45,6 +45,7 @@ def make_task_spec(
     tf: bool = True,
     use_defn: bool = True,
     bug_compat: bool = False,
+    split_phrases: bool = False,
 ) -> TaskSpec:
     """Build a TaskSpec from the shipped task data (the reference's
     ``Config().set_config(alg, ...)`` flag grid)."""
@@ -67,5 +68,6 @@ def make_task_spec(
         prompt=prompt,
         entity_types=TASK_TYPES.get(task, ()),
         bug_compat=bug_compat,
+        split_phrases=split_phrases,
         fewnerd_tags=task.startswith("fewnerd"),
     )

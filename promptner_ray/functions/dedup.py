@@ -1,15 +1,17 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
-Training-data dedup suite over the ``documents`` table.  Shuffle discipline
-mirrors the KG linker (promptner_ray/stages/link.py): every groupby is
-preceded by a map-side combine so hot keys collapse per block before the
-exchange; small sides (per-doc shingle counts) are broadcast via ``ray.put``
-and resolved once per task, never re-shipped per batch.
+Training-data dedup suite over the ``documents`` table.  Physical plans are
+Arrow-native end to end: candidate pairs come from hash self-joins on the
+blocking key (shingle / LSH band bucket / SimHash chunk), pair counting and
+keep-first selection use Ray Data's native grouped aggregates
+(``groupby([...]).count() / .aggregate(Min, Sum)`` — C++ kernels, no
+per-group Python), and small sides (per-doc shingle sizes) are broadcast
+via ``ray.put`` and resolved once per task.
 
 Hashing is md5-hex so the DuckDB oracle (md5 + lexicographic min over
 VARCHAR) reproduces signatures exactly.  At 100 TB scale the md5 inner loop
-would swap for a vectorized 64-bit hash (xxhash/np) — the banding/bucketing
-plan is unchanged; md5 is the conformance-friendly default.
+would swap for a vectorized 64-bit hash (xxhash/np); the banding/bucketing
+plan is unchanged — md5 is the conformance-friendly default.
 
 Shingle convention (mirrored in SQL): word 3-grams over the single-space
 token split; documents shorter than 3 tokens contribute their whole token
@@ -23,8 +25,10 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SHINGLE_N = 3
+PAIR_JOIN_PARTITIONS = 16
 
 
 def shingle_set(text: str, n: int = SHINGLE_N) -> set[str]:
@@ -32,6 +36,10 @@ def shingle_set(text: str, n: int = SHINGLE_N) -> set[str]:
     return {
         " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))
     }
+
+
+def _rename(ds, mapping: dict[str, str]):
+    return ds.rename_columns(mapping)
 
 
 # ---------------------------------------------------------------------------
@@ -60,25 +68,55 @@ def exact_partial_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def exact_merge_group(group: pa.Table) -> pa.Table:
-    return pa.table(
-        {
-            "fp": group.column("fp").slice(0, 1),
-            "doc_id": pa.array(
-                [min(group.column("doc_id").to_pylist())], type=pa.int64()
-            ),
-            "n_dups": pa.array(
-                [sum(group.column("n_dups").to_pylist())], type=pa.int64()
-            ),
-        }
+def exact_dedup(docs):
+    """documents → (fp, doc_id=keeper, n_dups): one row per distinct text.
+
+    Map-side combine then a native grouped Min/Sum — the final exchange
+    moves one row per distinct hash per block, never raw rows.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    partials = docs.map_batches(exact_partial_batch, batch_format="pyarrow")
+    merged = partials.groupby("fp").aggregate(Min("doc_id"), Sum("n_dups"))
+    return _rename(merged, {"min(doc_id)": "doc_id", "sum(n_dups)": "n_dups"})
+
+
+# ---------------------------------------------------------------------------
+# Candidate pairs via hash self-join on a blocking key
+# ---------------------------------------------------------------------------
+
+def _self_join_pairs(keyed, key: str, num_partitions: int = PAIR_JOIN_PARTITIONS):
+    """(key, doc_id) rows → ordered candidate pairs (doc_a < doc_b).
+
+    Arrow hash join on the blocking key; the a<b filter is a vectorized
+    kernel.  Replaces per-group Python pair loops.
+    """
+    joined = keyed.join(
+        keyed,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key,),
+        left_suffix="",
+        right_suffix="_r",
     )
 
+    def keep_ordered(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column("doc_id"), batch.column("doc_id_r"))
+        kept = batch.filter(mask)
+        return pa.table(
+            {
+                "doc_a": kept.column("doc_id"),
+                "doc_b": kept.column("doc_id_r"),
+            }
+        )
 
-def exact_dedup(docs):
-    """documents → (fp, doc_id=keeper, n_dups): one row per distinct text."""
-    partials = docs.map_batches(exact_partial_batch, batch_format="pyarrow")
-    return partials.groupby("fp").map_groups(
-        exact_merge_group, batch_format="pyarrow"
+    return joined.map_batches(keep_ordered, batch_format="pyarrow")
+
+
+def _distinct_pairs(pairs):
+    """Distinct (doc_a, doc_b) via native multi-key grouped count."""
+    return pairs.groupby(["doc_a", "doc_b"]).count().select_columns(
+        ["doc_a", "doc_b"]
     )
 
 
@@ -104,67 +142,68 @@ def shingle_rows_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _pairs_from_shingle_group(group: pa.Table) -> pa.Table:
-    """One shingle's posting list → all co-occurring doc pairs (n=1 each)."""
-    docs = sorted(set(group.column("doc_id").to_pylist()))
-    a_ids, b_ids = [], []
-    for i, a in enumerate(docs):
-        for b in docs[i + 1 :]:
-            a_ids.append(a)
-            b_ids.append(b)
-    return pa.table(
-        {
-            "doc_a": pa.array(a_ids, type=pa.int64()),
-            "doc_b": pa.array(b_ids, type=pa.int64()),
-        }
+def _hash64(s: str) -> int:
+    """Signed 64-bit shingle hash (int64-friendly join/lookup key)."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+        "big",
+        signed=True,
     )
 
 
-def _pair_partial_counts(batch: pa.Table) -> pa.Table:
-    counts: Counter[tuple[int, int]] = Counter()
-    for a, b in zip(
-        batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+def _shingle_hash_rows_batch(batch: pa.Table) -> pa.Table:
+    """documents → one row per (doc_id, distinct shingle hash)."""
+    doc_ids: list[int] = []
+    hashes: list[int] = []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
-        counts[(a, b)] += 1
-    keys = list(counts.keys())
+        for s in shingle_set(text):
+            doc_ids.append(doc_id)
+            hashes.append(_hash64(s))
     return pa.table(
         {
-            "pair": pa.array([f"{a}:{b}" for a, b in keys], type=pa.string()),
-            "doc_a": pa.array([a for a, _ in keys], type=pa.int64()),
-            "doc_b": pa.array([b for _, b in keys], type=pa.int64()),
-            "n": pa.array(list(counts.values()), type=pa.int64()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "h": pa.array(hashes, type=pa.int64()),
         }
     )
 
 
-class _JaccardFinalizer:
-    """Merge pair partials + attach Jaccard from broadcast per-doc sizes."""
+class _JaccardVerifier:
+    """Exact Jaccard for candidate pairs against broadcast shingle-hash sets.
 
-    def __init__(self, sizes_ref, threshold: float) -> None:
+    Runs BEFORE the global pair dedup so the only shuffle after the join
+    carries surviving pairs (tiny) instead of every co-occurrence row.
+    Candidate duplicates across blocks verify to identical values and
+    collapse in the final (tiny) grouped Min.
+    """
+
+    def __init__(self, sets_ref, threshold: float) -> None:
         import ray
 
-        self.sizes: dict[int, int] = ray.get(sizes_ref)
+        self.sets: dict[int, np.ndarray] = ray.get(sets_ref)
         self.threshold = threshold
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        a = group.column("doc_a")[0].as_py()
-        b = group.column("doc_b")[0].as_py()
-        ninter = sum(group.column("n").to_pylist())
-        union = self.sizes[a] + self.sizes[b] - ninter
-        j = ninter / union
-        if j < self.threshold:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "jaccard": pa.array([], type=pa.float64()),
-                }
-            )
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        packed = np.unique((a << np.int64(32)) | b)  # in-block dedup
+        out_a, out_b, out_j = [], [], []
+        for key in packed:
+            da = int(key >> np.int64(32))
+            db = int(key & np.int64(0xFFFFFFFF))
+            sa, sb = self.sets[da], self.sets[db]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            j = inter / (sa.size + sb.size - inter)
+            if j >= self.threshold:
+                out_a.append(da)
+                out_b.append(db)
+                out_j.append(j)
         return pa.table(
             {
-                "doc_a": pa.array([a], type=pa.int64()),
-                "doc_b": pa.array([b], type=pa.int64()),
-                "jaccard": pa.array([j], type=pa.float64()),
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
             }
         )
 
@@ -172,38 +211,43 @@ class _JaccardFinalizer:
 def jaccard_pairs(docs, threshold: float = 0.6):
     """documents → (doc_a, doc_b, jaccard) for pairs with J ≥ threshold.
 
-    Exact inverted-index plan: shingle posting lists → co-occurrence pairs →
-    two-phase pair counts → Jaccard against broadcast per-doc shingle sizes.
-    Exact-but-quadratic in posting-list length: the scale path for 100 TB is
-    :func:`minhash_lsh_pairs`, which bounds work per band bucket.
+    Exact inverted-index plan: int64 shingle-hash self-join generates
+    candidates; each block verifies exact Jaccard against broadcast
+    per-doc shingle-hash sets and filters BELOW-threshold pairs locally, so
+    the final distinct-pair aggregate shuffles only survivors (hundreds,
+    not millions).  The broadcast side is one hash per distinct
+    (doc, shingle) — fine at benchmark scale; the 100 TB scale path is
+    :func:`minhash_lsh_pairs` (bounded band buckets, no broadcast).
     """
     import ray
+    from ray.data.aggregate import Min
 
-    shingles = docs.map_batches(shingle_rows_batch, batch_format="pyarrow")
-    sizes_tbl = (
-        shingles.groupby("doc_id")
-        .count()
-        .to_pandas()  # one small row per doc (post-aggregate)
+    sh = docs.map_batches(
+        _shingle_hash_rows_batch, batch_format="pyarrow"
+    ).materialize()  # reused by both the broadcast build and the join
+    df = sh.to_pandas()
+    order = np.argsort(df["doc_id"].to_numpy(), kind="stable")
+    doc_sorted = df["doc_id"].to_numpy()[order]
+    h_sorted = df["h"].to_numpy()[order]
+    bounds = np.searchsorted(
+        doc_sorted, np.unique(doc_sorted), side="left"
+    ).tolist() + [len(doc_sorted)]
+    uniq = np.unique(doc_sorted)
+    sets = {
+        int(d): np.sort(h_sorted[bounds[i] : bounds[i + 1]])
+        for i, d in enumerate(uniq)
+    }
+    sets_ref = ray.put(sets)
+
+    cand = _self_join_pairs(sh, "h")
+    survivors = cand.map_batches(
+        _JaccardVerifier,
+        fn_constructor_kwargs={"sets_ref": sets_ref, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
     )
-    sizes_ref = ray.put(
-        dict(zip(sizes_tbl["doc_id"], sizes_tbl["count()"]))
-    )
-    pairs = shingles.groupby("s").map_groups(
-        _pairs_from_shingle_group, batch_format="pyarrow"
-    )
-    partials = pairs.map_batches(_pair_partial_counts, batch_format="pyarrow")
-    return (
-        partials.groupby("pair")
-        .map_groups(
-            _JaccardFinalizer,
-            fn_constructor_kwargs={
-                "sizes_ref": sizes_ref,
-                "threshold": threshold,
-            },
-            batch_format="pyarrow",
-            concurrency=2,
-        )
-    )
+    deduped = survivors.groupby(["doc_a", "doc_b"]).aggregate(Min("jaccard"))
+    return _rename(deduped, {"min(jaccard)": "jaccard"})
 
 
 # ---------------------------------------------------------------------------
@@ -252,15 +296,6 @@ def band_rows_batch(
     )
 
 
-def _dedup_pair_group(group: pa.Table) -> pa.Table:
-    return pa.table(
-        {
-            "doc_a": group.column("doc_a").slice(0, 1),
-            "doc_b": group.column("doc_b").slice(0, 1),
-        }
-    )
-
-
 def minhash_lsh_pairs(docs, num_perm: int = NUM_PERM, band_rows: int = BAND_ROWS):
     """documents → distinct candidate near-dup pairs via LSH banding."""
     bands = docs.map_batches(
@@ -268,15 +303,9 @@ def minhash_lsh_pairs(docs, num_perm: int = NUM_PERM, band_rows: int = BAND_ROWS
         fn_kwargs={"num_perm": num_perm, "band_rows": band_rows},
         batch_format="pyarrow",
     )
-    pairs = bands.groupby("bucket").map_groups(
-        _pairs_from_shingle_group, batch_format="pyarrow"
-    )
-    keyed = pairs.map_batches(_pair_partial_counts, batch_format="pyarrow")
-    return (
-        keyed.groupby("pair")
-        .map_groups(_dedup_pair_group, batch_format="pyarrow")
-        .select_columns(["doc_a", "doc_b"])
-    )
+    # rename to the join's expected (key, doc_id) shape
+    keyed = bands.select_columns(["bucket", "doc_id"])
+    return _distinct_pairs(_self_join_pairs(keyed, "bucket"))
 
 
 # ---------------------------------------------------------------------------
@@ -335,65 +364,52 @@ def _simhash_chunk_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _simhash_pair_group(max_hamming: int):
-    def fn(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(
-                zip(
-                    group.column("doc_id").to_pylist(),
-                    group.column("simhash").to_pylist(),
-                )
-            )
-        )
-        a_ids, b_ids, dists = [], [], []
-        for i, (da, ha) in enumerate(rows):
-            for db, hb in rows[i + 1 :]:
-                d = bin(int(ha, 16) ^ int(hb, 16)).count("1")
-                if d <= max_hamming:
-                    a_ids.append(da)
-                    b_ids.append(db)
-                    dists.append(d)
-        return pa.table(
-            {
-                "doc_a": pa.array(a_ids, type=pa.int64()),
-                "doc_b": pa.array(b_ids, type=pa.int64()),
-                "hamming": pa.array(dists, type=pa.int64()),
-            }
-        )
-
-    return fn
-
-
 def simhash_pairs(docs, max_hamming: int = 3):
     """documents → near-dup pairs with SimHash Hamming distance ≤ k.
 
     Pigeonhole bucketing: any pair within Hamming 3 of a 64-bit hash shares
-    at least one of its four 16-bit chunks, so candidates are generated per
-    chunk bucket and verified exactly — no all-pairs scan.
+    at least one of its four 16-bit chunks, so candidates come from a hash
+    self-join per chunk bucket and are verified exactly — no all-pairs scan.
     """
+    from ray.data.aggregate import Min
+
     sims = docs.map_batches(simhash_batch, batch_format="pyarrow")
     chunks = sims.map_batches(_simhash_chunk_rows, batch_format="pyarrow")
-    cand = chunks.groupby("bucket").map_groups(
-        _simhash_pair_group(max_hamming), batch_format="pyarrow"
-    )
-    keyed = cand.map_batches(_simhash_pair_dedup_key, batch_format="pyarrow")
-    return (
-        keyed.groupby("pair")
-        .map_groups(_simhash_dedup_group, batch_format="pyarrow")
-        .select_columns(["doc_a", "doc_b", "hamming"])
+    joined = chunks.join(
+        chunks,
+        join_type="inner",
+        num_partitions=PAIR_JOIN_PARTITIONS,
+        on=("bucket",),
+        left_suffix="",
+        right_suffix="_r",
     )
 
-
-def _simhash_pair_dedup_key(batch: pa.Table) -> pa.Table:
-    pair = [
-        f"{a}:{b}"
-        for a, b in zip(
-            batch.column("doc_a").to_pylist(),
-            batch.column("doc_b").to_pylist(),
+    def verify(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(
+            pc.less(batch.column("doc_id"), batch.column("doc_id_r"))
         )
-    ]
-    return batch.append_column("pair", pa.array(pair, type=pa.string()))
+        ha = kept.column("simhash").to_pylist()
+        hb = kept.column("simhash_r").to_pylist()
+        dist = np.fromiter(
+            (bin(int(a, 16) ^ int(b, 16)).count("1") for a, b in zip(ha, hb)),
+            dtype=np.int64,
+            count=len(ha),
+        )
+        keep = dist <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    kept.column("doc_id").to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "doc_b": pa.array(
+                    kept.column("doc_id_r").to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "hamming": pa.array(dist[keep], type=pa.int64()),
+            }
+        )
 
-
-def _simhash_dedup_group(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1).select(["doc_a", "doc_b", "hamming"])
+    cand = joined.map_batches(verify, batch_format="pyarrow")
+    deduped = cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+    return _rename(deduped, {"min(hamming)": "hamming"})

@@ -62,6 +62,26 @@ def clean_answers(
     return [_strip_answer(a) for a in new_answers], new_typestrings
 
 
+def split_phrase_answers(
+    answers: list[str], typestrings: list[str] | None = None
+) -> list[str] | tuple[list[str], list[str]]:
+    """Optional M9 phrase splitter (reference ``algorithms.py:158-175``):
+    each multiword answer becomes one answer per word, its typestring
+    duplicated.  Off by default (reference drivers set
+    ``split_phrases=False``, ``run.py:76``)."""
+    new_answers: list[str] = []
+    new_typestrings: list[str] = []
+    for i, answer in enumerate(answers):
+        parts = answer.split(" ") if " " in answer else [answer]
+        for part in parts:
+            new_answers.append(part)
+            if typestrings is not None:
+                new_typestrings.append(typestrings[i])
+    if typestrings is None:
+        return new_answers
+    return new_answers, new_typestrings
+
+
 def normalize_surface(surface: str) -> str:
     """Reference ``is_eq`` normalization (``eval.py:20-21``): lowercase, strip
     whitespace, strip punctuation, strip whitespace again."""

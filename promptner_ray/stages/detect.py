@@ -51,6 +51,10 @@ def _mentions_from_output(output: str, text: str, spec: TaskSpec) -> list[dict]:
             identify_types=spec.identify_types,
         )
         answers, typestrings = parsed if spec.identify_types else (parsed, [])
+        if spec.split_phrases:
+            from ..kernels.cleaning import split_phrase_answers
+
+            answers, typestrings = split_phrase_answers(answers, typestrings)
         tags = align_spans(
             answers, typestrings, para=text, bug_compat=spec.bug_compat
         )

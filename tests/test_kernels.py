@@ -112,3 +112,28 @@ def test_extract_text_contract():
     )
     assert extract_text(html) == "Hello World & co\nline two"
     assert extract_text(b"<html><body>no article</body></html>") == ""
+
+
+def test_split_phrase_answers():
+    from promptner_ray.kernels.cleaning import split_phrase_answers
+
+    a, t = split_phrase_answers(
+        ["andy caddick", "essex"], ["a person (PER)", "a team (ORG)"]
+    )
+    assert a == ["andy", "caddick", "essex"]
+    assert t == ["a person (PER)", "a person (PER)", "a team (ORG)"]
+    assert split_phrase_answers(["new york", "paris"]) == ["new", "york", "paris"]
+
+
+def test_get_ner_system_closure():
+    from promptner_ray.api import get_ner_system
+
+    fn = get_ner_system(task="conll")
+    entities, typestrings, meta = fn("Andy Caddick joined Essex .")
+    assert "andy caddick" in entities and "essex" in entities
+    assert any("(PER)" in t for t in typestrings)
+    assert meta.startswith("Answer:")
+
+    fn_split = get_ner_system(task="conll", split_phrases=True)
+    entities, _, _ = fn_split("Andy Caddick joined Essex .")
+    assert "andy" in entities and "caddick" in entities
