@@ -114,6 +114,41 @@ def generate_exemplar(
     return "\n".join(lines)
 
 
+def sample_all_types(
+    rows: list[dict], min_k: int = 5, seed: int = 42
+) -> list[dict]:
+    """G4 exemplar sampler (reference ``sample_all_types``,
+    ``data.py:352-375``): rejection-sample ``k`` sentence rows until the
+    sample covers every entity type present in ``rows``; ``k`` grows by one
+    every 10 failed attempts.  Seeded (the reference's ``df.sample`` is
+    not), so exemplar selection is reproducible across runs.
+    """
+
+    def row_types(row: dict) -> set[str]:
+        out = set()
+        for tag in row["bio"]:
+            if tag and tag != "O":
+                out.add(tag[2:] if tag[:2] in ("B-", "I-") else tag)
+        return out
+
+    total = set()
+    for row in rows:
+        total |= row_types(row)
+    rng = random.Random(seed)
+    k = min(min_k, len(rows))
+    attempt = 0
+    while True:
+        sample = rng.sample(rows, k)
+        covered = set()
+        for row in sample:
+            covered |= row_types(row)
+        if covered == total:
+            return sample
+        attempt += 1
+        if attempt % 10 == 0 and k < len(rows):
+            k += 1
+
+
 def autogenerate_exemplars(
     model,
     defn: str,

@@ -17,6 +17,7 @@ immutable spec built once at pipeline-build time and broadcast to actors
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import cached_property
 
 CHATBOT_INIT = "You are an entity recognition system. "
 
@@ -48,6 +49,29 @@ EXEMPLAR_FORMAT = (
 
 
 @dataclass(frozen=True)
+class CompletionPrompt:
+    """Lazy completion prompt: shared constant prefix + per-row paragraph.
+
+    ``text`` materializes the exact reference prompt string
+    (``algorithms.py:186-193``).  The hot path ships (prefix-ref, para)
+    instead of one materialized ~6 KB string per sentence — at millions of
+    sentences per node the repeated prefix memcpy saturates DRAM bandwidth
+    and caps multicore scaling; clients that need the full string (HTTP
+    APIs) call ``.text`` at request time.
+    """
+
+    prefix: str
+    para: str
+    exemplar_mode: bool
+
+    @property
+    def text(self) -> str:
+        if self.exemplar_mode:
+            return self.prefix + f" '{self.para}' \nAnswer:"
+        return self.prefix + f"\nParagraph: {self.para} \nAnswer:"
+
+
+@dataclass(frozen=True)
 class PromptSpec:
     """Fully-assembled prompt state for one task configuration.
 
@@ -61,11 +85,25 @@ class PromptSpec:
     exemplar_task: str | None = None
     format_task: str | None = None
 
+    @cached_property
+    def completion_prefix_parts(self) -> tuple[str, bool]:
+        """(shared constant prefix, exemplar-mode flag), built ONCE per spec
+        (cached_property writes to __dict__ directly, bypassing frozen)."""
+        if self.exemplar_task is not None:
+            return self.defn + "\n" + self.exemplar_task, True
+        return self.defn + "\n" + self.format_task, False
+
+    def completion_prefix(self) -> tuple[str, bool]:
+        return self.completion_prefix_parts
+
+    def render_completion_lazy(self, para: str) -> CompletionPrompt:
+        """Lazy prompt for the batch hot path (see :class:`CompletionPrompt`)."""
+        prefix, exemplar_mode = self.completion_prefix()
+        return CompletionPrompt(prefix, para, exemplar_mode)
+
     def render_completion(self, para: str) -> str:
         """One prompt string (reference ``algorithms.py:186-193``)."""
-        if self.exemplar_task is not None:
-            return self.defn + "\n" + self.exemplar_task + f" '{para}' \nAnswer:"
-        return self.defn + "\n" + self.format_task + f"\nParagraph: {para} \nAnswer:"
+        return self.render_completion_lazy(para).text
 
     def render_chat(self, para: str) -> list[tuple[str, str]]:
         """(content, role) message list (reference ``algorithms.py:202-219``)."""

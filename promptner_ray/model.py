@@ -38,8 +38,12 @@ def _para_from_prompt(prompt: str | Chat) -> str:
             return ""
         body = prompt[:tail]
         if body.endswith("'"):
-            start = body.rfind(" '")
-            return body[start + 2 : -1]
+            # exemplar-mode prompts append " '{para}'" right after the
+            # newline-terminated task block; paras are single lines, so
+            # "\n '" is the unambiguous boundary (a bare rfind(" '") would
+            # truncate paras containing quotes, e.g. tokenized "'s").
+            start = body.rfind("\n '")
+            return body[start + 3 : -1] if start >= 0 else body[2:-1]
         marker = body.rfind("\nParagraph: ")
         return body[marker + len("\nParagraph: ") :] if marker >= 0 else ""
     content = prompt[-1][0]
@@ -149,7 +153,13 @@ class VocabStubModel:
             return "the type of this phrase cannot be determined"
         return f"{phrase} is a known entity of type ({etype})"
 
-    def _respond(self, prompt: str | Chat) -> str:
+    def _respond(self, prompt) -> str:
+        from .kernels.prompts import CompletionPrompt
+
+        if isinstance(prompt, CompletionPrompt):
+            # lazy hot-path prompt: the paragraph is carried explicitly, no
+            # 6 KB prefix materialization + reverse-parse per sentence
+            return self._answer_for(prompt.para)
         text = prompt if isinstance(prompt, str) else prompt[-1][0]
         if "\nEntity Phrase: " in text:
             return self._type_answer(text)

@@ -135,6 +135,37 @@ def f1_counts(detected, gold, num_partitions: int = 8):
     )
 
 
+def postprocess_results_batch(batch: pa.Table) -> pa.Table:
+    """M17 results post-processor (reference ``basic_process_results``,
+    ``eval.py:24-50``): derive per-token ``word | TAG`` display strings and
+    the exact-match ``correct`` flag from joined (gold, pred) rows.
+
+    The reference parses stringified list columns with ``eval()`` and
+    rewrites CSVs in place; here columns are native and the transform is a
+    pure batch kernel over the joined eval table.
+    """
+    texts = batch.column("text").to_pylist()
+    truths = batch.column("bio").to_pylist()
+    preds = batch.column("pred_bio").to_pylist()
+    pred_texts, truth_texts, corrects = [], [], []
+    for text, truth, pred in zip(texts, truths, preds):
+        words = text.split(" ")
+        t_tags = truth.split(" ") if isinstance(truth, str) else list(truth)
+        p_tags = pred.split(" ") if isinstance(pred, str) else list(pred)
+        pred_texts.append(
+            " ".join(f"{w} | {t}" for w, t in zip(words, p_tags))
+        )
+        truth_texts.append(
+            " ".join(f"{w} | {t}" for w, t in zip(words, t_tags))
+        )
+        corrects.append(t_tags == p_tags)
+    return batch.append_column(
+        "pred_text", pa.array(pred_texts, type=pa.string())
+    ).append_column(
+        "truth_text", pa.array(truth_texts, type=pa.string())
+    ).append_column("correct", pa.array(corrects, type=pa.bool_()))
+
+
 def evaluate_f1(detected, gold, num_partitions: int = 8) -> dict:
     """Micro/macro P/R/F1 summary (driver-side constant-size reduction)."""
     tbl = f1_counts(detected, gold, num_partitions).to_pandas()

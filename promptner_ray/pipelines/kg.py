@@ -68,10 +68,21 @@ class KGConfig:
     model_kind: str = "stub"
     model_kwargs: dict = field(default_factory=dict)
     chat: bool = False
-    detect_concurrency: int = 8
+    # "tasks": detection runs as stateless tasks with per-worker-process
+    # cached spec/model (right for millisecond-setup clients: workers are
+    # reused across executions, nothing to re-create per run).  "actors":
+    # dedicated actor pool (right for heavy clients: local LLM, GPU).
+    # "auto" picks tasks for the stub, actors otherwise.
+    detect_mode: str = "auto"
+    detect_concurrency: int | tuple = 8
     detect_batch_size: int = 128
     wave_size: int = 16
     n_parts: int = N_PARTS
+
+    def resolved_detect_mode(self) -> str:
+        if self.detect_mode != "auto":
+            return self.detect_mode
+        return "tasks" if self.model_kind == "stub" else "actors"
 
 
 # ---------------------------------------------------------------------------
@@ -93,6 +104,24 @@ def sentences(docs, cfg: KGConfig):
 
 
 def detected(sents, cfg: KGConfig):
+    if cfg.resolved_detect_mode() == "tasks":
+        import json
+
+        from ..stages.detect import detect_mentions_batch
+
+        return sents.map_batches(
+            detect_mentions_batch,
+            fn_kwargs={
+                "task": cfg.task,
+                "model_kind": cfg.model_kind,
+                "chat": cfg.chat,
+                "model_kwargs_json": json.dumps(
+                    cfg.model_kwargs, sort_keys=True
+                ),
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.detect_batch_size,
+        )
     return sents.map_batches(
         MentionDetector,
         fn_constructor_kwargs={
@@ -176,8 +205,33 @@ def run_extraction(
     for wave in waves:
         t0 = time.monotonic()
         skip = all_parts - set(wave)
-        pages = read_pages(corpus_root, exclude_parts=skip)
+        pages = read_pages(
+            corpus_root,
+            exclude_parts=skip,
+            # prune the oracle `text` column at the read: html alone feeds
+            # extraction, and text duplicates its payload through the
+            # object store
+            columns=["url", "warc_ts", "html", "lang"],
+        )
         if pages is None:
+            # No input files for any partition of this wave: the partitions
+            # are trivially complete — commit empty manifests so resume
+            # never re-scans them.
+            for part in wave:
+                lineage.write_manifest(
+                    out,
+                    part,
+                    {
+                        "stage": "extraction",
+                        "docs_in": 0,
+                        "sentences": 0,
+                        "mentions": 0,
+                        "triples": 0,
+                        "wall_s_wave": 0.0,
+                    },
+                )
+                summary["parts_committed"] += 1
+            summary["waves"] += 1
             continue
         det = detected(sentences(docs_text(pages, cfg), cfg), cfg).map_batches(
             add_part_batch, batch_format="pyarrow"

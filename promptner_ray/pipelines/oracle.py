@@ -43,6 +43,7 @@ def oracle_run(
             fillers[i % len(fillers)] if fillers else [],
             lang=langs[i % len(langs)] if langs else "en",
             head_url=(i % 97 == 0),
+            part=synth.part_for(i, n_docs),
         )
         text = extract_text(page["html"])
         assert text == page["text"], f"byte-identity broken for {page['url']}"

@@ -24,7 +24,7 @@ N_PARTS = 64
 class _PageBatchBuilder:
     """Actor: resolves the broadcast filler corpus once, builds page rows."""
 
-    def __init__(self, seed: int, corpus_ref, gold: bool) -> None:
+    def __init__(self, seed: int, corpus_ref, gold: bool, n_docs: int) -> None:
         import ray
 
         langs, fillers = ray.get(corpus_ref)
@@ -32,18 +32,19 @@ class _PageBatchBuilder:
         self.langs = langs
         self.fillers = fillers
         self.gold = gold
+        self.n_docs = n_docs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         indices = batch.column("id").to_pylist()
         pages, gold = synth.pages_batch(
-            indices, self.seed, self.langs, self.fillers
+            indices, self.seed, self.langs, self.fillers, n_docs=self.n_docs
         )
         if self.gold:
             tbl = pa.Table.from_pylist(gold, schema=GOLD_SENTENCES)
         else:
             tbl = pa.Table.from_pylist(pages, schema=PAGES)
-            indices_arr = [i % N_PARTS for i in indices]
-            tbl = tbl.append_column("part", pa.array(indices_arr, type=pa.int32()))
+            parts = [synth.part_for(i, self.n_docs, N_PARTS) for i in indices]
+            tbl = tbl.append_column("part", pa.array(parts, type=pa.int32()))
         return tbl
 
 
@@ -77,6 +78,7 @@ def build_pages_dataset(
             "seed": seed,
             "corpus_ref": corpus_ref,
             "gold": gold,
+            "n_docs": n_docs,
         },
         batch_format="pyarrow",
         concurrency=4,
@@ -97,7 +99,7 @@ def ensure_corpus(
     """
     root = pathlib.Path(corpus_dir)
     meta_path = root / "meta.json"
-    meta = {"n_docs": n_docs, "seed": seed, "sf_dir": sf_dir, "version": 3}
+    meta = {"n_docs": n_docs, "seed": seed, "sf_dir": sf_dir, "version": 4}
     if meta_path.exists() and json.loads(meta_path.read_text()) == meta:
         return root
     import shutil

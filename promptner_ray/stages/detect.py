@@ -14,6 +14,8 @@ NO shuffle to regroup by sentence.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import pyarrow as pa
 
 from ..configs import TaskSpec, make_task_spec
@@ -78,6 +80,41 @@ def _mentions_from_output(output: str, text: str, spec: TaskSpec) -> list[dict]:
     return mentions
 
 
+def detect_mentions_batch(
+    batch: pa.Table,
+    task: str = "conll",
+    model_kind: str = "stub",
+    chat: bool = False,
+    model_kwargs_json: str = "{}",
+) -> pa.Table:
+    """Task-mode detection kernel with per-worker-process cached state.
+
+    For LIGHTWEIGHT model clients (the deterministic stub, or any client
+    whose setup is milliseconds) the stage runs as plain tasks: Ray reuses
+    task worker processes across executions, so the spec/model build
+    happens once per process (functools-cached) and the stage scheduling
+    scales like stateless tasks — an actor pool would pay its pool
+    creation on every pipeline execution.  Heavy clients (GPU/local LLM)
+    keep the ``MentionDetector`` actor-pool path below.
+    """
+    det = _cached_detector(task, model_kind, chat, model_kwargs_json)
+    return det(batch)
+
+
+@_functools.lru_cache(maxsize=8)
+def _cached_detector(
+    task: str, model_kind: str, chat: bool, model_kwargs_json: str
+) -> "MentionDetector":
+    import json
+
+    return MentionDetector(
+        task=task,
+        model_kind=model_kind,
+        chat=chat,
+        model_kwargs=json.loads(model_kwargs_json),
+    )
+
+
 class MentionDetector:
     """Actor-pool batch kernel: sentences → sentence rows + mention lists."""
 
@@ -100,7 +137,7 @@ class MentionDetector:
         render = (
             self.spec.prompt.render_chat
             if self.chat
-            else self.spec.prompt.render_completion
+            else self.spec.prompt.render_completion_lazy
         )
         prompts = [render(t) for t in texts]
         outputs = self.model.generate(prompts)

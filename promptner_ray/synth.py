@@ -194,11 +194,20 @@ def make_page(
     filler_words: list[str],
     lang: str = "en",
     head_url: bool = False,
+    part: int | None = None,
 ) -> tuple[dict, list[dict]]:
-    """Build one page row + its gold sentence rows (pure, deterministic)."""
+    """Build one page row + its gold sentence rows (pure, deterministic).
+
+    ``part`` is the checkpoint partition (url-range bucket).  Contiguous doc
+    ranges map to one part so the corpus writer emits ~one file per part
+    instead of files × parts (a 4096-tiny-file corpus measurably stalls the
+    driver-side parquet metadata path at read time).
+    """
     rng = _rng_for(seed, doc_index)
     n_sent = rng.randint(40, 160) if head_url else rng.randint(1, 20)
-    url = f"https://synth.test/part{doc_index % 64:03d}/doc{doc_index:08d}"
+    if part is None:
+        part = doc_index % 64
+    url = f"https://synth.test/part{part:03d}/doc{doc_index:08d}"
     lines: list[str] = []
     gold_rows: list[dict] = []
     for s in range(n_sent):
@@ -234,22 +243,38 @@ def make_page(
     return page, gold_rows
 
 
+def part_for(doc_index: int, n_docs: int, n_parts: int = 64) -> int:
+    """Checkpoint partition of a doc: contiguous index ranges (shared by the
+    corpus builder and the single-process oracle so urls agree)."""
+    per_part = max(1, -(-n_docs // n_parts))
+    return min(doc_index // per_part, n_parts - 1)
+
+
 def pages_batch(
     indices: list[int],
     seed: int,
     langs: list[str],
     fillers: list[list[str]],
     head_every: int = 97,
+    n_docs: int | None = None,
+    n_parts: int = 64,
 ) -> tuple[list[dict], list[dict]]:
     """Vector-of-rows builder used inside ``map_batches`` by the corpus
-    pipeline: each index is assigned a lang + filler deterministically."""
+    pipeline: each index is assigned a lang + filler deterministically.
+    Parts are contiguous doc-index ranges (see :func:`make_page`)."""
     pages: list[dict] = []
     gold: list[dict] = []
+    nd = n_docs or max(indices) + 1
     for i in indices:
         lang = langs[i % len(langs)] if langs else "en"
         filler = fillers[i % len(fillers)] if fillers else []
         page, gold_rows = make_page(
-            i, seed, filler, lang=lang, head_url=(i % head_every == 0)
+            i,
+            seed,
+            filler,
+            lang=lang,
+            head_url=(i % head_every == 0),
+            part=part_for(i, nd, n_parts),
         )
         pages.append(page)
         gold.extend(gold_rows)

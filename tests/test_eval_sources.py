@@ -165,3 +165,92 @@ def test_autogen_exemplars_parse_back():
     )
     assert "andy" in answers[0] and "(PER)" in typestrings[0]
     assert any("essex" in a for a in answers)
+
+
+def test_hf_tagged_connectors(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from promptner_ray.sources.hf_tagged import (
+        read_ontonotes_parquet,
+        read_tagged_parquet,
+    )
+
+    conll = pa.table(
+        {
+            "tokens": pa.array(
+                [["Andy", "Caddick", "joined", "Essex"], ["Paris", "fell"]],
+                type=pa.list_(pa.string()),
+            ),
+            "ner_tags": pa.array(
+                [[1, 2, 0, 3], [5, 0]], type=pa.list_(pa.int32())
+            ),
+        }
+    )
+    pq.write_table(conll, tmp_path / "conll.parquet")
+    rows = (
+        read_tagged_parquet(str(tmp_path / "conll.parquet"), "conll2003")
+        .to_pandas()
+        .to_dict("records")
+    )
+    assert list(rows[0]["entities"]) == ["Andy Caddick", "Essex"]
+    assert list(rows[0]["etypes"]) == ["PER", "ORG"]
+    assert list(rows[1]["entities"]) == ["Paris"] and list(rows[1]["etypes"]) == ["LOC"]
+
+    onto = pa.table(
+        {
+            "sentences": pa.array(
+                [
+                    [
+                        {"words": ["Obama", "spoke"], "named_entities": [1, 0]},
+                        {"words": ["in", "Kenya"], "named_entities": [0, 9]},
+                    ]
+                ],
+                type=pa.list_(
+                    pa.struct(
+                        [
+                            ("words", pa.list_(pa.string())),
+                            ("named_entities", pa.list_(pa.int32())),
+                        ]
+                    )
+                ),
+            )
+        }
+    )
+    pq.write_table(onto, tmp_path / "onto.parquet")
+    orows = (
+        read_ontonotes_parquet(str(tmp_path / "onto.parquet"))
+        .to_pandas()
+        .to_dict("records")
+    )
+    assert list(orows[0]["etypes"]) == ["PERSON"]
+    assert list(orows[1]["entities"]) == ["Kenya"] and list(orows[1]["etypes"]) == ["GPE"]
+
+
+def test_postprocess_results():
+    from promptner_ray.pipelines.eval import postprocess_results_batch
+
+    batch = pa.table(
+        {
+            "text": ["Essex won"],
+            "bio": ["B-ORG O"],
+            "pred_bio": ["B-ORG O"],
+        }
+    )
+    out = postprocess_results_batch(batch)
+    assert out.column("pred_text")[0].as_py() == "Essex | B-ORG won | O"
+    assert out.column("correct")[0].as_py() is True
+
+
+def test_sample_all_types_covers_everything():
+    from promptner_ray.kernels.autogen import sample_all_types
+
+    rows = [
+        {"bio": ["B-PER", "O"]},
+        {"bio": ["B-ORG", "O"]},
+        {"bio": ["B-LOC", "O"]},
+        {"bio": ["O", "O"]},
+    ] * 5
+    sample = sample_all_types(rows, min_k=3, seed=7)
+    covered = {t[2:] for r in sample for t in r["bio"] if t != "O"}
+    assert covered == {"PER", "ORG", "LOC"}
+    assert sample == sample_all_types(rows, min_k=3, seed=7)  # deterministic

@@ -137,3 +137,14 @@ def test_get_ner_system_closure():
     fn_split = get_ner_system(task="conll", split_phrases=True)
     entities, _, _ = fn_split("Andy Caddick joined Essex .")
     assert "andy" in entities and "caddick" in entities
+
+
+def test_lazy_prompt_matches_strict_render():
+    from promptner_ray.configs import make_task_spec
+
+    for exemplar in (True, False):
+        spec = make_task_spec(task="conll", exemplar=exemplar)
+        for para in ("Essex won .", "a 'quoted' para"):
+            lazy = spec.prompt.render_completion_lazy(para)
+            assert lazy.text == spec.prompt.render_completion(para)
+            assert lazy.para == para
