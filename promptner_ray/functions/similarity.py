@@ -188,9 +188,18 @@ class _LshPartial:
         self.k = k
         self.planes = lsh_planes(dim)
         qb = _bucket_of(self.qmat, self.planes)
-        # probe set per query: own bucket + all 1-bit flips
-        flips = np.uint32(1) << np.arange(N_PLANES, dtype=np.uint32)
-        self.probe = [set([b]) | {b ^ f for f in flips} for b in qb]
+        # multi-probe set per query: own bucket + all 1- and 2-bit flips
+        # (37 of 256 buckets ≈ 14% of the data; recall ~0.4 on isotropic
+        # data, far higher on clustered real embeddings)
+        flips = [np.uint32(1) << np.uint32(i) for i in range(N_PLANES)]
+        self.probe = []
+        for b in qb:
+            s = {b}
+            for i, fi in enumerate(flips):
+                s.add(b ^ fi)
+                for fj in flips[i + 1 :]:
+                    s.add(b ^ fi ^ fj)
+            self.probe.append(s)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)

@@ -89,8 +89,13 @@ def normalize_surface(surface: str) -> str:
 
 
 def surface_hash64(surface_norm: str) -> int:
-    """Stable unsigned 64-bit hash of a normalized surface form (blake2b)."""
+    """Stable SIGNED 64-bit hash of a normalized surface form (blake2b).
+
+    Signed so the id flows through Arrow/Ray native aggregates as int64
+    (unsigned 64-bit falls back to pickled-object columns in grouped
+    aggregates)."""
     return int.from_bytes(
         hashlib.blake2b(surface_norm.encode("utf-8"), digest_size=8).digest(),
         "big",
+        signed=True,
     )

@@ -39,7 +39,6 @@ from ..stages.induce import explode_mentions_batch, induce_triples_batch
 from ..stages.link import (
     EdgeNamer,
     links_to_nodes,
-    merge_edge_group,
     merge_link_group,
     partial_edge_counts,
     partial_link_counts,
@@ -153,13 +152,36 @@ def links(mentions_ds):
     )
 
 
+def _edge_recombine(batch: pa.Table) -> pa.Table:
+    """Second-level combine: merge many partial blocks with Arrow's native
+    group_by so the final Ray exchange sees near-distinct rows only."""
+    out = batch.group_by(["subj_id", "pred", "obj_id"]).aggregate(
+        [("w", "sum")]
+    )
+    return pa.table(
+        {
+            "subj_id": out.column("subj_id"),
+            "pred": out.column("pred"),
+            "obj_id": out.column("obj_id"),
+            "w": out.column("w_sum").cast(pa.int64()),
+        }
+    )
+
+
 def edges(triples_ds):
+    """Three-level edge dedup/weighting: vectorized map-side combine per
+    block → coalesced Arrow-native recombine → tiny Ray grouped Sum.  The
+    all-to-all exchange only ever moves (near-)distinct edge rows."""
+    from ray.data.aggregate import Sum
+
     partials = triples_ds.map_batches(
         partial_edge_counts, batch_format="pyarrow"
     )
-    return partials.groupby("edge_key").map_groups(
-        merge_edge_group, batch_format="pyarrow"
+    combined = partials.repartition(8).map_batches(
+        _edge_recombine, batch_format="pyarrow", batch_size=None
     )
+    agg = combined.groupby(["subj_id", "pred", "obj_id"]).aggregate(Sum("w"))
+    return agg.rename_columns({"sum(w)": "weight"})
 
 
 def named_edges(edges_ds, nodes_by_id_ref):

@@ -63,8 +63,8 @@ TRIPLES = pa.schema(
 LINKS = pa.schema(
     [
         ("surface_norm", pa.string()),
-        ("surface_hash", pa.uint64()),
-        ("entity_id", pa.uint64()),
+        ("surface_hash", pa.int64()),
+        ("entity_id", pa.int64()),
         ("canonical", pa.string()),
         ("etype", pa.string()),
         ("n_mentions", pa.int64()),
@@ -73,7 +73,7 @@ LINKS = pa.schema(
 
 NODES = pa.schema(
     [
-        ("entity_id", pa.uint64()),
+        ("entity_id", pa.int64()),
         ("canonical", pa.string()),
         ("etype", pa.string()),
         ("n_mentions", pa.int64()),
@@ -82,9 +82,9 @@ NODES = pa.schema(
 
 EDGES = pa.schema(
     [
-        ("subj_id", pa.uint64()),
+        ("subj_id", pa.int64()),
         ("pred", pa.string()),
-        ("obj_id", pa.uint64()),
+        ("obj_id", pa.int64()),
         ("weight", pa.int64()),
     ]
 )

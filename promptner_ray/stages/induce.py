@@ -36,28 +36,29 @@ def induce_triples_for_sentence(
 
 
 def explode_mentions_batch(batch: pa.Table) -> pa.Table:
-    """sentence rows (mentions list<struct>) → flat mentions table."""
-    urls, sids, surfaces, mtypes, starts, ends = [], [], [], [], [], []
-    for url, sid, mlist in zip(
-        batch.column("url").to_pylist(),
-        batch.column("sent_id").to_pylist(),
-        batch.column("mentions").to_pylist(),
-    ):
-        for m in mlist:
-            urls.append(url)
-            sids.append(sid)
-            surfaces.append(m["surface"])
-            mtypes.append(m["mtype"])
-            starts.append(m["span_start"])
-            ends.append(m["span_end"])
+    """sentence rows (mentions list<struct>) → flat mentions table.
+
+    Vectorized explode: the list offsets drive an index-repeat of the
+    parent columns; the struct children flatten zero-copy.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    mcol = batch.column("mentions").combine_chunks()
+    offsets = np.asarray(mcol.offsets)
+    counts = offsets[1:] - offsets[:-1]
+    parent_idx = pa.array(
+        np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    )
+    flat = mcol.flatten()  # struct array of all mentions
     return pa.table(
         {
-            "url": pa.array(urls, type=pa.string()),
-            "sent_id": pa.array(sids, type=pa.int32()),
-            "mention": pa.array(surfaces, type=pa.string()),
-            "mtype": pa.array(mtypes, type=pa.string()),
-            "span_start": pa.array(starts, type=pa.int32()),
-            "span_end": pa.array(ends, type=pa.int32()),
+            "url": pc.take(batch.column("url"), parent_idx),
+            "sent_id": pc.take(batch.column("sent_id"), parent_idx),
+            "mention": flat.field("surface"),
+            "mtype": flat.field("mtype"),
+            "span_start": flat.field("span_start"),
+            "span_end": flat.field("span_end"),
         }
     )
 

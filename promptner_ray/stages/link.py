@@ -25,26 +25,35 @@ from ..kernels.cleaning import normalize_surface, surface_hash64
 # ---------------------------------------------------------------------------
 
 def partial_link_counts(batch: pa.Table) -> pa.Table:
-    """Map-side combine: mention rows → (surface_norm, surface, mtype, n)."""
-    counts: Counter[tuple[str, str, str]] = Counter()
-    for surface, mtype in zip(
-        batch.column("mention").to_pylist(), batch.column("mtype").to_pylist()
-    ):
-        norm = normalize_surface(surface)
-        if norm:
-            counts[(norm, surface, mtype)] += 1
-    norms, surfaces, mtypes, ns = [], [], [], []
-    for (norm, surface, mtype), n in counts.items():
-        norms.append(norm)
-        surfaces.append(surface)
-        mtypes.append(mtype)
-        ns.append(n)
+    """Map-side combine: mention rows → (surface_norm, surface, mtype, n).
+
+    Fully vectorized: normalize runs once per DISTINCT surface (dictionary
+    encode), the per-block combine is Arrow's native ``Table.group_by``.
+    """
+    import pyarrow.compute as pc
+
+    dict_col = pc.dictionary_encode(batch.column("mention").combine_chunks())
+    uniq = dict_col.dictionary.to_pylist()
+    norm_uniq = pa.array(
+        [normalize_surface(s) for s in uniq], type=pa.string()
+    )
+    norms = pc.take(norm_uniq, dict_col.indices)
+    tbl = pa.table(
+        {
+            "surface_norm": norms,
+            "surface": batch.column("mention"),
+            "mtype": batch.column("mtype"),
+        }
+    ).filter(pc.not_equal(norms, ""))
+    out = tbl.group_by(["surface_norm", "surface", "mtype"]).aggregate(
+        [([], "count_all")]
+    )
     return pa.table(
         {
-            "surface_norm": pa.array(norms, type=pa.string()),
-            "surface": pa.array(surfaces, type=pa.string()),
-            "mtype": pa.array(mtypes, type=pa.string()),
-            "n": pa.array(ns, type=pa.int64()),
+            "surface_norm": out.column("surface_norm"),
+            "surface": out.column("surface"),
+            "mtype": out.column("mtype"),
+            "n": out.column("count_all").cast(pa.int64()),
         }
     )
 
@@ -72,8 +81,8 @@ def merge_link_group(group: pa.Table) -> pa.Table:
     return pa.table(
         {
             "surface_norm": pa.array([norm], type=pa.string()),
-            "surface_hash": pa.array([surface_hash64(norm)], type=pa.uint64()),
-            "entity_id": pa.array([surface_hash64(norm)], type=pa.uint64()),
+            "surface_hash": pa.array([surface_hash64(norm)], type=pa.int64()),
+            "entity_id": pa.array([surface_hash64(norm)], type=pa.int64()),
             "canonical": pa.array([canonical], type=pa.string()),
             "etype": pa.array([etype], type=pa.string()),
             "n_mentions": pa.array([total], type=pa.int64()),
@@ -89,44 +98,49 @@ def links_to_nodes(batch: pa.Table) -> pa.Table:
 # edges: triples → weighted, deduplicated edge table
 # ---------------------------------------------------------------------------
 
+def _hash_ids(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Surface column → int64 entity-id column.
+
+    normalize+hash runs once per DISTINCT surface (dictionary encode, then
+    take): cost scales with the vocabulary per block, not the row count.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dict_col = pc.dictionary_encode(col)
+    uniq_ids = pa.array(
+        [
+            surface_hash64(normalize_surface(s))
+            for s in dict_col.dictionary.to_pylist()
+        ],
+        type=pa.int64(),
+    )
+    return pc.take(uniq_ids, dict_col.indices)
+
+
 def partial_edge_counts(batch: pa.Table) -> pa.Table:
-    """Map-side combine: triples → (edge_key, subj_id, pred, obj_id, w)."""
-    counts: Counter[tuple[int, str, int]] = Counter()
-    for subj, pred, obj in zip(
-        batch.column("subj").to_pylist(),
-        batch.column("pred").to_pylist(),
-        batch.column("obj").to_pylist(),
-    ):
-        sid = surface_hash64(normalize_surface(subj))
-        oid = surface_hash64(normalize_surface(obj))
-        counts[(sid, pred, oid)] += 1
-    keys, sids, preds, oids, ws = [], [], [], [], []
-    for (sid, pred, oid), w in counts.items():
-        keys.append(f"{sid:016x}\x00{pred}\x00{oid:016x}")
-        sids.append(sid)
-        preds.append(pred)
-        oids.append(oid)
-        ws.append(w)
-    return pa.table(
+    """Map-side combine: triples → (subj_id, pred, obj_id, w) partials.
+
+    Vectorized: ids via :func:`_hash_ids`, combine via Arrow's native
+    ``Table.group_by`` (C++), no Python loop over rows.
+    """
+    tbl = pa.table(
         {
-            "edge_key": pa.array(keys, type=pa.string()),
-            "subj_id": pa.array(sids, type=pa.uint64()),
-            "pred": pa.array(preds, type=pa.string()),
-            "obj_id": pa.array(oids, type=pa.uint64()),
-            "w": pa.array(ws, type=pa.int64()),
+            "subj_id": _hash_ids(batch.column("subj")),
+            "pred": batch.column("pred"),
+            "obj_id": _hash_ids(batch.column("obj")),
         }
     )
-
-
-def merge_edge_group(group: pa.Table) -> pa.Table:
+    out = tbl.group_by(["subj_id", "pred", "obj_id"]).aggregate(
+        [([], "count_all")]
+    )
     return pa.table(
         {
-            "subj_id": group.column("subj_id").slice(0, 1),
-            "pred": group.column("pred").slice(0, 1),
-            "obj_id": group.column("obj_id").slice(0, 1),
-            "weight": pa.array(
-                [sum(group.column("w").to_pylist())], type=pa.int64()
-            ),
+            "subj_id": out.column("subj_id"),
+            "pred": out.column("pred"),
+            "obj_id": out.column("obj_id"),
+            "w": out.column("count_all").cast(pa.int64()),
         }
     )
 

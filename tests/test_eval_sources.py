@@ -254,3 +254,35 @@ def test_sample_all_types_covers_everything():
     covered = {t[2:] for r in sample for t in r["bio"] if t != "O"}
     assert covered == {"PER", "ORG", "LOC"}
     assert sample == sample_all_types(rows, min_k=3, seed=7)  # deterministic
+
+
+def test_knn_lsh_recall_floor(ray_session):
+    """Multi-probe LSH ANN must recover a meaningful share of the exact
+    top-k even on isotropic (worst-case) vectors."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["qid"], r["nid"]) for r in qs["embed_knn"](sf).take_all()}
+    approx = {(r["qid"], r["nid"]) for r in qs["embed_knn_lsh"](sf).take_all()}
+    assert len(exact & approx) / len(exact) >= 0.25
+
+
+def test_cli_synth_run_eval(ray_session, tmp_path):
+    from promptner_ray.cli import main
+
+    out = main(
+        [
+            "synth",
+            "--out", str(tmp_path / "corpus"),
+            "--n-docs", "32",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ]
+    )
+    root = out["corpus_root"]
+    summary = main(
+        ["run", "--input", root, "--out", str(tmp_path / "kg")]
+    )
+    assert summary["parts_committed"] == 64 and summary["edges"] > 0
+    f1 = main(["eval", "--input", root])
+    assert f1["micro_f1"] > 0.9
