@@ -168,6 +168,15 @@ def _kg_eval_f1(sf_dir: str):
     return pd.DataFrame([summary])
 
 
+def _events_asof(sf_dir: str):
+    import ray
+
+    from promptner_ray.functions import asof
+
+    idx_ref = ray.put(asof.load_orders_index(sf_dir))
+    return asof.events_asof_orders(_read(sf_dir, "events"), idx_ref)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: pages → …→ named edge table."""
     return _kg_edges("/root/testdata/sf0.001")
@@ -272,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": lambda sf: relational.events_tumbling(
             _read(sf, "events")
         ),
+        "events_asof_orders": lambda sf: _events_asof(sf),
         # --- KG pipeline (synthetic pages corpus; rows-only checks) --
         "kg_docs_text": _kg_docs_text,
         "kg_sentences": _kg_sentences,
@@ -419,6 +429,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id, e.user_id, o.o_orderdate AS order_ts
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
     }
 

@@ -129,7 +129,12 @@ class MentionDetector:
         model_kwargs: dict | None = None,
     ) -> None:
         self.spec = make_task_spec(task=task, exemplar=exemplar, coT=coT, tf=tf)
-        self.model = make_model(model_kind, **(model_kwargs or {}))
+        kwargs = dict(model_kwargs or {})
+        if model_kind == "stub" and "vocab" not in kwargs:
+            from ..synth import TASK_VOCABS
+
+            kwargs["vocab"] = TASK_VOCABS.get(task)
+        self.model = make_model(model_kind, **kwargs)
         self.chat = chat
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -56,6 +56,26 @@ for _surfaces, _t in ((PER, "PER"), (ORG, "ORG"), (LOC, "LOC"), (MISC, "MISC")):
     for _s in _surfaces:
         VOCAB[_s] = _t
 
+# GENIA-style biomedical vocabulary (reference GeniaConfig type system,
+# algorithms.py:762-764: protein/DNA/RNA/cell_type/cell_line) — used by the
+# stub model when running the "genia" task spec.
+GENIA_VOCAB: dict[str, str] = {
+    "interleukin-2": "protein", "NF-kappa B": "protein",
+    "tumor necrosis factor": "protein", "CD28": "protein",
+    "transcription factor": "protein", "IL-2 gene": "DNA",
+    "promoter region": "DNA", "CD28 gene": "DNA", "enhancer element": "DNA",
+    "messenger RNA": "RNA", "IL-2 mRNA": "RNA",
+    "T cells": "cell_type", "B lymphocytes": "cell_type",
+    "monocytes": "cell_type", "natural killer cells": "cell_type",
+    "Jurkat cells": "cell_line", "HeLa cells": "cell_line",
+    "K562 cells": "cell_line",
+}
+
+TASK_VOCABS: dict[str, dict[str, str]] = {
+    "conll": VOCAB,
+    "genia": GENIA_VOCAB,
+}
+
 # Hot surface forms planted far more often than the rest — the skew knob for
 # the canonicalization shuffle (salting test).
 HOT_SURFACES = ("England", "United Nations", "John Smith")

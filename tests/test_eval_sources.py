@@ -286,3 +286,44 @@ def test_cli_synth_run_eval(ray_session, tmp_path):
     assert summary["parts_committed"] == 64 and summary["edges"] > 0
     f1 = main(["eval", "--input", root])
     assert f1["micro_f1"] > 0.9
+
+
+def test_genia_task_detection():
+    from promptner_ray.configs import make_task_spec
+    from promptner_ray.model import make_model
+    from promptner_ray.stages.detect import detect_mentions_in_text
+    from promptner_ray.synth import GENIA_VOCAB
+
+    spec = make_task_spec(task="genia")
+    model = make_model("stub", vocab=GENIA_VOCAB)
+    ms = detect_mentions_in_text(
+        "Expression of IL-2 mRNA in Jurkat cells requires NF-kappa B .",
+        model,
+        spec,
+    )
+    got = {(m["surface"], m["mtype"]) for m in ms}
+    assert ("IL-2 mRNA", "RNA") in got
+    assert ("Jurkat cells", "cell_line") in got
+    assert ("NF-kappa B", "protein") in got
+
+
+def test_chat_mode_matches_completion_mode(ray_session):
+    import ray
+
+    from promptner_ray.stages.detect import MentionDetector
+
+    batch = pa.table(
+        {
+            "url": ["u"] * 2,
+            "sent_id": pa.array([0, 1], type=pa.int32()),
+            "text": [
+                "Andy Caddick visited Paris .",
+                "Essex defeated Surrey at Grace Road yesterday .",
+            ],
+        }
+    )
+    completion = MentionDetector(task="conll", chat=False)(batch)
+    chat = MentionDetector(task="conll", chat=True)(batch)
+    assert completion.column("mentions").to_pylist() == chat.column(
+        "mentions"
+    ).to_pylist()
