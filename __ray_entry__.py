@@ -282,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events")
         ),
         "events_asof_orders": lambda sf: _events_asof(sf),
+        "events_sessions": lambda sf: relational.events_sessions(
+            _read(sf, "events")
+        ),
         # --- KG pipeline (synthetic pages corpus; rows-only checks) --
         "kg_docs_text": _kg_docs_text,
         "kg_sentences": _kg_sentences,
@@ -434,6 +437,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, o.o_orderdate AS order_ts
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+              SELECT user_id, ts,
+                sum(new_session) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*)::BIGINT AS n_events
+            FROM numbered GROUP BY user_id, session_id
         """,
     }
 

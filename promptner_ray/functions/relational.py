@@ -188,6 +188,50 @@ def events_tumbling(events):
 
 
 # ---------------------------------------------------------------------------
+# events: gap-based sessionization (stateful streaming-window pattern)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def _sessionize_group(group: pa.Table) -> pa.Table:
+    """One user's events → session rows (sorted in-group; the shuffle key
+    colocates each user's full history, which is the stated partitioning
+    assumption of this operator)."""
+    ts = np.sort(
+        group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    user = group.column("user_id")[0].as_py()
+    gaps = np.diff(ts) > SESSION_GAP_US
+    session_of = np.concatenate(([0], np.cumsum(gaps)))
+    n_sessions = int(session_of[-1]) + 1 if len(ts) else 0
+    starts, counts = [], []
+    for s in range(n_sessions):
+        sel = ts[session_of == s]
+        starts.append(int(sel[0]))
+        counts.append(len(sel))
+    return pa.table(
+        {
+            "user_id": pa.array([user] * n_sessions, type=pa.int64()),
+            "session_start": pa.array(starts, type=pa.timestamp("us")),
+            "n_events": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def events_sessions(events):
+    """events → per-user sessions split on >30 min inactivity gaps.
+
+    Hash-shuffle on user_id then per-group sort + gap scan — the classic
+    sessionization plan; per-user history must fit one group (holds for
+    any realistic per-user event volume; salt by time-range if not).
+    """
+    return events.groupby("user_id").map_groups(
+        _sessionize_group, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # documents: distinct-value counts (G3)
 # ---------------------------------------------------------------------------
 

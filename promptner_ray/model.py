@@ -81,15 +81,33 @@ class VocabStubModel:
         h = hashlib.blake2b(key.encode(), digest_size=4).digest()
         return int.from_bytes(h, "big") / 2**32 < rate
 
+    def _first_word_widths(self) -> dict[str, list[int]]:
+        """First token → descending widths of vocab surfaces starting with
+        it; built lazily once so the scan only attempts joins that can hit."""
+        cache = getattr(self, "_fww", None)
+        if cache is None:
+            cache = {}
+            for surface in self.vocab:
+                words = surface.split(" ")
+                cache.setdefault(words[0], set()).add(len(words))
+            cache = {
+                w: sorted(ws, reverse=True) for w, ws in cache.items()
+            }
+            self._fww = cache
+        return cache
+
     def _scan(self, para: str) -> list[tuple[str, str | None]]:
         """(surface, type|None) in sentence order; None marks a distractor."""
+        fww = self._first_word_widths()
         tokens = para.split(" ")
         found: list[tuple[str, str | None]] = []
         i = 0
         while i < len(tokens):
             matched = None
-            for width in range(min(self.max_words, len(tokens) - i), 0, -1):
-                cand = " ".join(tokens[i : i + width])
+            for width in fww.get(tokens[i], ()):
+                if width > min(self.max_words, len(tokens) - i):
+                    continue
+                cand = tokens[i] if width == 1 else " ".join(tokens[i : i + width])
                 if cand in self.vocab:
                     matched = (cand, width)
                     break

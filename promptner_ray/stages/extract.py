@@ -42,24 +42,30 @@ def split_sentences_batch(batch: pa.Table) -> pa.Table:
     """docs_text → sentences(url, sent_id, text): explode on newline.
 
     Documents' text lines are the sentence unit (synthesis joins sentences
-    with "\\n"; the reference operates on single sentences already).  Pure
-    Python split over the column, emitted as flat Arrow arrays.
+    with "\\n"; the reference operates on single sentences already).
+    Vectorized: Arrow ``split_pattern`` + offset-driven repeat of the
+    parent url, numpy-derived per-line ids, then a vectorized
+    empty-line filter.
     """
-    urls: list[str] = []
-    sent_ids: list[int] = []
-    texts: list[str] = []
-    for url, text in zip(
-        batch.column("url").to_pylist(), batch.column("text").to_pylist()
-    ):
-        for i, line in enumerate(text.split("\n")):
-            if line:
-                urls.append(url)
-                sent_ids.append(i)
-                texts.append(line)
-    return pa.table(
+    import numpy as np
+
+    lines = pc.split_pattern(batch.column("text"), "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    offsets = np.asarray(lines.offsets)
+    counts = offsets[1:] - offsets[:-1]
+    parent_idx = pa.array(
+        np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    )
+    # per-line ordinal within its document = global pos − its list start
+    sent_ids = np.arange(offsets[-1] - offsets[0], dtype=np.int32) - np.repeat(
+        (offsets[:-1] - offsets[0]).astype(np.int32), counts
+    )
+    tbl = pa.table(
         {
-            "url": pa.array(urls, type=pa.string()),
+            "url": pc.take(batch.column("url"), parent_idx),
             "sent_id": pa.array(sent_ids, type=pa.int32()),
-            "text": pa.array(texts, type=pa.string()),
+            "text": lines.values,
         }
     )
+    return tbl.filter(pc.not_equal(tbl.column("text"), ""))

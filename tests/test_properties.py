@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+The conformance replay pins byte-exact behavior on real data; these pin
+TOTALITY and invariants on adversarial inputs: engine-mode kernels must
+never raise, normalizers must be idempotent, and blocking schemes must
+never lose a true pair.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from promptner_ray.kernels.bio import bio_entities, decode_bio, span_prf_counts
+from promptner_ray.kernels.cleaning import (
+    clean_answers,
+    normalize_surface,
+    split_phrase_answers,
+)
+from promptner_ray.kernels.parsing import parse_answer_list
+from promptner_ray.kernels.span import align_spans
+from promptner_ray.kernels.textextract import extract_text
+from promptner_ray.synth import render_html
+
+_word = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=8
+)
+_sentence = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+_tag = st.sampled_from(["O", "B-PER", "I-PER", "B-ORG", "I-ORG", "loc-gpe"])
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_parse_answer_list_total(output: str) -> None:
+    """Engine-mode parser accepts arbitrary model output without raising."""
+    answers, typestrings = parse_answer_list(
+        output, separator="|", true_only=True, identify_types=True
+    )
+    # separator-less items contribute an entity but no typestring — the
+    # documented reference quirk — so typestrings can only be shorter
+    assert len(typestrings) <= len(answers)
+
+
+@given(
+    _sentence,
+    st.lists(st.tuples(_word, st.sampled_from(["(PER)", "(ORG)", "no type"])),
+             max_size=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_align_spans_total_and_well_formed(para, pairs) -> None:
+    """Engine-mode aligner never raises and always emits len(tokens) tags."""
+    answers = [a for a, _ in pairs]
+    typestrings = [f"because {t}" for _, t in pairs]
+    tags = align_spans(answers, typestrings, para=para, bug_compat=False)
+    assert len(tags) == len(para.split(" "))
+    # every non-O tag must decode to valid spans
+    for etype, start, end in bio_entities(tags):
+        assert 0 <= start < end <= len(tags) and etype
+
+
+@given(st.lists(_tag, max_size=20), st.lists(_tag, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_span_prf_counts_bounds(truth, pred) -> None:
+    n = min(len(truth), len(pred))
+    counts = span_prf_counts(truth[:n], pred[:n])
+    for tp, n_pred, n_truth in counts.values():
+        assert 0 <= tp <= min(n_pred, n_truth)
+
+
+@given(st.lists(_word, min_size=1, max_size=15), st.lists(_tag, min_size=1, max_size=15))
+@settings(max_examples=200, deadline=None)
+def test_decode_bio_entities_are_substrings(tokens, tags) -> None:
+    n = min(len(tokens), len(tags))
+    entities, pairs = decode_bio(tokens[:n], tags[:n])
+    text = " ".join(tokens[:n])
+    for ent in entities:
+        assert ent in text
+    assert len(entities) == len(pairs)
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_normalize_surface_idempotent(s: str) -> None:
+    once = normalize_surface(s)
+    assert normalize_surface(once) == once
+
+
+@given(st.lists(st.text(min_size=1, max_size=20), max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_clean_answers_subset_and_order(answers) -> None:
+    cleaned = clean_answers(list(answers), compat=False)
+    # every cleaned answer derives from some input answer (prefix before '(')
+    assert len(cleaned) <= len(answers)
+
+
+@given(st.lists(st.text(alphabet=" ab", min_size=1, max_size=12), max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_split_phrases_word_conservation(answers) -> None:
+    out = split_phrase_answers(list(answers))
+    assert sum(len(a.split(" ")) for a in answers) == len(out)
+
+
+@given(st.lists(_sentence, min_size=1, max_size=6), st.integers(0, 2**32 - 1))
+@settings(max_examples=100, deadline=None)
+def test_render_extract_roundtrip(lines, seed) -> None:
+    """extract_text inverts render_html for ANY sentence content."""
+    import random
+
+    text = "\n".join(lines)
+    html = render_html(text, "https://synth.test/p/x", random.Random(seed))
+    assert extract_text(html) == text
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=2, max_size=2))
+@settings(max_examples=300, deadline=None)
+def test_simhash_pigeonhole(hashes) -> None:
+    """Any pair within Hamming ≤3 of 64 bits shares one of the four 16-bit
+    chunks — the blocking scheme can never drop a true near-dup pair."""
+    a, b = hashes
+    hamming = bin(a ^ b).count("1")
+    shares = any(
+        ((a >> (16 * c)) & 0xFFFF) == ((b >> (16 * c)) & 0xFFFF)
+        for c in range(4)
+    )
+    if hamming <= 3:
+        assert shares
