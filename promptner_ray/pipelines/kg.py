@@ -77,6 +77,10 @@ class KGConfig:
     detect_batch_size: int = 128
     wave_size: int = 16
     n_parts: int = N_PARTS
+    # Pages blocks carry wide html binary payloads; a tighter block-size
+    # target keeps batch × concurrency inside worker heaps and lets
+    # backpressure (not OOM) absorb memory pressure (SURVEY.md §7.3).
+    target_max_block_size_mb: int | None = 64
 
     def resolved_detect_mode(self) -> str:
         if self.detect_mode != "auto":
@@ -210,6 +214,12 @@ def run_extraction(
     disk.  ``max_waves`` bounds the run (used by the kill/resume test).
     """
     cfg = cfg or KGConfig()
+    if cfg.target_max_block_size_mb:
+        from ray.data.context import DataContext
+
+        DataContext.get_current().target_max_block_size = (
+            cfg.target_max_block_size_mb * 1024 * 1024
+        )
     if not (pathlib.Path(corpus_root) / "pages").is_dir():
         raise FileNotFoundError(
             f"no pages table under {corpus_root!s} (expected <root>/pages/part=*)"

@@ -327,3 +327,39 @@ def test_chat_mode_matches_completion_mode(ray_session):
     assert completion.column("mentions").to_pylist() == chat.column(
         "mentions"
     ).to_pylist()
+
+
+def test_autogen_to_spec_to_detection_loop():
+    """Close the reference's autogen loop (run.py:80-85): generate CoT
+    exemplars from gold sentences, build a prompt spec from them, and run
+    detection with the resulting task prompt."""
+    from promptner_ray.configs import TaskSpec
+    from promptner_ray.kernels.autogen import autogenerate_exemplars, sample_all_types
+    from promptner_ray.kernels.prompts import build_prompt_spec
+    from promptner_ray.model import make_model
+    from promptner_ray.stages.detect import detect_mentions_in_text
+
+    gold = [
+        {
+            "text": "Andy Caddick joined Essex .",
+            "tokens": ["Andy", "Caddick", "joined", "Essex", "."],
+            "bio": ["B-PER", "I-PER", "O", "B-ORG", "O"],
+        },
+        {
+            "text": "Paris hosted the World Cup .",
+            "tokens": ["Paris", "hosted", "the", "World", "Cup", "."],
+            "bio": ["B-LOC", "O", "O", "B-MISC", "I-MISC", "O"],
+        },
+    ]
+    model = make_model("stub")
+    picked = sample_all_types(gold, min_k=2, seed=3)
+    exemplars = autogenerate_exemplars(
+        model, defn="An entity is a thing.", sentences=picked
+    )
+    prompt = build_prompt_spec(
+        defn="An entity is a thing.", cot_exemplars=exemplars
+    )
+    spec = TaskSpec(name="autogen", prompt=prompt)
+    ms = detect_mentions_in_text("Essex visited Paris .", model, spec)
+    got = {(m["surface"], m["mtype"]) for m in ms}
+    assert ("Essex", "ORG") in got and ("Paris", "LOC") in got
