@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_links": _kg_links,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
+        "kg_top_edges": lambda sf: _kg_edges(sf).sort(
+            "weight", descending=True
+        ).limit(50),
         "kg_eval": _kg_eval,
         "kg_eval_f1": _kg_eval_f1,
         "kg_typed_mentions": _kg_typed_mentions,

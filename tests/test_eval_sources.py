@@ -363,3 +363,34 @@ def test_autogen_to_spec_to_detection_loop():
     ms = detect_mentions_in_text("Essex visited Paris .", model, spec)
     got = {(m["surface"], m["mtype"]) for m in ms}
     assert ("Essex", "ORG") in got and ("Paris", "LOC") in got
+
+
+def test_exact_dedup_keeper_logic(ray_session):
+    import ray
+
+    from promptner_ray.functions.dedup import exact_dedup
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 3, 2], type=pa.int64()),
+            "text": ["same text", "same text", "other", "same text"],
+        }
+    )
+    rows = {
+        r["doc_id"]: r["n_dups"]
+        for r in exact_dedup(ray.data.from_arrow(docs)).take_all()
+    }
+    assert rows == {1: 3, 3: 1}  # min doc_id kept, dup count right
+
+
+def test_multimodal_stub_contract():
+    from promptner_ray.functions.multimodal import MediaFeatures, _fake_decode
+
+    mf = MediaFeatures()
+    w, h = mf.decode(b"payload")
+    assert (w, h) == _fake_decode(b"payload")
+    assert 1 <= w <= 1920 and 1 <= h <= 1080
+    with pytest.raises(NotImplementedError):
+        mf.resize(b"payload", 10, 10)
+    with pytest.raises(NotImplementedError):
+        mf.frame_sample(b"payload", 2)
