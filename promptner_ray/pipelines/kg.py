@@ -313,17 +313,41 @@ def _read_parts(root: pathlib.Path, parts: list[int] | None = None):
     return ray.data.read_parquet(files)
 
 
+N_GRAPH_BUCKETS = 16
+
+
+def _add_bucket_batch(batch: pa.Table, id_col: str) -> pa.Table:
+    """Stable id-hash bucket column: the graph tables' output-partition key
+    (no giant single files; a failed/re-run graph job can skip or diff
+    buckets, and downstream readers can prune by entity range)."""
+    import numpy as np
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    bucket = (ids % N_GRAPH_BUCKETS + N_GRAPH_BUCKETS) % N_GRAPH_BUCKETS
+    if "bucket" in batch.column_names:
+        batch = batch.drop_columns(["bucket"])
+    return batch.append_column(
+        "bucket", pa.array(bucket.astype("int32"), type=pa.int32())
+    )
+
+
 def run_graph(out_dir: str | pathlib.Path) -> dict:
     """Global graph job over all committed partitions: links/nodes/edges."""
     import ray
 
     out = pathlib.Path(out_dir)
     links_ds = links(_read_parts(out / "mentions"))
-    links_ds.write_parquet(str(out / "links"))
+    links_ds.map_batches(
+        _add_bucket_batch, fn_kwargs={"id_col": "entity_id"},
+        batch_format="pyarrow",
+    ).write_parquet(str(out / "links"), partition_cols=["bucket"])
     nodes_ds = _read_parts_flat(out / "links").map_batches(
         links_to_nodes, batch_format="pyarrow"
     )
-    nodes_ds.write_parquet(str(out / "nodes"))
+    nodes_ds.map_batches(
+        _add_bucket_batch, fn_kwargs={"id_col": "entity_id"},
+        batch_format="pyarrow",
+    ).write_parquet(str(out / "nodes"), partition_cols=["bucket"])
 
     edges_ds = edges(_read_parts(out / "triples"))
     edges_ds.write_parquet(str(out / "edges_raw"))
@@ -336,7 +360,10 @@ def run_graph(out_dir: str | pathlib.Path) -> dict:
     names = dict(zip(nodes_df["entity_id"], nodes_df["canonical"]))
     names_ref = ray.put(names)
     named = named_edges(_read_parts_flat(out / "edges_raw"), names_ref)
-    named.write_parquet(str(out / "edges"))
+    named.map_batches(
+        _add_bucket_batch, fn_kwargs={"id_col": "subj_id"},
+        batch_format="pyarrow",
+    ).write_parquet(str(out / "edges"), partition_cols=["bucket"])
     return {
         "links": lineage.parquet_rows(out / "links"),
         "nodes": lineage.parquet_rows(out / "nodes"),
