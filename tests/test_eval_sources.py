@@ -394,3 +394,42 @@ def test_multimodal_stub_contract():
         mf.resize(b"payload", 10, 10)
     with pytest.raises(NotImplementedError):
         mf.frame_sample(b"payload", 2)
+
+
+def test_run_experiment_on_iob2(ray_session, tmp_path):
+    """Reference entry point 1 (run.py eval loop) end-to-end: IOB2 split →
+    gold-backed stub detection → results frame + micro/macro F1."""
+    from promptner_ray.pipelines.experiment import run_experiment
+
+    path = tmp_path / "split.iob2"
+    path.write_text(IOB2_SAMPLE)
+    sentences = read_iob2(str(path))
+    results, summary = run_experiment(sentences, task="conll")
+    rows = results.take_all()
+    assert {r["text"] for r in rows} == {
+        "Andy Caddick visited Paris .",
+        "Essex won",
+    }
+    assert set(rows[0]) == {"text", "entities", "truth", "pred", "meta", "f1"}
+    # gold-backed stub with zero noise → perfect span recovery
+    assert summary["micro_f1"] == 1.0 and all(r["f1"] == 1.0 for r in rows)
+
+
+def test_run_experiment_on_reference_genia_sample(ray_session):
+    """Drive the experiment runner over the reference repo's real GENIA
+    IOB2 sample (gated: needs /root/reference)."""
+    import pathlib
+
+    from promptner_ray.pipelines.experiment import run_experiment
+
+    sample = pathlib.Path("/root/reference/data/Genia/sampletest1.iob2")
+    if not sample.exists():
+        pytest.skip("reference repo not available")
+    sentences = read_iob2(str(sample))
+    results, summary = run_experiment(
+        sentences, task="genia", limit=40, seed=7
+    )
+    assert results.count() == 40
+    # gold-backed stub: high-but-imperfect (duplicate-surface dict
+    # collisions and span-alignment quirks are the only loss sources)
+    assert summary["micro_f1"] > 0.8, summary
