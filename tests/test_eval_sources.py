@@ -433,3 +433,29 @@ def test_run_experiment_on_reference_genia_sample(ray_session):
     # gold-backed stub: high-but-imperfect (duplicate-surface dict
     # collisions and span-alignment quirks are the only loss sources)
     assert summary["micro_f1"] > 0.8, summary
+
+
+def test_countmin_sketch_bounds(ray_session):
+    """CM estimates dominate true counts and are tight for heavy hitters."""
+    import collections
+
+    import ray
+
+    from promptner_ray.functions.sketch import countmin_over, hot_keys
+    from promptner_ray.functions.textstats import explode_tokens_batch
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    tokens = docs.map_batches(explode_tokens_batch, batch_format="pyarrow")
+    cm = countmin_over(tokens, "token")
+
+    exact = collections.Counter()
+    for r in docs.take_all():
+        exact.update(r["text"].split(" "))
+    assert cm.total == sum(exact.values())
+    for tok, true_n in exact.most_common(10):
+        est = cm.estimate(tok)
+        assert est >= true_n  # CM never underestimates
+        assert est <= true_n + 0.01 * cm.total  # ε-tight
+    hot = hot_keys(tokens, "token", list(exact), threshold_frac=0.02)
+    truly_hot = {t for t, n in exact.items() if n >= 0.02 * cm.total}
+    assert truly_hot <= set(hot)  # no false negatives on heavy hitters
