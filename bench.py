@@ -29,8 +29,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "393216"))
-WARMUP_PARTS = 4  # untimed slice that pre-spawns Ray workers/actor pools
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "786432"))
+WARMUP_PARTS = 8  # untimed slice that pre-spawns Ray workers/actor pools
 CORPUS_DIR = pathlib.Path("/tmp/promptner_bench_corpus")
 
 
@@ -164,13 +164,9 @@ def run_bench(headline_only: bool = False) -> dict:
 def run_scaling(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
     """Same job in fresh processes at several parallelism levels.
 
-    Reports N→4N efficiency for both (2→8) and (8→32).  The primary value
-    is 2→8: this single 32-core box saturates its shared memory subsystem
-    well below 32 heavy workers (a plain multiprocessing port of the same
-    kernels shows the identical 8→32 ceiling, so it is hardware, not Ray),
-    whereas a real N→4N *node* scale-out adds memory bandwidth with every
-    node.  Levels under the saturation knee are the faithful proxy; the
-    8→32 number is still reported for transparency.
+    Reports N→4N efficiency for (8→32) — the primary pair — and (2→8)
+    alongside.  Measurement is steady-state (untimed warmup per child) over
+    a corpus large enough that the timed run is compute-dominated.
     """
     # Pre-build the corpus once so no timed child pays generation cost.
     _init_ray(NUM_CPUS)
@@ -205,7 +201,7 @@ def run_scaling(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
 
     return {
         "metric": "scaling_efficiency",
-        "value": eff(2, 8),
+        "value": eff(8, 32),
         "unit": "ratio",
         "queries": {
             f"kg_html_to_triples_cpus{c}": results[c]["value"] for c in levels
@@ -218,9 +214,9 @@ def run_scaling(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
         "efficiency": {"eff_2_to_8": eff(2, 8), "eff_8_to_32": eff(8, 32)},
         "docs": BENCH_DOCS,
         "note": (
-            "primary efficiency is 2->8 CPUs (below this box's shared "
-            "memory-bandwidth knee; multiprocessing shows the same 8->32 "
-            "hardware ceiling). eff_8_to_32 reported alongside."
+            "primary efficiency is the conventional 8->32 CPU pair; "
+            "2->8 reported alongside (can exceed 1.0: a 2-CPU session "
+            "cannot overlap read-decode with detection)."
         ),
     }
 

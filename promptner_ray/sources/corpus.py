@@ -71,7 +71,9 @@ def build_pages_dataset(
 
     langs, fillers = _load_filler(sf_dir)
     corpus_ref = ray.put((langs, fillers))
-    blocks = override_num_blocks or max(8, n_docs // 256)
+    # Cap block count: each (block × part) intersection becomes one parquet
+    # file, and thousands of tiny files stall the read-side metadata path.
+    blocks = override_num_blocks or max(8, min(256, n_docs // 1024))
     return ray.data.range(n_docs, override_num_blocks=blocks).map_batches(
         _PageBatchBuilder,
         fn_constructor_kwargs={
@@ -99,7 +101,7 @@ def ensure_corpus(
     """
     root = pathlib.Path(corpus_dir)
     meta_path = root / "meta.json"
-    meta = {"n_docs": n_docs, "seed": seed, "sf_dir": sf_dir, "version": 4}
+    meta = {"n_docs": n_docs, "seed": seed, "sf_dir": sf_dir, "version": 5}
     if meta_path.exists() and json.loads(meta_path.read_text()) == meta:
         return root
     import shutil
