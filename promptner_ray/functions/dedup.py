@@ -169,41 +169,68 @@ def _shingle_hash_rows_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-class _JaccardVerifier:
-    """Exact Jaccard for candidate pairs against broadcast shingle-hash sets.
+def _shingle_size_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, sz): distinct-shingle count per doc (no shuffle:
+    every doc's text is one row, so its whole set is counted in-block)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    sizes = [
+        len(shingle_set(t)) for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "sz": pa.array(sizes, type=pa.int64()),
+        }
+    )
 
-    Runs BEFORE the global pair dedup so the only shuffle after the join
-    carries surviving pairs (tiny) instead of every co-occurrence row.
-    Candidate duplicates across blocks verify to identical values and
-    collapse in the final (tiny) grouped Min.
+
+def _pair_count_partial(batch: pa.Table) -> pa.Table:
+    """Map-side combine: co-occurrence rows → (doc_a, doc_b, n) per block."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    out = batch.group_by(["doc_a", "doc_b"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "doc_a": out.column("doc_a"),
+            "doc_b": out.column("doc_b"),
+            "n": out.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+class _JaccardScorer:
+    """Vectorized J = |∩| / (|A| + |B| - |∩|) from broadcast per-doc SIZES.
+
+    The broadcast side is two int64 arrays (one entry per doc) — never the
+    shingle sets themselves; intersection counts arrive precomputed from
+    the self-join's grouped count.
     """
 
-    def __init__(self, sets_ref, threshold: float) -> None:
+    def __init__(self, sizes_ref, threshold: float) -> None:
         import ray
 
-        self.sets: dict[int, np.ndarray] = ray.get(sets_ref)
+        self.ids_sorted, self.sizes = ray.get(sizes_ref)
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        packed = np.unique((a << np.int64(32)) | b)  # in-block dedup
-        out_a, out_b, out_j = [], [], []
-        for key in packed:
-            da = int(key >> np.int64(32))
-            db = int(key & np.int64(0xFFFFFFFF))
-            sa, sb = self.sets[da], self.sets[db]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            j = inter / (sa.size + sb.size - inter)
-            if j >= self.threshold:
-                out_a.append(da)
-                out_b.append(db)
-                out_j.append(j)
+        ninter = batch.column("n").to_numpy(zero_copy_only=False)
+        sa = self.sizes[np.searchsorted(self.ids_sorted, a)]
+        sb = self.sizes[np.searchsorted(self.ids_sorted, b)]
+        j = ninter / (sa + sb - ninter)
+        keep = j >= self.threshold
         return pa.table(
             {
-                "doc_a": pa.array(out_a, type=pa.int64()),
-                "doc_b": pa.array(out_b, type=pa.int64()),
-                "jaccard": pa.array(out_j, type=pa.float64()),
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+                "jaccard": pa.array(j[keep], type=pa.float64()),
             }
         )
 
@@ -211,43 +238,44 @@ class _JaccardVerifier:
 def jaccard_pairs(docs, threshold: float = 0.6):
     """documents → (doc_a, doc_b, jaccard) for pairs with J ≥ threshold.
 
-    Exact inverted-index plan: int64 shingle-hash self-join generates
-    candidates; each block verifies exact Jaccard against broadcast
-    per-doc shingle-hash sets and filters BELOW-threshold pairs locally, so
-    the final distinct-pair aggregate shuffles only survivors (hundreds,
-    not millions).  The broadcast side is one hash per distinct
-    (doc, shingle) — fine at benchmark scale; the 100 TB scale path is
-    :func:`minhash_lsh_pairs` (bounded band buckets, no broadcast).
+    Exact inverted-index plan with NO driver-side set materialization:
+    the int64 shingle-hash self-join emits one co-occurrence row per
+    shared shingle, so ``count(*) per (doc_a, doc_b)`` IS the exact
+    intersection size (map-side combined per block, then a native grouped
+    Sum).  Union sizes come from broadcast per-doc set SIZES — two int64
+    arrays, one entry per doc, not the sets — and the final score/filter
+    is a vectorized batch map.  The 100 TB default remains
+    :func:`minhash_lsh_pairs` (bounded band buckets, no broadcast at all);
+    this operator is the exact-verification variant for corpora whose
+    doc-count × 16 bytes fits a worker heap.
     """
     import ray
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Sum
 
-    sh = docs.map_batches(
-        _shingle_hash_rows_batch, batch_format="pyarrow"
-    ).materialize()  # reused by both the broadcast build and the join
-    df = sh.to_pandas()
-    order = np.argsort(df["doc_id"].to_numpy(), kind="stable")
-    doc_sorted = df["doc_id"].to_numpy()[order]
-    h_sorted = df["h"].to_numpy()[order]
-    bounds = np.searchsorted(
-        doc_sorted, np.unique(doc_sorted), side="left"
-    ).tolist() + [len(doc_sorted)]
-    uniq = np.unique(doc_sorted)
-    sets = {
-        int(d): np.sort(h_sorted[bounds[i] : bounds[i + 1]])
-        for i, d in enumerate(uniq)
-    }
-    sets_ref = ray.put(sets)
+    sizes_df = (
+        docs.map_batches(_shingle_size_batch, batch_format="pyarrow")
+        .to_pandas()  # 2 int64 columns, one row per doc (sizes, not sets)
+    )
+    ids = sizes_df["doc_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    sizes_ref = ray.put(
+        (ids[order], sizes_df["sz"].to_numpy()[order])
+    )
 
-    cand = _self_join_pairs(sh, "h")
-    survivors = cand.map_batches(
-        _JaccardVerifier,
-        fn_constructor_kwargs={"sets_ref": sets_ref, "threshold": threshold},
+    sh = docs.map_batches(_shingle_hash_rows_batch, batch_format="pyarrow")
+    cooc = _self_join_pairs(sh, "h")
+    ninter = (
+        cooc.map_batches(_pair_count_partial, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n"))
+    )
+    ninter = _rename(ninter, {"sum(n)": "n"})
+    return ninter.map_batches(
+        _JaccardScorer,
+        fn_constructor_kwargs={"sizes_ref": sizes_ref, "threshold": threshold},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    deduped = survivors.groupby(["doc_a", "doc_b"]).aggregate(Min("jaccard"))
-    return _rename(deduped, {"min(jaccard)": "jaccard"})
 
 
 # ---------------------------------------------------------------------------
@@ -342,18 +370,34 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _simhash_chunk_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, simhash) → one row per 16-bit chunk bucket."""
+def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """(shift, width) per chunk: 64 bits split as evenly as possible."""
+    base, extra = divmod(64, n_chunks)
+    bounds, shift = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
+def _simhash_chunk_rows(batch: pa.Table, n_chunks: int = 4) -> pa.Table:
+    """(doc_id, simhash) → one row per chunk bucket.
+
+    Pigeonhole blocking: a pair within Hamming distance ``n_chunks - 1``
+    must agree on at least one of the ``n_chunks`` disjoint bit ranges.
+    """
+    bounds = _chunk_bounds(n_chunks)
     doc_ids, buckets, sims = [], [], []
     for doc_id, hx in zip(
         batch.column("doc_id").to_pylist(),
         batch.column("simhash").to_pylist(),
     ):
         h = int(hx, 16)
-        for c in range(4):
-            chunk = (h >> (16 * c)) & 0xFFFF
+        for c, (shift, width) in enumerate(bounds):
+            chunk = (h >> shift) & ((1 << width) - 1)
             doc_ids.append(doc_id)
-            buckets.append(f"{c}|{chunk:04x}")
+            buckets.append(f"{c}|{chunk:05x}")
             sims.append(hx)
     return pa.table(
         {
@@ -367,14 +411,25 @@ def _simhash_chunk_rows(batch: pa.Table) -> pa.Table:
 def simhash_pairs(docs, max_hamming: int = 3):
     """documents → near-dup pairs with SimHash Hamming distance ≤ k.
 
-    Pigeonhole bucketing: any pair within Hamming 3 of a 64-bit hash shares
-    at least one of its four 16-bit chunks, so candidates come from a hash
-    self-join per chunk bucket and are verified exactly — no all-pairs scan.
+    Pigeonhole bucketing with ``max_hamming + 1`` chunks: any pair within
+    Hamming ``k`` of a 64-bit hash must agree exactly on at least one of
+    ``k + 1`` disjoint bit ranges, so candidates come from a hash self-join
+    per chunk bucket and are verified exactly — no all-pairs scan.  Chunk
+    count scales with ``max_hamming`` (completeness holds for any k ≤ 31;
+    above that a chunk would be under 2 bits wide and blocking is useless).
     """
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside the blockable range [0, 31]"
+        )
     from ray.data.aggregate import Min
 
     sims = docs.map_batches(simhash_batch, batch_format="pyarrow")
-    chunks = sims.map_batches(_simhash_chunk_rows, batch_format="pyarrow")
+    chunks = sims.map_batches(
+        _simhash_chunk_rows,
+        fn_kwargs={"n_chunks": max_hamming + 1},
+        batch_format="pyarrow",
+    )
     joined = chunks.join(
         chunks,
         join_type="inner",

@@ -89,13 +89,16 @@ def normalize_surface(surface: str) -> str:
 
 
 def surface_hash64(surface_norm: str) -> int:
-    """Stable SIGNED 64-bit hash of a normalized surface form (blake2b).
+    """Stable SIGNED 64-bit hash of a normalized surface form.
 
-    Signed so the id flows through Arrow/Ray native aggregates as int64
-    (unsigned 64-bit falls back to pickled-object columns in grouped
-    aggregates)."""
+    First 8 bytes of md5, big-endian, reinterpreted signed: signed so the
+    id flows through Arrow/Ray native aggregates as int64 (unsigned 64-bit
+    falls back to pickled-object columns in grouped aggregates), and
+    md5-derived so a DuckDB oracle can recompute it exactly —
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` with two's-complement
+    wraparound (see ``__ray_entry__._SQL_HASH64``)."""
     return int.from_bytes(
-        hashlib.blake2b(surface_norm.encode("utf-8"), digest_size=8).digest(),
+        hashlib.md5(surface_norm.encode("utf-8")).digest()[:8],
         "big",
         signed=True,
     )

@@ -39,9 +39,10 @@ from ..stages.induce import explode_mentions_batch, induce_triples_batch
 from ..stages.link import (
     EdgeNamer,
     links_to_nodes,
-    merge_link_group,
+    make_link_aggregate,
     partial_edge_counts,
     partial_link_counts,
+    unpack_link_rows,
 )
 from ..state import lineage
 
@@ -148,12 +149,19 @@ def triples(det, cfg: KGConfig):
 
 
 def links(mentions_ds):
+    """Canonicalization: ONE int64-keyed exchange with map-side combine.
+
+    ``partial_link_counts`` collapses each block to per-(hash, surface,
+    mtype) counts; ``make_link_aggregate`` is a mergeable accumulator so
+    Ray combines per key per block BEFORE the shuffle (hot surfaces move
+    as one partial row per block, never raw mentions), then merges and
+    finalizes — no per-group ``map_groups`` Python on a string key.
+    """
     partials = mentions_ds.map_batches(
         partial_link_counts, batch_format="pyarrow"
     )
-    return partials.groupby("surface_norm").map_groups(
-        merge_link_group, batch_format="pyarrow"
-    )
+    agg = partials.groupby("surface_hash").aggregate(make_link_aggregate())
+    return agg.map_batches(unpack_link_rows, batch_format="pyarrow")
 
 
 def _edge_recombine(batch: pa.Table) -> pa.Table:
@@ -236,6 +244,12 @@ def run_extraction(
     summary = {"parts_done_before": len(done), "waves": 0, "parts_committed": 0}
     for wave in waves:
         t0 = time.monotonic()
+        # A kill mid-wave leaves orphan parquet under uncommitted part dirs
+        # (the manifest is the commit marker; Ray's write_parquet APPENDS
+        # uniquely-named files and never deletes).  Clear every uncommitted
+        # part dir in this wave before reprocessing so resume can't
+        # double-count rows.
+        _clear_uncommitted_parts(out, wave)
         skip = all_parts - set(wave)
         pages = read_pages(
             corpus_root,
@@ -300,6 +314,16 @@ def run_extraction(
             summary["parts_committed"] += 1
         summary["waves"] += 1
     return summary
+
+
+def _clear_uncommitted_parts(out: pathlib.Path, parts: list[int]) -> None:
+    import shutil
+
+    for stage in ("detected", "mentions", "triples"):
+        for part in parts:
+            d = out / stage / f"part={part}"
+            if d.is_dir():
+                shutil.rmtree(d)
 
 
 def _read_parts(root: pathlib.Path, parts: list[int] | None = None):

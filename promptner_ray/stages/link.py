@@ -24,32 +24,51 @@ from ..kernels.cleaning import normalize_surface, surface_hash64
 # links: mentions → canonical surface table
 # ---------------------------------------------------------------------------
 
-def partial_link_counts(batch: pa.Table) -> pa.Table:
-    """Map-side combine: mention rows → (surface_norm, surface, mtype, n).
+_LINK_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("surface_hash", pa.int64()),
+        ("surface_norm", pa.string()),
+        ("surface", pa.string()),
+        ("mtype", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
 
-    Fully vectorized: normalize runs once per DISTINCT surface (dictionary
-    encode), the per-block combine is Arrow's native ``Table.group_by``.
+
+def partial_link_counts(batch: pa.Table) -> pa.Table:
+    """Map-side combine: mention rows → (hash, norm, surface, mtype, n).
+
+    Fully vectorized: normalize+hash run once per DISTINCT surface
+    (dictionary encode), the per-block combine is Arrow's native
+    ``Table.group_by``.  ``surface_hash`` (int64) is the downstream
+    shuffle key — the string key never partitions an exchange.
     """
     import pyarrow.compute as pc
 
+    if len(batch) == 0:
+        return _LINK_PARTIAL_SCHEMA.empty_table()
     dict_col = pc.dictionary_encode(batch.column("mention").combine_chunks())
     uniq = dict_col.dictionary.to_pylist()
-    norm_uniq = pa.array(
-        [normalize_surface(s) for s in uniq], type=pa.string()
+    norm_list = [normalize_surface(s) for s in uniq]
+    norm_uniq = pa.array(norm_list, type=pa.string())
+    hash_uniq = pa.array(
+        [surface_hash64(nm) for nm in norm_list], type=pa.int64()
     )
     norms = pc.take(norm_uniq, dict_col.indices)
     tbl = pa.table(
         {
+            "surface_hash": pc.take(hash_uniq, dict_col.indices),
             "surface_norm": norms,
             "surface": batch.column("mention"),
             "mtype": batch.column("mtype"),
         }
     ).filter(pc.not_equal(norms, ""))
-    out = tbl.group_by(["surface_norm", "surface", "mtype"]).aggregate(
-        [([], "count_all")]
-    )
+    out = tbl.group_by(
+        ["surface_hash", "surface_norm", "surface", "mtype"]
+    ).aggregate([([], "count_all")])
     return pa.table(
         {
+            "surface_hash": out.column("surface_hash"),
             "surface_norm": out.column("surface_norm"),
             "surface": out.column("surface"),
             "mtype": out.column("mtype"),
@@ -58,34 +77,90 @@ def partial_link_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-def merge_link_group(group: pa.Table) -> pa.Table:
-    """Reduce one surface_norm group → one links row.
+# -- mergeable canonicalization aggregate (no per-group map_groups) ---------
+#
+# Accumulator: (surface_norm, Counter[surface], Counter[mtype], total).
+# Ray's sort-based aggregate combines accumulators MAP-SIDE (one per key per
+# block — hot surfaces like "England" collapse before the exchange), shuffles
+# the int64 surface_hash key, and merges.  ``accumulate_block`` receives one
+# group's partial rows as an Arrow table and folds them vectorized via
+# ``Table.group_by``.
 
-    canonical = most frequent raw surface; etype = most frequent type;
-    deterministic tie-break on (count desc, value asc).
-    """
-    norm = group.column("surface_norm")[0].as_py()
-    surface_counts: Counter[str] = Counter()
-    type_counts: Counter[str] = Counter()
-    total = 0
-    for surface, mtype, n in zip(
-        group.column("surface").to_pylist(),
-        group.column("mtype").to_pylist(),
-        group.column("n").to_pylist(),
-    ):
-        surface_counts[surface] += n
-        type_counts[mtype] += n
-        total += n
-    canonical = min(surface_counts, key=lambda s: (-surface_counts[s], s))
-    etype = min(type_counts, key=lambda t: (-type_counts[t], t))
+def _counter_from(block: pa.Table, col: str) -> Counter:
+    out = block.group_by(col).aggregate([("n", "sum")])
+    return Counter(
+        dict(
+            zip(
+                out.column(col).to_pylist(),
+                out.column("n_sum").to_pylist(),
+            )
+        )
+    )
+
+
+def _link_init(_key) -> tuple:
+    return ("", Counter(), Counter(), 0)
+
+
+def _link_acc_block(acc: tuple, block: pa.Table) -> tuple:
+    norm, cs, ct, total = acc
+    if len(block) == 0:
+        return acc
+    norm = block.column("surface_norm")[0].as_py()
+    cs = cs + _counter_from(block, "surface")
+    ct = ct + _counter_from(block, "mtype")
+    import pyarrow.compute as pc
+
+    total += pc.sum(block.column("n")).as_py()
+    return (norm, cs, ct, total)
+
+
+def _link_merge(a: tuple, b: tuple) -> tuple:
+    return (a[0] or b[0], a[1] + b[1], a[2] + b[2], a[3] + b[3])
+
+
+def _link_finalize(acc: tuple) -> dict:
+    norm, cs, ct, total = acc
+    canonical = min(cs, key=lambda s: (-cs[s], s))
+    etype = min(ct, key=lambda t: (-ct[t], t))
+    return {
+        "surface_norm": norm,
+        "canonical": canonical,
+        "etype": etype,
+        "n_mentions": total,
+    }
+
+
+def make_link_aggregate():
+    from ray.data.aggregate import AggregateFn
+
+    return AggregateFn(
+        init=_link_init,
+        merge=_link_merge,
+        accumulate_block=_link_acc_block,
+        finalize=_link_finalize,
+        name="link",
+    )
+
+
+def unpack_link_rows(batch: pa.Table) -> pa.Table:
+    """(surface_hash, link-dict) → the canonical links schema."""
+    hashes = batch.column("surface_hash").to_pylist()
+    links = batch.column("link").to_pylist()
     return pa.table(
         {
-            "surface_norm": pa.array([norm], type=pa.string()),
-            "surface_hash": pa.array([surface_hash64(norm)], type=pa.int64()),
-            "entity_id": pa.array([surface_hash64(norm)], type=pa.int64()),
-            "canonical": pa.array([canonical], type=pa.string()),
-            "etype": pa.array([etype], type=pa.string()),
-            "n_mentions": pa.array([total], type=pa.int64()),
+            "surface_norm": pa.array(
+                [d["surface_norm"] for d in links], type=pa.string()
+            ),
+            "surface_hash": pa.array(hashes, type=pa.int64()),
+            "entity_id": pa.array(hashes, type=pa.int64()),
+            "canonical": pa.array(
+                [d["canonical"] for d in links], type=pa.string()
+            ),
+            "etype": pa.array([d["etype"] for d in links], type=pa.string()),
+            "n_mentions": pa.array(
+                [d["n_mentions"] for d in links], type=pa.int64()
+            ),
         }
     )
 

@@ -9,8 +9,11 @@ Layout under the pipeline output root::
 
 A partition is committed iff its manifest exists; the manifest is written
 only after the partition's parquet output is fully on disk, so a killed run
-leaves at worst orphan parquet under uncommitted partitions, which the next
-run overwrites.  On restart, committed partition ids are excluded from the
+leaves at worst orphan parquet under uncommitted partitions.  The next run
+DELETES those uncommitted ``part=K`` dirs before reprocessing the wave
+(``kg._clear_uncommitted_parts``) — parquet writers append uniquely-named
+files, so overwrite-by-rerun alone would duplicate rows.  On restart,
+committed partition ids are excluded from the
 input *before the DAG is built* (prune at the read — the reference has no
 comparable mechanism, SURVEY.md §4.3.4).
 """

@@ -120,3 +120,35 @@ def test_resume_from_partial_run(ray_session, corpus_root, tmp_path_factory, kg_
         )
 
     assert triple_set(out) == triple_set(kg_out)
+
+
+def test_resume_after_midwave_kill(
+    ray_session, corpus_root, tmp_path_factory, kg_out
+):
+    """A kill AFTER parquet lands but BEFORE the manifest commits must not
+    duplicate rows on resume: uncommitted part dirs are cleared first."""
+    import pathlib as _pl
+
+    from promptner_ray.pipelines.kg import KGConfig, run_extraction
+    from promptner_ray.state import lineage
+
+    out = tmp_path_factory.mktemp("kg_midwave")
+    cfg = KGConfig(detect_concurrency=2, wave_size=16)
+    run_extraction(corpus_root, out, cfg, max_waves=2)
+    assert lineage.committed_parts(out) == set(range(32))
+    # simulate the mid-wave kill: parquet for parts 16-31 is on disk but the
+    # commit markers are gone — exactly the orphan state a kill leaves
+    for part in range(16, 32):
+        (_pl.Path(out) / "_manifest" / f"part={part}.json").unlink()
+    assert lineage.committed_parts(out) == set(range(16))
+
+    s = run_extraction(corpus_root, out, cfg)
+    assert s["parts_done_before"] == 16 and s["parts_committed"] == 48
+
+    def triple_set(root):
+        return sorted(
+            (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"])
+            for r in pads.dataset(str(root / "triples")).to_table().to_pylist()
+        )
+
+    assert triple_set(out) == triple_set(kg_out)
