@@ -168,6 +168,21 @@ def _kg_eval_f1(sf_dir: str):
     return pd.DataFrame([summary])
 
 
+def _knn_ivf(sf_dir: str):
+    """IVF ANN: sample-trained centroids, ingest-time cell assignment,
+    candidate-pruned top-k probe."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    cent_ref = ray.put(similarity.train_centroids(sf_dir))
+    qref = ray.put(similarity.load_query_matrix(sf_dir, KNN_QUERIES))
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.knn_ivf(
+        similarity.ivf_assign(emb, cent_ref), qref, cent_ref, k=KNN_K
+    )
+
+
 def _events_asof(sf_dir: str):
     import ray
 
@@ -266,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_lsh": lambda sf: similarity.knn_lsh(
             _emb(sf), _qref(sf), k=KNN_K
         ),
+        "embed_knn_ivf": _knn_ivf,
         # --- multimodal plumbing (documents-as-binary) ---------------
         "multimodal_features": lambda sf: multimodal.media_features(
             _docs(sf)

@@ -17,8 +17,6 @@ tables with clean SQL oracles:
 
 from __future__ import annotations
 
-from collections import Counter
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -28,53 +26,42 @@ import pyarrow.compute as pc
 # lineitem: two-phase grouped aggregate
 # ---------------------------------------------------------------------------
 
+_LINEITEM_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()),
+        ("n", pa.int64()),
+        ("sq", pa.float64()),
+        ("mn", pa.float64()),
+        ("mx", pa.float64()),
+    ]
+)
+
+
 def _lineitem_partial(batch: pa.Table) -> pa.Table:
-    agg: dict[tuple[str, str], list] = {}
-    rf = batch.column("l_returnflag").to_pylist()
-    ls = batch.column("l_linestatus").to_pylist()
-    qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
-    for i in range(len(batch)):
-        key = (rf[i], ls[i])
-        cur = agg.get(key)
-        q = qty[i]
-        if cur is None:
-            agg[key] = [1, q, q, q]
-        else:
-            cur[0] += 1
-            cur[1] += q
-            cur[2] = min(cur[2], q)
-            cur[3] = max(cur[3], q)
-    keys = list(agg.keys())
-    return pa.table(
+    """Map-side combine via Arrow's native ``Table.group_by`` (C++ hash
+    aggregation, no Python loop over rows)."""
+    if len(batch) == 0:
+        return _LINEITEM_PARTIAL_SCHEMA.empty_table()
+    qty = batch.column("l_quantity").cast(pa.float64())
+    tbl = pa.table(
         {
-            "l_returnflag": pa.array([k[0] for k in keys], type=pa.string()),
-            "l_linestatus": pa.array([k[1] for k in keys], type=pa.string()),
-            "grp": pa.array([f"{k[0]}|{k[1]}" for k in keys], type=pa.string()),
-            "n": pa.array([v[0] for v in agg.values()], type=pa.int64()),
-            "sq": pa.array([v[1] for v in agg.values()], type=pa.float64()),
-            "mn": pa.array([v[2] for v in agg.values()], type=pa.float64()),
-            "mx": pa.array([v[3] for v in agg.values()], type=pa.float64()),
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "q": qty,
         }
     )
-
-
-def _lineitem_merge(group: pa.Table) -> pa.Table:
+    out = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("q", "count"), ("q", "sum"), ("q", "min"), ("q", "max")]
+    )
     return pa.table(
         {
-            "l_returnflag": group.column("l_returnflag").slice(0, 1),
-            "l_linestatus": group.column("l_linestatus").slice(0, 1),
-            "n_rows": pa.array(
-                [sum(group.column("n").to_pylist())], type=pa.int64()
-            ),
-            "sum_qty": pa.array(
-                [sum(group.column("sq").to_pylist())], type=pa.float64()
-            ),
-            "min_qty": pa.array(
-                [min(group.column("mn").to_pylist())], type=pa.float64()
-            ),
-            "max_qty": pa.array(
-                [max(group.column("mx").to_pylist())], type=pa.float64()
-            ),
+            "l_returnflag": out.column("l_returnflag"),
+            "l_linestatus": out.column("l_linestatus"),
+            "n": out.column("q_count").cast(pa.int64()),
+            "sq": out.column("q_sum"),
+            "mn": out.column("q_min"),
+            "mx": out.column("q_max"),
         }
     )
 
@@ -82,16 +69,26 @@ def _lineitem_merge(group: pa.Table) -> pa.Table:
 def lineitem_stats(lineitem):
     """lineitem → per (returnflag, linestatus) count/sum/min/max of quantity.
 
-    ``l_quantity`` is integral in this corpus, so the float64 sum is exact
-    and order-independent (every partial is < 2^53).
+    Two-phase grouped aggregate, fully native: Arrow ``group_by`` map-side,
+    Ray's Sum/Min/Max kernels on the (tiny) keyed merge.  ``l_quantity`` is
+    integral in this corpus, so the float64 sum is exact and
+    order-independent (every partial is < 2^53).
     """
+    from ray.data.aggregate import Max, Min, Sum
+
     partials = lineitem.map_batches(_lineitem_partial, batch_format="pyarrow")
-    return (
-        partials.groupby("grp")
-        .map_groups(_lineitem_merge, batch_format="pyarrow")
-        .select_columns(
-            ["l_returnflag", "l_linestatus", "n_rows", "sum_qty", "min_qty", "max_qty"]
-        )
+    merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("n"), Sum("sq"), Min("mn"), Max("mx")
+    )
+    return merged.rename_columns(
+        {
+            "sum(n)": "n_rows",
+            "sum(sq)": "sum_qty",
+            "min(mn)": "min_qty",
+            "max(mx)": "max_qty",
+        }
+    ).select_columns(
+        ["l_returnflag", "l_linestatus", "n_rows", "sum_qty", "min_qty", "max_qty"]
     )
 
 
@@ -100,90 +97,96 @@ def lineitem_stats(lineitem):
 # ---------------------------------------------------------------------------
 
 class _NationJoiner:
+    """Broadcast dict resolved once per actor; per batch the key counts are
+    an Arrow ``value_counts`` (C++), and only the DISTINCT keys are mapped
+    through the dict — cost scales with nations seen, not rows."""
+
     def __init__(self, nation_ref) -> None:
         import ray
 
         self.names: dict[int, str] = ray.get(nation_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        counts: Counter[str] = Counter()
-        for nk in batch.column("c_nationkey").to_pylist():
-            counts[self.names.get(nk, "UNKNOWN")] += 1
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "n_name": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        vc = pc.value_counts(batch.column("c_nationkey").combine_chunks())
+        keys = vc.field("values").to_pylist()
         return pa.table(
             {
-                "n_name": pa.array(list(counts.keys()), type=pa.string()),
-                "n": pa.array(list(counts.values()), type=pa.int64()),
+                "n_name": pa.array(
+                    [self.names.get(k, "UNKNOWN") for k in keys],
+                    type=pa.string(),
+                ),
+                "n": vc.field("counts").cast(pa.int64()),
             }
         )
 
 
-def _count_merge(group: pa.Table) -> pa.Table:
-    return pa.table(
-        {
-            "n_name": group.column("n_name").slice(0, 1),
-            "n_customers": pa.array(
-                [sum(group.column("n").to_pylist())], type=pa.int64()
-            ),
-        }
-    )
-
-
 def customer_nation_counts(customer, nation_ref):
     """customer ⋈ nation (broadcast) → customers per nation name."""
+    from ray.data.aggregate import Sum
+
     partials = customer.map_batches(
         _NationJoiner,
         fn_constructor_kwargs={"nation_ref": nation_ref},
         batch_format="pyarrow",
         concurrency=2,
     )
-    return partials.groupby("n_name").map_groups(
-        _count_merge, batch_format="pyarrow"
-    )
+    merged = partials.groupby("n_name").aggregate(Sum("n"))
+    return merged.rename_columns({"sum(n)": "n_customers"})
 
 
 # ---------------------------------------------------------------------------
 # events: tumbling-window per-user aggregate
 # ---------------------------------------------------------------------------
 
+_WINDOW_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("window_start", pa.timestamp("us")),
+        ("n", pa.int64()),
+    ]
+)
+
+
 def _window_partial(batch: pa.Table) -> pa.Table:
+    """Bucket timestamps to the hour (vectorized numpy), then a native
+    Arrow grouped count per (user, window) — no Python loop over rows."""
+    if len(batch) == 0:
+        return _WINDOW_PARTIAL_SCHEMA.empty_table()
     ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
     hour_start = (ts // 3_600_000_000) * 3_600_000_000
-    users = batch.column("user_id").to_numpy(zero_copy_only=False)
-    agg: Counter[tuple[int, int]] = Counter()
-    for u, w in zip(users, hour_start):
-        agg[(int(u), int(w))] += 1
-    keys = list(agg.keys())
-    return pa.table(
+    tbl = pa.table(
         {
-            "user_id": pa.array([k[0] for k in keys], type=pa.int64()),
-            "window_start": pa.array(
-                [k[1] for k in keys], type=pa.timestamp("us")
-            ),
-            "wk": pa.array([f"{k[0]}|{k[1]}" for k in keys], type=pa.string()),
-            "n": pa.array(list(agg.values()), type=pa.int64()),
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "window_start": pa.array(hour_start, type=pa.timestamp("us")),
         }
     )
-
-
-def _window_merge(group: pa.Table) -> pa.Table:
+    out = tbl.group_by(["user_id", "window_start"]).aggregate(
+        [([], "count_all")]
+    )
     return pa.table(
         {
-            "user_id": group.column("user_id").slice(0, 1),
-            "window_start": group.column("window_start").slice(0, 1),
-            "n_events": pa.array(
-                [sum(group.column("n").to_pylist())], type=pa.int64()
-            ),
+            "user_id": out.column("user_id"),
+            "window_start": out.column("window_start"),
+            "n": out.column("count_all").cast(pa.int64()),
         }
     )
 
 
 def events_tumbling(events):
     """events → per (user_id, 1-hour tumbling window) event counts."""
+    from ray.data.aggregate import Sum
+
     partials = events.map_batches(_window_partial, batch_format="pyarrow")
-    return (
-        partials.groupby("wk")
-        .map_groups(_window_merge, batch_format="pyarrow")
-        .select_columns(["user_id", "window_start", "n_events"])
+    merged = partials.groupby(["user_id", "window_start"]).aggregate(Sum("n"))
+    return merged.rename_columns({"sum(n)": "n_events"}).select_columns(
+        ["user_id", "window_start", "n_events"]
     )
 
 
@@ -236,29 +239,28 @@ def events_sessions(events):
 # ---------------------------------------------------------------------------
 
 def _lang_partial(batch: pa.Table) -> pa.Table:
-    counts = Counter(batch.column("lang").to_pylist())
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    vc = pc.value_counts(batch.column("lang").combine_chunks())
     return pa.table(
         {
-            "lang": pa.array(list(counts.keys()), type=pa.string()),
-            "n": pa.array(list(counts.values()), type=pa.int64()),
-        }
-    )
-
-
-def _lang_merge(group: pa.Table) -> pa.Table:
-    return pa.table(
-        {
-            "lang": group.column("lang").slice(0, 1),
-            "n_docs": pa.array(
-                [sum(group.column("n").to_pylist())], type=pa.int64()
-            ),
+            "lang": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
         }
     )
 
 
 def lang_counts(docs):
-    """documents → (lang, n_docs): two-phase distinct-value count."""
+    """documents → (lang, n_docs): two-phase distinct-value count
+    (Arrow ``value_counts`` per block, native Sum on the keyed merge)."""
+    from ray.data.aggregate import Sum
+
     partials = docs.map_batches(_lang_partial, batch_format="pyarrow")
-    return partials.groupby("lang").map_groups(
-        _lang_merge, batch_format="pyarrow"
+    return partials.groupby("lang").aggregate(Sum("n")).rename_columns(
+        {"sum(n)": "n_docs"}
     )

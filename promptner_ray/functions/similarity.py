@@ -6,9 +6,14 @@
   ``groupby(qid)`` — the canonical broadcast + partial-topk plan.
 - :func:`cosine_pairs` — all-pairs near-dup baseline (broadcast full
   matrix; quadratic — the documented small-side baseline).
-- :func:`knn_lsh` — random-hyperplane LSH bucketed ANN: the scale path.
-  Buckets are probed with Hamming-adjacent keys; approximate, gated by a
-  recall test instead of a SQL oracle.
+- :func:`knn_ivf` — IVF (inverted-file) ANN, the primary scale path:
+  spherical k-means centroids trained on a bounded sample, ingest-time
+  cell assignment (:func:`ivf_assign`), queries probe their nprobe
+  nearest cells and run cosine over candidates only.  Gated by a recall
+  test (≥0.9 on clustered data) instead of a SQL oracle.
+- :func:`knn_lsh` — random-hyperplane LSH bucketed ANN (secondary):
+  buckets probed with Hamming-adjacent keys, candidates selected before
+  the cosine kernel.
 
 All kernels compute cosine in float64 with the plain dot/(|a||b|) formula so
 the DuckDB oracle (``list_cosine_similarity`` over DOUBLE[]) agrees to
@@ -179,7 +184,13 @@ def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 class _LshPartial:
-    """Partial top-k per batch, restricted to query-adjacent LSH buckets."""
+    """Partial top-k per batch, restricted to query-adjacent LSH buckets.
+
+    Candidates are selected by bucket membership FIRST; the cosine matmul
+    runs only over the candidate rows — the pruning is real FLOP saving,
+    not a post-hoc mask.  Per batch the candidate fraction is tracked and
+    logged once per actor (``logging``, level INFO).
+    """
 
     def __init__(self, queries_ref, k: int, dim: int) -> None:
         import ray
@@ -189,8 +200,11 @@ class _LshPartial:
         self.planes = lsh_planes(dim)
         qb = _bucket_of(self.qmat, self.planes)
         # multi-probe set per query: own bucket + all 1- and 2-bit flips
-        # (37 of 256 buckets ≈ 14% of the data; recall ~0.4 on isotropic
-        # data, far higher on clustered real embeddings)
+        # (37 of 256 buckets ≈ 14% of the data).  NOTE: on isotropic data
+        # recall is poor for ANY sublinear index (all points are
+        # near-equidistant in high dim); the recall gate in
+        # tests/test_similarity_recall.py runs on clustered data, the
+        # regime ANN is for.  knn_ivf below is the stronger scale path.
         flips = [np.uint32(1) << np.uint32(i) for i in range(N_PLANES)]
         self.probe = []
         for b in qb:
@@ -199,25 +213,36 @@ class _LshPartial:
                 s.add(b ^ fi)
                 for fj in flips[i + 1 :]:
                     s.add(b ^ fi ^ fj)
-            self.probe.append(s)
+            self.probe.append(np.fromiter(s, dtype=np.uint32))
+        self._seen = 0
+        self._cand = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)
         buckets = _bucket_of(mat, self.planes)
-        sims = _cosine(self.qmat, mat)
+        qnorm = np.linalg.norm(self.qmat, axis=1)
+        norms = np.linalg.norm(mat, axis=1)
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(self.qids):
-            mask = (ids != qid) & np.isin(
-                buckets, np.fromiter(self.probe[qi], dtype=np.uint32)
-            )
-            cand = np.nonzero(mask)[0]
+            cand = np.nonzero(
+                np.isin(buckets, self.probe[qi]) & (ids != qid)
+            )[0]
+            self._seen += len(ids)
+            self._cand += len(cand)
             if len(cand) == 0:
                 continue
-            row = sims[qi]
-            order = cand[np.lexsort((ids[cand], -row[cand]))[: self.k]]
+            # matmul ONLY the candidate rows
+            row = (mat[cand] @ self.qmat[qi]) / (norms[cand] * qnorm[qi])
+            order = np.lexsort((ids[cand], -row))[: self.k]
             out_q.extend([qid] * len(order))
-            out_n.extend(ids[order].tolist())
+            out_n.extend(ids[cand][order].tolist())
             out_s.extend(row[order].tolist())
+        if self._seen:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "knn_lsh candidate fraction: %.3f", self._cand / self._seen
+            )
         return pa.table(
             {
                 "qid": pa.array(out_q, type=pa.int64()),
@@ -231,9 +256,10 @@ def knn_lsh(embeddings, queries_ref, k: int = 10, dim: int = 64):
     """Approximate top-k via random-hyperplane LSH bucket probing.
 
     Each data vector belongs to one of 2^8 sign-pattern buckets; a query
-    scans only vectors in its own bucket or any 1-bit-flip neighbor bucket
-    (~9/256 of the data in expectation) — this is the plan that holds at
-    10^12 rows, where the exact scan's broadcast matmul would not.
+    scans only vectors whose bucket is within 2 bit-flips of its own
+    (~14% of the data in expectation), and the cosine kernel runs over the
+    selected candidates only — this is the plan that holds at 10^12 rows,
+    where the exact scan's broadcast matmul would not.
     """
     partials = embeddings.map_batches(
         _LshPartial,
@@ -241,6 +267,165 @@ def knn_lsh(embeddings, queries_ref, k: int = 10, dim: int = 64):
             "queries_ref": queries_ref,
             "k": k,
             "dim": dim,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return partials.groupby("qid").map_groups(
+        _topk_final(k), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the primary scale path
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 64
+IVF_NPROBE = 4
+IVF_SAMPLE_ROWS = 4096
+IVF_KMEANS_ITERS = 15
+
+
+def train_centroids(
+    sf_dir: str,
+    n_centroids: int = IVF_CENTROIDS,
+    seed: int = 42,
+    sample_rows: int = IVF_SAMPLE_ROWS,
+) -> np.ndarray:
+    """Spherical k-means over a BOUNDED driver-side sample (first
+    ``sample_rows`` rows — at 100 TB this is a head sample of one shard,
+    the standard IVF training regime; the index never needs the corpus).
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    tbl = next(pf.iter_batches(batch_size=sample_rows, columns=["vec_id", "embedding"]))
+    _, mat = _batch_matrix(pa.Table.from_batches([tbl]))
+    return train_centroids_from_matrix(mat, n_centroids, seed)
+
+
+def train_centroids_from_matrix(
+    mat: np.ndarray,
+    n_centroids: int = IVF_CENTROIDS,
+    seed: int = 42,
+    iters: int = IVF_KMEANS_ITERS,
+) -> np.ndarray:
+    x = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(x))
+    cent = x[rs.choice(len(x), n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_centroids):
+            sel = x[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+class _IvfAssigner:
+    """Ingest-time cell assignment: one (batch × C) matmul, C = #centroids.
+
+    In production this runs ONCE when vectors land (the ``cell`` column is
+    stored with the embedding), so queries pay zero assignment cost.
+    """
+
+    def __init__(self, cent_ref) -> None:
+        import ray
+
+        self.cent = ray.get(cent_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        norm = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax((mat / norm) @ self.cent.T, axis=1)
+        return batch.append_column(
+            "cell", pa.array(cell.astype(np.int32), type=pa.int32())
+        )
+
+
+def ivf_assign(embeddings, cent_ref):
+    return embeddings.map_batches(
+        _IvfAssigner,
+        fn_constructor_kwargs={"cent_ref": cent_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+class _IvfPartial:
+    """Partial top-k per batch over rows in the query's top-nprobe cells;
+    the cosine kernel touches candidate rows only."""
+
+    def __init__(self, queries_ref, cent_ref, k: int, nprobe: int) -> None:
+        import ray
+
+        self.qids, self.qmat = ray.get(queries_ref)
+        cent = ray.get(cent_ref)
+        self.k = k
+        qn = np.maximum(np.linalg.norm(self.qmat, axis=1, keepdims=True), 1e-12)
+        scores = (self.qmat / qn) @ cent.T
+        self.probes = np.argsort(-scores, axis=1)[:, :nprobe]
+        self._seen = 0
+        self._cand = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        _, mat = _batch_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        qnorm = np.linalg.norm(self.qmat, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            cand = np.nonzero(
+                np.isin(cells, self.probes[qi]) & (ids != qid)
+            )[0]
+            self._seen += len(ids)
+            self._cand += len(cand)
+            if len(cand) == 0:
+                continue
+            row = (mat[cand] @ self.qmat[qi]) / (norms[cand] * qnorm[qi])
+            order = np.lexsort((ids[cand], -row))[: self.k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(ids[cand][order].tolist())
+            out_s.extend(row[order].tolist())
+        if self._seen:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "knn_ivf candidate fraction: %.3f", self._cand / self._seen
+            )
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "nid": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def knn_ivf(
+    embeddings_with_cell,
+    queries_ref,
+    cent_ref,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+):
+    """IVF approximate top-k: probe the ``nprobe`` nearest of C cells.
+
+    Input must carry the ``cell`` column from :func:`ivf_assign` (stored at
+    ingest in production).  Expected scanned fraction ≈ nprobe / C; the
+    recall gate (≥0.9 on clustered data, the regime ANN exists for) lives
+    in tests/test_similarity_recall.py.
+    """
+    partials = embeddings_with_cell.map_batches(
+        _IvfPartial,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "cent_ref": cent_ref,
+            "k": k,
+            "nprobe": nprobe,
         },
         batch_format="pyarrow",
         concurrency=(1, 4),

@@ -40,6 +40,7 @@ from ..stages.link import (
     EdgeNamer,
     links_to_nodes,
     make_link_aggregate,
+    named_edges_join,
     partial_edge_counts,
     partial_link_counts,
     unpack_link_rows,
@@ -355,8 +356,24 @@ def _add_bucket_batch(batch: pa.Table, id_col: str) -> pa.Table:
     )
 
 
-def run_graph(out_dir: str | pathlib.Path) -> dict:
-    """Global graph job over all committed partitions: links/nodes/edges."""
+# Above this many node rows the id→canonical dict stops being "small side":
+# edge naming switches from broadcast map to a hash-shuffle join.  ~10M rows
+# ≈ a few hundred MB of dict on every worker — the sensible single-node
+# ceiling; multi-node deployments should size it to worker heap.
+BROADCAST_NODES_MAX_ROWS = 10_000_000
+
+
+def run_graph(
+    out_dir: str | pathlib.Path,
+    broadcast_nodes_max_rows: int = BROADCAST_NODES_MAX_ROWS,
+) -> dict:
+    """Global graph job over all committed partitions: links/nodes/edges.
+
+    Edge naming is size-thresholded: nodes tables up to
+    ``broadcast_nodes_max_rows`` are broadcast (``ray.put`` once, dict
+    lookup per batch); larger ones go through the hash-shuffle
+    :func:`named_edges_join` so no worker ever holds the whole table.
+    """
     import ray
 
     out = pathlib.Path(out_dir)
@@ -376,14 +393,21 @@ def run_graph(out_dir: str | pathlib.Path) -> dict:
     edges_ds = edges(_read_parts(out / "triples"))
     edges_ds.write_parquet(str(out / "edges_raw"))
 
-    nodes_df = (
-        _read_parts_flat(out / "nodes")
-        .select_columns(["entity_id", "canonical"])
-        .to_pandas()  # nodes table is small by construction (post-aggregate)
-    )
-    names = dict(zip(nodes_df["entity_id"], nodes_df["canonical"]))
-    names_ref = ray.put(names)
-    named = named_edges(_read_parts_flat(out / "edges_raw"), names_ref)
+    n_nodes = lineage.parquet_rows(out / "nodes")  # footer-only count
+    if n_nodes <= broadcast_nodes_max_rows:
+        nodes_df = (
+            _read_parts_flat(out / "nodes")
+            .select_columns(["entity_id", "canonical"])
+            .to_pandas()  # under the broadcast threshold by the check above
+        )
+        names = dict(zip(nodes_df["entity_id"], nodes_df["canonical"]))
+        names_ref = ray.put(names)
+        named = named_edges(_read_parts_flat(out / "edges_raw"), names_ref)
+    else:
+        named = named_edges_join(
+            _read_parts_flat(out / "edges_raw"),
+            _read_parts_flat(out / "nodes"),
+        )
     named.map_batches(
         _add_bucket_batch, fn_kwargs={"id_col": "subj_id"},
         batch_format="pyarrow",
@@ -392,6 +416,7 @@ def run_graph(out_dir: str | pathlib.Path) -> dict:
         "links": lineage.parquet_rows(out / "links"),
         "nodes": lineage.parquet_rows(out / "nodes"),
         "edges": lineage.parquet_rows(out / "edges"),
+        "edge_naming": "broadcast" if n_nodes <= broadcast_nodes_max_rows else "join",
     }
 
 

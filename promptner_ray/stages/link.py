@@ -229,9 +229,9 @@ class EdgeNamer:
 
     The id→canonical dict is put in the object store ONCE (``ray.put`` by the
     pipeline) and each actor/task resolves it in ``__init__`` — never
-    re-shipped per batch.  For link tables too large to broadcast, swap this
-    stage for a hash-shuffle ``ds.join`` on entity_id (not needed at current
-    scales; the nodes table is orders of magnitude smaller than the corpus).
+    re-shipped per batch.  For nodes tables too large to broadcast (distinct
+    web-scale entities are billions of rows), :func:`named_edges_join` is the
+    hash-shuffle path; ``kg.run_graph`` switches on a row-count threshold.
     """
 
     def __init__(self, names_ref) -> None:
@@ -249,3 +249,58 @@ class EdgeNamer:
         return batch.append_column(
             "subj_canonical", pa.array(subj_names, type=pa.string())
         ).append_column("obj_canonical", pa.array(obj_names, type=pa.string()))
+
+
+def _join_partitions() -> int:
+    """Partition count sized to the cluster: join aggregator actors reserve
+    0.125 CPU per partition, and this pipeline runs TWO joins back to back —
+    one partition per CPU keeps both operators' actor pools at 1/4 of the
+    cluster, leaving CPUs for the map stages (an oversized constant
+    deadlocks small clusters: 2 × 16 partitions consumed all 4 test CPUs)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus)
+
+
+def named_edges_join(edges_ds, nodes_ds, num_partitions: int | None = None):
+    """Hash-shuffle edge naming: two int64-keyed joins against nodes.
+
+    The scale path when the nodes table cannot be broadcast: both sides
+    hash-partition on the entity id, so per-node memory is one partition of
+    each, never the whole table.  Left-outer + fill-empty matches the
+    broadcast :class:`EdgeNamer`'s behavior for dangling endpoints.
+    """
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+
+    names = nodes_ds.select_columns(["entity_id", "canonical"])
+
+    def _finish(col_from: str, col_to: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            named = pc.fill_null(
+                batch.column(col_from).cast(pa.string()), ""
+            )
+            batch = batch.drop_columns(
+                [c for c in (col_from, "entity_id") if c in batch.column_names]
+            )
+            return batch.append_column(col_to, named)
+
+        return fn
+
+    subj_named = edges_ds.join(
+        names,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("subj_id",),
+        right_on=("entity_id",),
+    ).map_batches(_finish("canonical", "subj_canonical"), batch_format="pyarrow")
+    return subj_named.join(
+        names,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("obj_id",),
+        right_on=("entity_id",),
+    ).map_batches(_finish("canonical", "obj_canonical"), batch_format="pyarrow")

@@ -84,6 +84,27 @@ def test_edges_match_oracle(kg_out, oracle):
     assert all(r["subj_canonical"] and r["obj_canonical"] for r in edges)
 
 
+def test_edges_join_path_matches_oracle(
+    ray_session, kg_out, tmp_path_factory, oracle
+):
+    """Forcing the hash-shuffle edge-naming path (threshold 0) must produce
+    the same named edge table as the broadcast path / oracle."""
+    import shutil
+
+    from promptner_ray.pipelines.kg import run_graph
+
+    out = tmp_path_factory.mktemp("kg_join") / "out"
+    out.mkdir(parents=True)
+    shutil.copytree(kg_out / "mentions", out / "mentions")
+    shutil.copytree(kg_out / "triples", out / "triples")
+    s = run_graph(out, broadcast_nodes_max_rows=0)
+    assert s["edge_naming"] == "join"
+    edges = pads.dataset(str(out / "edges")).to_table().to_pylist()
+    got = {(r["subj_id"], r["pred"], r["obj_id"]): r["weight"] for r in edges}
+    assert got == oracle["edges"]
+    assert all(r["subj_canonical"] and r["obj_canonical"] for r in edges)
+
+
 def test_manifests_and_counters(kg_out):
     from promptner_ray.state import lineage
 

@@ -1,0 +1,136 @@
+"""Recall + compute-pruning gates for the approximate-NN operators.
+
+ANN indexes (IVF, hyperplane LSH) are meaningful on data with neighborhood
+structure; on isotropic random vectors every sublinear index degrades toward
+a full scan (points concentrate at equal distances in high dimension), so
+the recall gates here run on CLUSTERED synthetic embeddings — the regime
+the operators exist for — while the driver's (isotropic) ``embeddings``
+table is covered by rows-only execution checks in test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+DIM = 64
+N_VECS = 6000
+N_CLUSTERS = 50
+N_QUERIES = 8
+K = 10
+
+
+@pytest.fixture(scope="module")
+def clustered(ray_session):
+    import ray
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, N_CLUSTERS, N_VECS)
+    mat = centers[assign] + 0.1 * rng.standard_normal((N_VECS, DIM))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = np.arange(N_VECS, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in mat],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    return ids, mat.astype(np.float64), ds
+
+
+def _exact_topk(ids, mat, k=K):
+    q = mat[:N_QUERIES]
+    sims = q @ mat.T  # unit vectors
+    gt = {}
+    for i in range(N_QUERIES):
+        sims[i, i] = -2
+        order = np.lexsort((ids, -sims[i]))[:k]
+        gt[int(ids[i])] = set(ids[order].tolist())
+    return gt
+
+
+def _got_topk(result_ds):
+    got: dict[int, set] = {}
+    for r in result_ds.take_all():
+        got.setdefault(int(r["qid"]), set()).add(int(r["nid"]))
+    return got
+
+
+def _recall(got, gt):
+    return np.mean(
+        [len(got.get(q, set()) & gt[q]) / len(gt[q]) for q in gt]
+    )
+
+
+def test_ivf_recall_and_pruning(ray_session, clustered):
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    ids, mat, ds = clustered
+    cent = similarity.train_centroids_from_matrix(mat[:4096], 64, seed=42)
+    cent_ref = ray.put(cent)
+    qref = ray.put((ids[:N_QUERIES], mat[:N_QUERIES]))
+
+    got = _got_topk(
+        similarity.knn_ivf(
+            similarity.ivf_assign(ds, cent_ref), qref, cent_ref, k=K, nprobe=4
+        )
+    )
+    gt = _exact_topk(ids, mat)
+    assert _recall(got, gt) >= 0.9
+
+    # compute pruning is structural: candidate fraction = rows whose cell is
+    # among the query's nprobe probes, measured directly from assignments
+    assign = np.argmax(mat @ cent.T, axis=1)
+    probes = np.argsort(-(mat[:N_QUERIES] @ cent.T), axis=1)[:, :4]
+    frac = np.mean(
+        [np.isin(assign, probes[i]).mean() for i in range(N_QUERIES)]
+    )
+    assert frac < 0.20, f"candidate fraction {frac:.3f} not < 20%"
+
+
+def test_lsh_pruning_and_recall_floor(ray_session, clustered):
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    ids, mat, ds = clustered
+    qref = ray.put((ids[:N_QUERIES], mat[:N_QUERIES]))
+    got = _got_topk(similarity.knn_lsh(ds, qref, k=K, dim=DIM))
+    gt = _exact_topk(ids, mat)
+    # hyperplane LSH is the weaker index (kept for the SURVEY operator
+    # inventory); IVF above is the production path with the 0.9 gate
+    assert _recall(got, gt) >= 0.45
+
+    planes = similarity.lsh_planes(DIM)
+    buckets = similarity._bucket_of(mat, planes)
+    qb = similarity._bucket_of(mat[:N_QUERIES], planes)
+    fracs = []
+    for b in qb:
+        s = {b}
+        for i in range(similarity.N_PLANES):
+            fi = np.uint32(1) << np.uint32(i)
+            s.add(b ^ fi)
+            for j in range(i + 1, similarity.N_PLANES):
+                s.add(b ^ fi ^ (np.uint32(1) << np.uint32(j)))
+        fracs.append(
+            np.isin(buckets, np.fromiter(s, dtype=np.uint32)).mean()
+        )
+    assert np.mean(fracs) < 0.25
+
+
+def test_ivf_runs_on_driver_table(ray_session):
+    """The sf embeddings table (isotropic) still executes end to end."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["embed_knn_ivf"]("/root/testdata/sf0.001")
+    pdf = df.to_pandas()
+    assert len(pdf) > 0 and set(pdf.columns) == {"qid", "nid", "rank"}
