@@ -6,9 +6,10 @@ fake that reads the paragraph back out of the *rendered prompt* (so the full
 prompt-render → model → parse → align path is exercised end-to-end) and
 answers in the reference's CoT exemplar format
 ``n. surface | True/False | explanation (TYPE)`` (reference
-``utils.py:107-153`` consumes this).  An OpenAI-compatible HTTP client is
-sketched behind an import guard for real deployments (reference
-``models.py:10-52``); tests never touch it.
+``utils.py:107-153`` consumes this).  ``OpenAIClient`` is a real
+OpenAI-compatible HTTP client (reference ``models.py:10-52``) with batched
+concurrent requests, token-bucket rate limiting and 429/5xx retry —
+exercised end to end against an in-process mock server in tests.
 """
 
 from __future__ import annotations
@@ -20,7 +21,14 @@ Chat = list[tuple[str, str]]
 
 
 class ModelClient(Protocol):
-    """Batch text-in/text-out model interface (one response per prompt)."""
+    """Batch text-in/text-out model interface (one response per prompt).
+
+    ``prompts`` items may be: a plain completion string, a ``Chat``
+    transcript (``list[(content, role)]``), or a lazy
+    ``kernels.prompts.CompletionPrompt`` (exposes ``.text``) — clients that
+    need the rendered string call ``.text`` at request time, keeping the
+    hot path free of per-sentence prefix copies.
+    """
 
     def generate(self, prompts: list[str | Chat]) -> list[str]: ...
 
@@ -191,6 +199,160 @@ class VocabStubModel:
         return [self._respond(p) for p in prompts]
 
 
+class RateLimiter:
+    """Token-bucket request limiter (thread-safe).
+
+    Replaces the reference's fixed ``time.sleep(seconds_per_query)`` pacing
+    (reference ``models.py:13-15``, ``run.py:41-42``) with a bucket that
+    lets short bursts through at full concurrency while holding the
+    long-run average at ``requests_per_minute``.
+    """
+
+    def __init__(self, requests_per_minute: float, burst: int = 8) -> None:
+        import threading
+        import time as _time
+
+        self.rate = requests_per_minute / 60.0
+        self.capacity = float(burst)
+        self.tokens = float(burst)
+        self.updated = _time.monotonic()
+        self.lock = threading.Lock()
+
+    def acquire(self) -> None:
+        import time as _time
+
+        while True:
+            with self.lock:
+                now = _time.monotonic()
+                self.tokens = min(
+                    self.capacity, self.tokens + (now - self.updated) * self.rate
+                )
+                self.updated = now
+                if self.tokens >= 1.0:
+                    self.tokens -= 1.0
+                    return
+                wait = (1.0 - self.tokens) / self.rate
+            _time.sleep(min(wait, 1.0))
+
+
+class OpenAIClient:
+    """OpenAI-compatible HTTP client (reference ``models.py:10-52`` parity).
+
+    Batch ``generate`` fans the prompt list over a bounded thread pool
+    (the reference loops one blocking request at a time); each request
+    retries on 429/5xx/connection errors with exponential backoff,
+    honoring ``Retry-After``.  Completion prompts (``str`` or lazy
+    ``CompletionPrompt`` — materialized via ``.text`` at request time) go
+    to ``/completions``; chat transcripts (``list[(content, role)]``) go
+    to ``/chat/completions``.  Tested against an in-process mock server
+    (tests/test_openai_client.py); point ``base_url`` at any OpenAI-style
+    endpoint (a vLLM/TGI server, or api.openai.com) in real deployments.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        api_key: str = "",
+        model: str = "gpt-3.5-turbo",
+        max_tokens: int = 250,  # reference models.py:18
+        temperature: float = 0.0,
+        requests_per_minute: float | None = None,
+        max_concurrency: int = 8,
+        max_retries: int = 5,
+        timeout: float = 30.0,
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.model = model
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+        self.limiter = (
+            RateLimiter(requests_per_minute) if requests_per_minute else None
+        )
+        self.max_concurrency = max_concurrency
+        self.max_retries = max_retries
+        self.timeout = timeout
+
+    # -- single request ----------------------------------------------------
+
+    def _post(self, path: str, payload: dict) -> dict:
+        import json
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        body = json.dumps(payload).encode("utf-8")
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            if self.limiter is not None:
+                self.limiter.acquire()
+            req = urllib.request.Request(
+                f"{self.base_url}{path}",
+                data=body,
+                headers={
+                    "Content-Type": "application/json",
+                    "Authorization": f"Bearer {self.api_key}",
+                },
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as err:
+                last_err = err
+                if err.code not in (429, 500, 502, 503, 504):
+                    raise
+                retry_after = err.headers.get("Retry-After")
+                delay = (
+                    float(retry_after)
+                    if retry_after
+                    else min(2.0**attempt * 0.1, 10.0)
+                )
+            except (urllib.error.URLError, TimeoutError) as err:
+                last_err = err
+                delay = min(2.0**attempt * 0.1, 10.0)
+            _time.sleep(delay)
+        raise RuntimeError(
+            f"model endpoint failed after {self.max_retries + 1} attempts"
+        ) from last_err
+
+    def _one(self, prompt) -> str:
+        text = getattr(prompt, "text", None)  # lazy CompletionPrompt
+        if text is not None or isinstance(prompt, str):
+            out = self._post(
+                "/completions",
+                {
+                    "model": self.model,
+                    "prompt": text if text is not None else prompt,
+                    "max_tokens": self.max_tokens,
+                    "temperature": self.temperature,
+                },
+            )
+            return out["choices"][0]["text"]
+        messages = [
+            {"role": role, "content": content} for content, role in prompt
+        ]
+        out = self._post(
+            "/chat/completions",
+            {
+                "model": self.model,
+                "messages": messages,
+                "max_tokens": self.max_tokens,
+                "temperature": self.temperature,
+            },
+        )
+        return out["choices"][0]["message"]["content"]
+
+    def generate(self, prompts: list) -> list[str]:
+        if len(prompts) <= 1:
+            return [self._one(p) for p in prompts]
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(self.max_concurrency, len(prompts))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(self._one, prompts))
+
+
 def make_model(kind: str = "stub", **kwargs) -> ModelClient:
     """Model factory used by the detection stage's actor ``__init__``."""
     if kind == "stub":
@@ -198,9 +360,6 @@ def make_model(kind: str = "stub", **kwargs) -> ModelClient:
 
         vocab = kwargs.pop("vocab", None) or VOCAB
         return VocabStubModel(vocab, **kwargs)
-    if kind == "openai":  # pragma: no cover - requires network, never in tests
-        raise NotImplementedError(
-            "OpenAI-compatible endpoint client: point at a served model with "
-            "base_url/api_key; intentionally not available in this sandbox."
-        )
+    if kind == "openai":
+        return OpenAIClient(**kwargs)
     raise ValueError(f"unknown model kind {kind!r}")
