@@ -7,9 +7,14 @@ callable over ``sf_dir``; ``oracle_sql()`` gives the DuckDB-equivalent
 SQL for every SQL-expressible one (same column names, so the driver's
 order-insensitive value-hash matches).  KG-pipeline queries operate on a
 synthesized Common-Crawl-style ``pages`` table (BASELINE.json
-input_hint) that is not a registered DuckDB view, so they are
-rows-only-checked; their correctness gate is the in-repo oracle replay
-(tests/test_pipeline_e2e.py + tests/test_conformance.py).
+input_hint); their oracles are DuckDB SQL over the corpus parquet and the
+exported stage tables (``promptner_ray/pipelines/export.py``) — each
+downstream stage (sentence split, triple induction, canonicalization,
+edge naming, simhash, winnowing) is re-implemented in pure SQL over its
+upstream table.  Rows-only queries remaining: the approximate-NN pair
+(recall-gated in tests/test_similarity_recall.py), the scalar eval
+summaries (gated by the in-repo single-process oracle), and the
+model-dependent typed-mentions pass.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -120,6 +125,13 @@ def _kg_edges(sf_dir: str):
         dict(zip(nodes_df["entity_id"], nodes_df["canonical"]))
     )
     return kg.named_edges(edges_ds, names_ref)
+
+
+def _kg_export(sf_dir: str) -> str:
+    """Materialize the KG stage tables once (cached) for the SQL oracles."""
+    from promptner_ray.pipelines.export import ensure_kg_export
+
+    return str(ensure_kg_export(sf_dir))
 
 
 def _kg_eval(sf_dir: str):
@@ -301,7 +313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": lambda sf: relational.events_sessions(
             _read(sf, "events")
         ),
-        # --- KG pipeline (synthetic pages corpus; rows-only checks) --
+        # --- KG pipeline (synthetic pages corpus) --------------------
+        # Value-checked against DuckDB SQL over the exported stage tables
+        # (promptner_ray/pipelines/export.py); the export also runs from
+        # oracle_sql() so the SQL side is self-sufficient.
         "kg_docs_text": _kg_docs_text,
         "kg_sentences": _kg_sentences,
         "kg_mentions": _kg_mentions,
@@ -310,16 +325,170 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_top_edges": lambda sf: _kg_edges(sf).sort(
-            "weight", descending=True
+            ["weight", "subj_id", "pred", "obj_id"],
+            descending=[True, False, False, False],
         ).limit(50),
+        # rows-only: scalar metric summaries whose gate is the in-repo
+        # single-process oracle (tests/test_pipeline_e2e.py)
         "kg_eval": _kg_eval,
         "kg_eval_f1": _kg_eval_f1,
+        # rows-only: second-pass type verification needs the model
         "kg_typed_mentions": _kg_typed_mentions,
     }
 
 
+# --- SQL building blocks for the KG / simhash / winnow oracles -------------
+
+# The driver's side-by-side correctness gate runs at sf0.01; the KG oracle
+# SQL reads the exported stage tables for that sf (tests/test_oracle_parity
+# rewrites the sf token to run the identical comparison at sf0.001).
+_ORACLE_SF_NAME = "sf0.01"
+_CORPUS_GLOB = f"/tmp/promptner_corpus/{_ORACLE_SF_NAME}/pages/part=*/*.parquet"
+_EXPORT = f"/tmp/promptner_kg/{_ORACLE_SF_NAME}"
+
+
+def _sql_punct() -> str:
+    import string
+
+    return string.punctuation.replace("'", "''")
+
+
+def _sql_norm(expr: str) -> str:
+    """DuckDB twin of kernels.cleaning.normalize_surface: lower → strip
+    whitespace → strip punctuation → strip whitespace."""
+    return f"trim(trim(trim(lower({expr})), '{_sql_punct()}'))"
+
+
+def _sql_hash64(expr: str) -> str:
+    """DuckDB twin of kernels.cleaning.surface_hash64: first 8 md5 bytes,
+    big-endian, reinterpreted as SIGNED int64 (two's-complement wrap)."""
+    u = f"('0x' || substr(md5({expr}), 1, 16))::UBIGINT"
+    return (
+        f"CASE WHEN {u} >= 9223372036854775808::UBIGINT "
+        f"THEN CAST({u}::HUGEINT - 18446744073709551616 AS BIGINT) "
+        f"ELSE {u}::BIGINT END"
+    )
+
+
+def _sql_links_cte() -> str:
+    """CTE chain re-deriving the links table from exported mentions: the
+    full canonicalization stage (normalize → count → argmax with the
+    (count desc, value asc) tie-break → md5 entity ids) in pure SQL."""
+    norm_m = _sql_norm("mention")
+    return f"""
+    mn AS (SELECT {norm_m} AS surface_norm, mention, mtype
+           FROM read_parquet('{_EXPORT}/mentions/part=*/*.parquet')
+           WHERE {norm_m} != ''),
+    tot AS (SELECT surface_norm, count(*)::BIGINT AS n_mentions
+            FROM mn GROUP BY 1),
+    canon AS (
+      SELECT surface_norm, mention AS canonical FROM (
+        SELECT surface_norm, mention,
+               row_number() OVER (PARTITION BY surface_norm
+                                  ORDER BY count(*) DESC, mention ASC) AS rn
+        FROM mn GROUP BY surface_norm, mention) WHERE rn = 1),
+    ety AS (
+      SELECT surface_norm, mtype AS etype FROM (
+        SELECT surface_norm, mtype,
+               row_number() OVER (PARTITION BY surface_norm
+                                  ORDER BY count(*) DESC, mtype ASC) AS rn
+        FROM mn GROUP BY surface_norm, mtype) WHERE rn = 1),
+    lnk AS (
+      SELECT t.surface_norm, {_sql_hash64('t.surface_norm')} AS surface_hash,
+             {_sql_hash64('t.surface_norm')} AS entity_id,
+             c.canonical, e.etype, t.n_mentions
+      FROM tot t JOIN canon c USING (surface_norm)
+                 JOIN ety e USING (surface_norm))"""
+
+
+def _sql_edges_cte() -> str:
+    """CTE re-deriving named edges from exported triples + the links CTE."""
+    return f"""{_sql_links_cte()},
+    tr AS (SELECT subj, pred, obj
+           FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+    edg AS (
+      SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+             {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+             count(*)::BIGINT AS weight
+      FROM tr GROUP BY 1, 2, 3),
+    named AS (
+      SELECT edg.subj_id, edg.pred, edg.obj_id, edg.weight,
+             coalesce(s.canonical, '') AS subj_canonical,
+             coalesce(o.canonical, '') AS obj_canonical
+      FROM edg LEFT JOIN lnk s ON edg.subj_id = s.entity_id
+               LEFT JOIN lnk o ON edg.obj_id = o.entity_id)"""
+
+
+def _sql_simhash_cte() -> str:
+    """CTE computing the 64-bit SimHash per document in pure SQL: token
+    multiset counts, per-token md5-derived 64-bit hash, signed bit vote,
+    bit assembly — bit-identical to functions.dedup.simhash64."""
+    return """
+    toks AS (
+      SELECT doc_id, tok, count(*) AS n FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+      GROUP BY doc_id, tok),
+    th AS (SELECT doc_id, n,
+                  ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+           FROM toks),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN n ELSE -n END) AS acc
+      FROM th, UNNEST(generate_series(0, 63)) AS g(b)
+      GROUP BY doc_id, b),
+    sh AS (
+      SELECT doc_id,
+             lpad(lower(hex(sum(CASE WHEN acc > 0
+                                     THEN (1::UBIGINT << b::INT)::HUGEINT
+                                     ELSE 0 END)::UBIGINT)), 16, '0')
+               AS simhash
+      FROM bits GROUP BY doc_id)"""
+
+
+def _sql_winnow() -> str:
+    """Winnowing fingerprint summary in SQL: explicit 8-term polynomial
+    rolling hash (base 257 mod 2^61-1) + per-window min — mirrors
+    functions.textstats.winnow_fingerprints for k=8, w=6 on ASCII text."""
+    mod = (1 << 61) - 1
+    terms = " + ".join(
+        f"ord(substr(text, i + {j}, 1))::HUGEINT * {pow(257, 7 - j, mod)}"
+        for j in range(8)
+    )
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+      FROM documents WHERE length(text) >= 8),
+    kh AS (
+      SELECT doc_id, i, (({terms}) % {mod})::UBIGINT AS h,
+             length(text) - 7 AS n
+      FROM pos),
+    win AS (
+      SELECT doc_id, i, n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS sel
+      FROM kh),
+    chosen AS (SELECT DISTINCT doc_id, sel FROM win
+               WHERE i <= greatest(1, n - 5))
+    SELECT doc_id, count(*)::BIGINT AS n_fp, min(sel) AS fp_min
+    FROM chosen GROUP BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    # The KG oracle SQL reads exported stage tables; materialize them now
+    # (cached) so the SQL side works whichever order the driver runs in.
+    try:
+        import ray
+
+        if ray.is_initialized():
+            _kg_export(f"/root/testdata/{_ORACLE_SF_NAME}")
+    except Exception:
+        pass  # no Ray session: the export must already exist on disk
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS())
+    big_stop_list = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in sorted(_STOPWORD_SET())
+    )
     punct = r"[!-/:-@\[-`{-~]"
     markers = _LANG_MARKERS()
     mk = {
@@ -476,6 +645,114 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events
             FROM numbered GROUP BY user_id, session_id
         """,
+        # --- simhash (recomputed from documents, fully independent) ----
+        "dedup_simhash": f"""
+            WITH {_sql_simhash_cte()}
+            SELECT doc_id, simhash FROM sh
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH {_sql_simhash_cte()}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(('0x' || a.simhash)::UBIGINT,
+                                 ('0x' || b.simhash)::UBIGINT))::BIGINT
+                     AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(('0x' || a.simhash)::UBIGINT,
+                                ('0x' || b.simhash)::UBIGINT)) <= 3
+        """,
+        "doc_winnow": _sql_winnow(),
+        "multimodal_decode": """
+            SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS fp,
+                   (('0x' || substr(md5(text), 1, 4))::INT % 1920 + 1)::INT
+                     AS width,
+                   (('0x' || substr(md5(text), 5, 4))::INT % 1080 + 1)::INT
+                     AS height
+            FROM documents
+        """,
+        # --- KG pipeline oracles over the exported stage tables --------
+        # docs_text: extraction must reproduce the corpus text column
+        # byte-for-byte — the SQL side never touches html.
+        "kg_docs_text": f"""
+            SELECT url, warc_ts, lang, text
+            FROM read_parquet('{_CORPUS_GLOB}')
+        """,
+        "kg_sentences": f"""
+            WITH d AS (SELECT url, text FROM read_parquet('{_CORPUS_GLOB}')
+                       WHERE lang = 'en'),
+            s AS (
+              SELECT url,
+                     unnest(string_split(text, chr(10))) AS text,
+                     generate_subscripts(string_split(text, chr(10)), 1) - 1
+                       AS sent_id
+              FROM d)
+            SELECT url, sent_id::INT AS sent_id, text FROM s
+            WHERE text != ''
+        """,
+        "kg_mentions": f"""
+            SELECT url, sent_id, m.surface AS mention, m.mtype AS mtype,
+                   m.span_start AS span_start, m.span_end AS span_end
+            FROM (SELECT url, sent_id, unnest(mentions) AS m
+                  FROM read_parquet('{_EXPORT}/detected/part=*/*.parquet'))
+        """,
+        # triple induction re-implemented in SQL: consecutive span-ordered
+        # mention pairs; pred = first alphabetic non-stopword token (>1
+        # char) strictly between the spans, lowercased, else co_occurs_with
+        "kg_triples": f"""
+            WITH det AS (SELECT url, sent_id, text, mentions
+                         FROM read_parquet('{_EXPORT}/detected/part=*/*.parquet')),
+            m AS (SELECT url, sent_id, text, unnest(mentions) AS men FROM det),
+            ord AS (
+              SELECT url, sent_id, text, men.surface, men.mtype,
+                     men.span_start, men.span_end,
+                     row_number() OVER (PARTITION BY url, sent_id
+                                        ORDER BY men.span_start) AS r
+              FROM m),
+            pairs AS (
+              SELECT a.url, a.sent_id, a.text,
+                     a.surface AS subj, a.mtype AS subj_type,
+                     a.span_end AS ae, b.span_start AS bs,
+                     b.surface AS obj, b.mtype AS obj_type
+              FROM ord a JOIN ord b
+                ON a.url = b.url AND a.sent_id = b.sent_id AND b.r = a.r + 1),
+            scored AS (
+              SELECT *, list_filter(
+                  string_split(text, ' ')[ae + 1 : bs],
+                  x -> length(lower(x)) > 1
+                       AND regexp_matches(lower(x), '^[[:alpha:]]+$')
+                       AND lower(x) NOT IN ({big_stop_list})
+                ) AS cands
+              FROM pairs)
+            SELECT url, sent_id, subj,
+                   CASE WHEN len(cands) > 0 THEN lower(cands[1])
+                        ELSE 'co_occurs_with' END AS pred,
+                   obj, subj_type, obj_type
+            FROM scored
+        """,
+        "kg_links": f"""
+            WITH {_sql_links_cte()}
+            SELECT surface_norm, surface_hash, entity_id, canonical, etype,
+                   n_mentions
+            FROM lnk
+        """,
+        "kg_nodes": f"""
+            WITH {_sql_links_cte()}
+            SELECT entity_id, canonical, etype, n_mentions FROM lnk
+        """,
+        "kg_edges": f"""
+            WITH {_sql_edges_cte()}
+            SELECT subj_id, pred, obj_id, weight, subj_canonical,
+                   obj_canonical
+            FROM named
+        """,
+        "kg_top_edges": f"""
+            WITH {_sql_edges_cte()}
+            SELECT subj_id, pred, obj_id, weight, subj_canonical,
+                   obj_canonical
+            FROM named
+            ORDER BY weight DESC, subj_id, pred, obj_id
+            LIMIT 50
+        """,
     }
 
 
@@ -489,3 +766,9 @@ def _LANG_MARKERS():
     from promptner_ray.functions.textstats import LANG_MARKERS
 
     return LANG_MARKERS
+
+
+def _STOPWORD_SET():
+    from promptner_ray.kernels.stopwords import STOPWORD_SET
+
+    return STOPWORD_SET

@@ -9,6 +9,7 @@ comparison at sf0.01.
 from __future__ import annotations
 
 import math
+import pathlib
 
 import duckdb
 import pandas as pd
@@ -56,12 +57,25 @@ def _sql_oracle_names() -> list[str]:
     return sorted(entrymod.oracle_sql().keys())
 
 
+@pytest.fixture(scope="session")
+def kg_export(ray_session):
+    """Materialize the KG stage tables at this suite's sf for the oracles."""
+    from promptner_ray.pipelines.export import ensure_kg_export
+
+    return ensure_kg_export(SF_DIR)
+
+
 @pytest.mark.parametrize("name", _sql_oracle_names())
-def test_query_matches_duckdb_oracle(ray_session, name: str) -> None:
+def test_query_matches_duckdb_oracle(ray_session, kg_export, name: str) -> None:
     import __ray_entry__ as entrymod
 
+    # The driver-facing SQL targets sf0.01; this suite runs the identical
+    # comparison at sf0.001 by rewriting the sf token in paths.
+    sql = entrymod.oracle_sql()[name].replace(
+        entrymod._ORACLE_SF_NAME, pathlib.Path(SF_DIR).name
+    )
     got = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
-    want = _canon(_oracle_con().execute(entrymod.oracle_sql()[name]).df())
+    want = _canon(_oracle_con().execute(sql).df())
 
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
