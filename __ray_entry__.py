@@ -180,6 +180,16 @@ def _kg_eval_f1(sf_dir: str):
     return pd.DataFrame([summary])
 
 
+def _kg_confusion(sf_dir: str):
+    """Token-level confusion matrix of detected vs gold tags (G7)."""
+    import ray
+
+    from promptner_ray.pipelines.eval import confusion_counts
+
+    gold = ray.data.read_parquet(str(_corpus_root(sf_dir) / "gold"))
+    return confusion_counts(_kg_detected(sf_dir), gold, num_partitions=4)
+
+
 def _knn_ivf(sf_dir: str):
     """IVF ANN: sample-trained centroids, ingest-time cell assignment,
     candidate-pruned top-k probe."""
@@ -328,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["weight", "subj_id", "pred", "obj_id"],
             descending=[True, False, False, False],
         ).limit(50),
+        "kg_confusion": _kg_confusion,
         # rows-only: scalar metric summaries whose gate is the in-repo
         # single-process oracle (tests/test_pipeline_e2e.py)
         "kg_eval": _kg_eval,
@@ -752,6 +763,40 @@ def oracle_sql() -> dict[str, str]:
             FROM named
             ORDER BY weight DESC, subj_id, pred, obj_id
             LIMIT 50
+        """,
+        # token-level confusion matrix: predicted BIO reconstructed in SQL
+        # from mention spans, truth from the corpus gold table
+        "kg_confusion": f"""
+            WITH det AS (SELECT url, sent_id, text, mentions
+                         FROM read_parquet('{_EXPORT}/detected/part=*/*.parquet')),
+            tokens AS (
+              SELECT url, sent_id,
+                     unnest(generate_series(
+                       0, len(string_split(text, ' ')) - 1)) AS pos
+              FROM det),
+            spans AS (
+              SELECT url, sent_id, men.mtype, men.span_start, men.span_end
+              FROM (SELECT url, sent_id, unnest(mentions) AS men FROM det)),
+            pred AS (
+              SELECT t.url, t.sent_id, t.pos,
+                     coalesce(
+                       CASE WHEN contains(s.mtype, '-') THEN s.mtype
+                            WHEN t.pos = s.span_start THEN 'B-' || s.mtype
+                            ELSE 'I-' || s.mtype END,
+                       'O') AS pred_tag
+              FROM tokens t LEFT JOIN spans s
+                ON t.url = s.url AND t.sent_id = s.sent_id
+               AND t.pos >= s.span_start AND t.pos < s.span_end),
+            gold AS (
+              SELECT url, sent_id, unnest(bio) AS truth_tag,
+                     generate_subscripts(bio, 1) - 1 AS pos
+              FROM read_parquet(
+                '/tmp/promptner_corpus/{_ORACLE_SF_NAME}/gold/*.parquet'))
+            SELECT g.truth_tag AS truth, p.pred_tag AS pred,
+                   count(*)::BIGINT AS n
+            FROM gold g JOIN pred p
+              ON g.url = p.url AND g.sent_id = p.sent_id AND g.pos = p.pos
+            GROUP BY 1, 2
         """,
     }
 

@@ -6,6 +6,7 @@ Subcommands::
     run     --input CORPUS_ROOT --out DIR [--task conll] [--lang en]
             [--wave-size K] [--max-waves W] [--skip-graph]
     eval    --input CORPUS_ROOT --out DIR        # span-F1 vs corpus gold
+    save    --input SPLIT_DIR --out DIR          # IOB2 + 5-shot export (S11)
     bench   (use bench.py at the repo root instead)
 
 The driver owns the Ray session: ``main()`` initialises Ray only when no
@@ -47,6 +48,32 @@ def cmd_run(args: argparse.Namespace) -> dict:
     )
     if not args.skip_graph and args.max_waves is None:
         summary.update(run_graph(args.out))
+    return summary
+
+
+def cmd_save(args: argparse.Namespace) -> dict:
+    """S11 per-split export (reference ``save``, ``data.py:378-386``):
+    each ``<split>.txt`` IOB2 file in ``--input`` is rewritten under
+    ``--out`` (``validation`` renamed ``dev``, reference data.py:381-383)
+    together with a seeded ``5shot<split>.txt`` subset covering every
+    entity type (``sample_all_types``, reference data.py:385-386)."""
+    import pathlib
+
+    from .kernels.autogen import sample_all_types
+    from .sources.iob2 import read_iob2, write_iob2
+
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    summary: dict = {}
+    for split_file in sorted(pathlib.Path(args.input).glob("*.txt")):
+        split = split_file.stem
+        if split == "validation":
+            split = "dev"
+        rows = read_iob2(str(split_file)).take_all()  # NER splits are small
+        write_iob2(rows, out / f"{split}.txt")
+        shot = sample_all_types(rows, min_k=args.min_k, seed=args.seed)
+        write_iob2(shot, out / f"5shot{split}.txt")
+        summary[split] = {"sentences": len(rows), "5shot": len(shot)}
     return summary
 
 
@@ -93,9 +120,22 @@ def main(argv: list[str] | None = None) -> dict:
     ep.add_argument("--task", default="conll")
     ep.add_argument("--lang", default="en")
 
+    vp = sub.add_parser(
+        "save", help="per-split IOB2 export + seeded 5-shot subsets"
+    )
+    vp.add_argument("--input", required=True, help="dir of <split>.txt files")
+    vp.add_argument("--out", required=True)
+    vp.add_argument("--min-k", type=int, default=5)
+    vp.add_argument("--seed", type=int, default=42)
+
     args = ap.parse_args(argv)
     _ensure_ray()
-    out = {"synth": cmd_synth, "run": cmd_run, "eval": cmd_eval}[args.cmd](args)
+    out = {
+        "synth": cmd_synth,
+        "run": cmd_run,
+        "eval": cmd_eval,
+        "save": cmd_save,
+    }[args.cmd](args)
     print(json.dumps(out, default=str))
     return out
 

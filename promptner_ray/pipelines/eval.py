@@ -95,21 +95,6 @@ def _f1_partial_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _f1_merge_group(group: pa.Table) -> pa.Table:
-    return pa.table(
-        {
-            "etype": group.column("etype").slice(0, 1),
-            "tp": pa.array(
-                [sum(group.column("tp").to_pylist())], type=pa.int64()
-            ),
-            "n_pred": pa.array(
-                [sum(group.column("n_pred").to_pylist())], type=pa.int64()
-            ),
-            "n_truth": pa.array(
-                [sum(group.column("n_truth").to_pylist())], type=pa.int64()
-            ),
-        }
-    )
 
 
 def f1_counts(detected, gold, num_partitions: int = 8):
@@ -129,9 +114,14 @@ def f1_counts(detected, gold, num_partitions: int = 8):
         num_partitions=num_partitions,
         on=("url", "sent_id"),
     )
+    from ray.data.aggregate import Sum
+
     partials = joined.map_batches(_f1_partial_batch, batch_format="pyarrow")
-    return partials.groupby("etype").map_groups(
-        _f1_merge_group, batch_format="pyarrow"
+    merged = partials.groupby("etype").aggregate(
+        Sum("tp"), Sum("n_pred"), Sum("n_truth")
+    )
+    return merged.rename_columns(
+        {"sum(tp)": "tp", "sum(n_pred)": "n_pred", "sum(n_truth)": "n_truth"}
     )
 
 
@@ -174,3 +164,146 @@ def evaluate_f1(detected, gold, num_partitions: int = 8) -> dict:
         for r in tbl.itertuples()
     }
     return prf_from_counts(counts)
+
+
+# ---------------------------------------------------------------------------
+# G7 analytics: confusion matrix + metric correlations
+# (reference ``analytics``, eval.py:74-97 — sklearn confusion_matrix +
+# ``d.corr()["f1"]`` — re-expressed as distributed partial aggregates)
+# ---------------------------------------------------------------------------
+
+def analytics_batch(batch: pa.Table) -> pa.Table:
+    """results rows → + (text_len, n_entities) feature columns
+    (reference eval.py:75-76)."""
+    import pyarrow.compute as pc
+
+    lens = pa.array(
+        [len(t.split(" ")) for t in batch.column("text").to_pylist()],
+        type=pa.int64(),
+    )
+    ents = pc.list_value_length(batch.column("entities")).cast(pa.int64())
+    return batch.append_column("text_len", lens).append_column(
+        "n_entities", ents
+    )
+
+
+def _confusion_partial_batch(batch: pa.Table) -> pa.Table:
+    """(truth-tags, pred-tags) rows → per-block (truth, pred, n) counts."""
+    counts: Counter[tuple[str, str]] = Counter()
+    for truth, pred in zip(
+        batch.column("bio").to_pylist(), batch.column("pred_bio").to_pylist()
+    ):
+        t_tags = truth.split(" ") if isinstance(truth, str) else list(truth)
+        p_tags = pred.split(" ") if isinstance(pred, str) else list(pred)
+        counts.update(zip(t_tags, p_tags))
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "truth": pa.array([k[0] for k in keys], type=pa.string()),
+            "pred": pa.array([k[1] for k in keys], type=pa.string()),
+            "n": pa.array([counts[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+def confusion_counts(detected, gold, num_partitions: int = 8):
+    """Token-level confusion table (truth, pred, n), fully distributed.
+
+    Long-form equivalent of the reference's sklearn
+    ``confusion_matrix(truths, preds)`` (eval.py:93): join gold and
+    predicted BIO per sentence, count tag pairs per block, native grouped
+    Sum.  Pivot driver-side with :func:`confusion_matrix_df` when a square
+    matrix is wanted (one row per tag pair — constant-size output).
+    """
+    from ray.data.aggregate import Sum
+
+    preds = detected.map_batches(pred_bio_batch, batch_format="pyarrow")
+    gold_sel = gold.select_columns(["url", "sent_id", "bio"]).map_batches(
+        _gold_bio_str_batch, batch_format="pyarrow"
+    )
+    joined = gold_sel.join(
+        preds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("url", "sent_id"),
+    )
+    partials = joined.map_batches(
+        _confusion_partial_batch, batch_format="pyarrow"
+    )
+    merged = partials.groupby(["truth", "pred"]).aggregate(Sum("n"))
+    return merged.rename_columns({"sum(n)": "n"})
+
+
+def confusion_matrix_df(confusion_ds):
+    """Pivot the long-form confusion table to the square (labels × labels)
+    frame the reference displays (tiny post-aggregate table)."""
+    df = confusion_ds.to_pandas()
+    labels = sorted(set(df["truth"]) | set(df["pred"]))
+    return (
+        df.pivot_table(
+            index="truth", columns="pred", values="n", fill_value=0
+        )
+        .reindex(index=labels, columns=labels, fill_value=0)
+        .astype(int)
+    )
+
+
+def _corr_partial_batch(batch: pa.Table, cols: tuple, target: str) -> pa.Table:
+    """Per-block moment sums for Pearson corr of each col against target."""
+    import numpy as np
+
+    y = batch.column(target).to_numpy(zero_copy_only=False).astype(float)
+    names, ns, sx, sy, sxy, sxx, syy = [], [], [], [], [], [], []
+    for c in cols:
+        x = batch.column(c).to_numpy(zero_copy_only=False).astype(float)
+        names.append(c)
+        ns.append(len(x))
+        sx.append(float(x.sum()))
+        sy.append(float(y.sum()))
+        sxy.append(float((x * y).sum()))
+        sxx.append(float((x * x).sum()))
+        syy.append(float((y * y).sum()))
+    return pa.table(
+        {
+            "col": pa.array(names, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+            "sx": pa.array(sx, type=pa.float64()),
+            "sy": pa.array(sy, type=pa.float64()),
+            "sxy": pa.array(sxy, type=pa.float64()),
+            "sxx": pa.array(sxx, type=pa.float64()),
+            "syy": pa.array(syy, type=pa.float64()),
+        }
+    )
+
+
+def f1_correlations(
+    results_ds,
+    cols: tuple = ("text_len", "n_entities"),
+    target: str = "f1",
+) -> dict[str, float]:
+    """Pearson correlation of each feature column against ``target``
+    (reference ``d.corr()["f1"]``, eval.py:92) from distributed moment
+    sums — one pass, constant-size driver reduction."""
+    import math as _math
+
+    from ray.data.aggregate import Sum
+
+    partials = results_ds.map_batches(
+        _corr_partial_batch,
+        fn_kwargs={"cols": tuple(cols), "target": target},
+        batch_format="pyarrow",
+    )
+    agg = partials.groupby("col").aggregate(
+        Sum("n"), Sum("sx"), Sum("sy"), Sum("sxy"), Sum("sxx"), Sum("syy")
+    ).to_pandas()
+    out = {}
+    for r in agg.itertuples():
+        n = r[2]
+        sx, sy, sxy, sxx, syy = r[3], r[4], r[5], r[6], r[7]
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        out[r.col] = (
+            cov / _math.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+        )
+    return out

@@ -27,3 +27,20 @@ def ray_session():
 @pytest.fixture(scope="session")
 def fixtures_dir() -> pathlib.Path:
     return FIXTURES
+
+
+CORPUS_N_DOCS = 96
+CORPUS_SEED = 42
+CORPUS_SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def corpus_root(ray_session, tmp_path_factory) -> pathlib.Path:
+    from promptner_ray.sources.corpus import ensure_corpus
+
+    return ensure_corpus(
+        tmp_path_factory.mktemp("corpus"),
+        n_docs=CORPUS_N_DOCS,
+        seed=CORPUS_SEED,
+        sf_dir=CORPUS_SF_DIR,
+    )

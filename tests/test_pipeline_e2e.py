@@ -13,15 +13,6 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def corpus_root(ray_session, tmp_path_factory) -> pathlib.Path:
-    from promptner_ray.sources.corpus import ensure_corpus
-
-    return ensure_corpus(
-        tmp_path_factory.mktemp("corpus"), n_docs=N_DOCS, seed=SEED, sf_dir=SF_DIR
-    )
-
-
-@pytest.fixture(scope="session")
 def kg_out(ray_session, corpus_root, tmp_path_factory) -> pathlib.Path:
     from promptner_ray.pipelines.kg import KGConfig, run_kg
 
