@@ -28,7 +28,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 SHINGLE_N = 3
-PAIR_JOIN_PARTITIONS = 16
+
+
+def _pair_join_partitions() -> int:
+    """Join partitions sized to the cluster: aggregator actors reserve
+    0.125 CPU per partition and dedup plans run a join PLUS hash-shuffle
+    aggregations concurrently — a fixed large constant starves small
+    sessions' task CPUs (observed deadlock at 4 CPUs with 16 partitions).
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus // 2)
 
 
 def shingle_set(text: str, n: int = SHINGLE_N) -> set[str]:
@@ -47,7 +58,12 @@ def _rename(ds, mapping: dict[str, str]):
 # ---------------------------------------------------------------------------
 
 def exact_partial_batch(batch: pa.Table) -> pa.Table:
-    """Map-side combine: (fp, min doc_id, count) per block."""
+    """Map-side combine: (fp, min doc_id, count) per block.
+
+    ``fp_key`` is the hex hash reinterpreted as int64 — the numeric
+    partition key for the downstream ``shuffle.hash_grouped`` exchange
+    (the string column stays the output/group key).
+    """
     agg: dict[str, list[int]] = {}
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
@@ -62,6 +78,10 @@ def exact_partial_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "fp": pa.array(list(agg.keys()), type=pa.string()),
+            "fp_key": pa.array(
+                [int(k[:16], 16) - (1 << 63) for k in agg.keys()],
+                type=pa.int64(),
+            ),
             "doc_id": pa.array([v[0] for v in agg.values()], type=pa.int64()),
             "n_dups": pa.array([v[1] for v in agg.values()], type=pa.int64()),
         }
@@ -71,26 +91,35 @@ def exact_partial_batch(batch: pa.Table) -> pa.Table:
 def exact_dedup(docs):
     """documents → (fp, doc_id=keeper, n_dups): one row per distinct text.
 
-    Map-side combine then a native grouped Min/Sum — the final exchange
-    moves one row per distinct hash per block, never raw rows.
+    Map-side combine then a hash-partitioned Arrow grouped Min/Sum
+    (``shuffle.hash_grouped`` — keys are high-cardinality content hashes,
+    so the per-block C++ combine beats Ray's row-iterating aggregate) —
+    the exchange moves one row per distinct hash per block, never raw rows.
     """
-    from ray.data.aggregate import Min, Sum
+    from ..shuffle import hash_grouped
 
     partials = docs.map_batches(exact_partial_batch, batch_format="pyarrow")
-    merged = partials.groupby("fp").aggregate(Min("doc_id"), Sum("n_dups"))
-    return _rename(merged, {"min(doc_id)": "doc_id", "sum(n_dups)": "n_dups"})
+    return hash_grouped(
+        partials,
+        ["fp"],
+        [("doc_id", "min"), ("n_dups", "sum")],
+        rename={"doc_id_min": "doc_id", "n_dups_sum": "n_dups"},
+        hash_cols=["fp_key"],
+    )
 
 
 # ---------------------------------------------------------------------------
 # Candidate pairs via hash self-join on a blocking key
 # ---------------------------------------------------------------------------
 
-def _self_join_pairs(keyed, key: str, num_partitions: int = PAIR_JOIN_PARTITIONS):
+def _self_join_pairs(keyed, key: str, num_partitions: int | None = None):
     """(key, doc_id) rows → ordered candidate pairs (doc_a < doc_b).
 
     Arrow hash join on the blocking key; the a<b filter is a vectorized
     kernel.  Replaces per-group Python pair loops.
     """
+    if num_partitions is None:
+        num_partitions = _pair_join_partitions()
     joined = keyed.join(
         keyed,
         join_type="inner",
@@ -114,10 +143,11 @@ def _self_join_pairs(keyed, key: str, num_partitions: int = PAIR_JOIN_PARTITIONS
 
 
 def _distinct_pairs(pairs):
-    """Distinct (doc_a, doc_b) via native multi-key grouped count."""
-    return pairs.groupby(["doc_a", "doc_b"]).count().select_columns(
-        ["doc_a", "doc_b"]
-    )
+    """Distinct (doc_a, doc_b): hash-partition by pair, Arrow-distinct per
+    block (empty aggregate list = distinct keys)."""
+    from ..shuffle import hash_grouped
+
+    return hash_grouped(pairs, ["doc_a", "doc_b"], [])
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +280,8 @@ def jaccard_pairs(docs, threshold: float = 0.6):
     doc-count × 16 bytes fits a worker heap.
     """
     import ray
-    from ray.data.aggregate import Sum
+
+    from ..shuffle import hash_grouped
 
     sizes_df = (
         docs.map_batches(_shingle_size_batch, batch_format="pyarrow")
@@ -262,14 +293,19 @@ def jaccard_pairs(docs, threshold: float = 0.6):
         (ids[order], sizes_df["sz"].to_numpy()[order])
     )
 
-    sh = docs.map_batches(_shingle_hash_rows_batch, batch_format="pyarrow")
+    # materialize ONCE (object store, not driver): the self-join consumes
+    # this dataset as both sides, and without pinning the blocks the
+    # shingle+hash extraction lineage would execute once per side
+    sh = docs.map_batches(
+        _shingle_hash_rows_batch, batch_format="pyarrow"
+    ).materialize()
     cooc = _self_join_pairs(sh, "h")
-    ninter = (
-        cooc.map_batches(_pair_count_partial, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("n"))
+    ninter = hash_grouped(
+        cooc.map_batches(_pair_count_partial, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
+        [("n", "sum")],
+        rename={"n_sum": "n"},
     )
-    ninter = _rename(ninter, {"sum(n)": "n"})
     return ninter.map_batches(
         _JaccardScorer,
         fn_constructor_kwargs={"sizes_ref": sizes_ref, "threshold": threshold},
@@ -422,7 +458,7 @@ def simhash_pairs(docs, max_hamming: int = 3):
         raise ValueError(
             f"max_hamming={max_hamming} outside the blockable range [0, 31]"
         )
-    from ray.data.aggregate import Min
+    from ..shuffle import hash_grouped
 
     sims = docs.map_batches(simhash_batch, batch_format="pyarrow")
     chunks = sims.map_batches(
@@ -433,7 +469,7 @@ def simhash_pairs(docs, max_hamming: int = 3):
     joined = chunks.join(
         chunks,
         join_type="inner",
-        num_partitions=PAIR_JOIN_PARTITIONS,
+        num_partitions=_pair_join_partitions(),
         on=("bucket",),
         left_suffix="",
         right_suffix="_r",
@@ -466,5 +502,9 @@ def simhash_pairs(docs, max_hamming: int = 3):
         )
 
     cand = joined.map_batches(verify, batch_format="pyarrow")
-    deduped = cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
-    return _rename(deduped, {"min(hamming)": "hamming"})
+    return hash_grouped(
+        cand,
+        ["doc_a", "doc_b"],
+        [("hamming", "min")],
+        rename={"hamming_min": "hamming"},
+    )

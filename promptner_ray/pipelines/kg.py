@@ -165,36 +165,26 @@ def links(mentions_ds):
     return agg.map_batches(unpack_link_rows, batch_format="pyarrow")
 
 
-def _edge_recombine(batch: pa.Table) -> pa.Table:
-    """Second-level combine: merge many partial blocks with Arrow's native
-    group_by so the final Ray exchange sees near-distinct rows only."""
-    out = batch.group_by(["subj_id", "pred", "obj_id"]).aggregate(
-        [("w", "sum")]
-    )
-    return pa.table(
-        {
-            "subj_id": out.column("subj_id"),
-            "pred": out.column("pred"),
-            "obj_id": out.column("obj_id"),
-            "w": out.column("w_sum").cast(pa.int64()),
-        }
-    )
-
-
 def edges(triples_ds):
-    """Three-level edge dedup/weighting: vectorized map-side combine per
-    block → coalesced Arrow-native recombine → tiny Ray grouped Sum.  The
+    """Two-level edge dedup/weighting: vectorized map-side combine per
+    block, then a hash-partitioned Arrow grouped Sum
+    (``shuffle.hash_grouped`` — edge keys are high-cardinality, so the
+    per-block C++ combine replaces Ray's row-iterating aggregate).  The
     all-to-all exchange only ever moves (near-)distinct edge rows."""
-    from ray.data.aggregate import Sum
+    from ..shuffle import hash_grouped
 
     partials = triples_ds.map_batches(
         partial_edge_counts, batch_format="pyarrow"
     )
-    combined = partials.repartition(8).map_batches(
-        _edge_recombine, batch_format="pyarrow", batch_size=None
+    return hash_grouped(
+        partials,
+        ["subj_id", "pred", "obj_id"],
+        [("w", "sum")],
+        rename={"w_sum": "weight"},
+        # partition on the numeric endpoints only — a function of the
+        # group key, which is all correctness needs
+        hash_cols=["subj_id", "obj_id"],
     )
-    agg = combined.groupby(["subj_id", "pred", "obj_id"]).aggregate(Sum("w"))
-    return agg.rename_columns({"sum(w)": "weight"})
 
 
 def named_edges(edges_ds, nodes_by_id_ref):

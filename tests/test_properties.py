@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 
 from promptner_ray.kernels.bio import bio_entities, decode_bio, span_prf_counts
 from promptner_ray.kernels.cleaning import (
+    _PUNCT,
     clean_answers,
     normalize_surface,
     split_phrase_answers,
@@ -80,9 +81,21 @@ def test_decode_bio_entities_are_substrings(tokens, tags) -> None:
 
 @given(st.text(max_size=60))
 @settings(max_examples=300, deadline=None)
-def test_normalize_surface_idempotent(s: str) -> None:
+def test_normalize_surface_invariants(s: str) -> None:
+    """The reference's ``is_eq`` key (lower → strip → strip punct → strip)
+    is deliberately a SINGLE fixed pass, not a fixpoint: alternating
+    whitespace/punct layers ("0:\\r:") keep peeling under re-application,
+    exactly as in the reference (eval.py:20-21).  The invariants the
+    engine relies on: lowercase output, no surrounding whitespace, and
+    determinism (equal inputs → equal keys)."""
     once = normalize_surface(s)
-    assert normalize_surface(once) == once
+    assert once == once.strip()
+    assert once == once.lower()
+    assert normalize_surface(s) == once  # deterministic/pure
+    # and for surfaces the pipeline actually produces (space-joined word
+    # tokens), one pass IS stable
+    if once and once.strip(_PUNCT) == once:
+        assert normalize_surface(once) == once
 
 
 @given(st.lists(st.text(min_size=1, max_size=20), max_size=10))
