@@ -205,6 +205,19 @@ def _knn_ivf(sf_dir: str):
     )
 
 
+def _cosine_pairs_ivf(sf_dir: str):
+    """Near-dup pairs via IVF-cell self-join — no corpus broadcast."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    cent_ref = ray.put(similarity.train_centroids(sf_dir))
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_pairs_ivf(
+        emb, cent_ref, threshold=COSINE_THRESHOLD
+    )
+
+
 def _events_asof(sf_dir: str):
     import ray
 
@@ -304,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf), _qref(sf), k=KNN_K
         ),
         "embed_knn_ivf": _knn_ivf,
+        "embed_cosine_pairs_ivf": _cosine_pairs_ivf,
         # --- multimodal plumbing (documents-as-binary) ---------------
         "multimodal_features": lambda sf: multimodal.media_features(
             _docs(sf)

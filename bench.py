@@ -133,6 +133,7 @@ def _operator_suite() -> dict[str, float]:
         "dedup_simhash_pairs",
         "embed_knn",
         "embed_knn_lsh",
+        "embed_knn_ivf",
         "embed_cosine_pairs",
         "multimodal_features",
         "lineitem_stats",

@@ -5,7 +5,11 @@
   matmul against it and emits a per-batch partial top-k, merged by a tiny
   ``groupby(qid)`` — the canonical broadcast + partial-topk plan.
 - :func:`cosine_pairs` — all-pairs near-dup baseline (broadcast full
-  matrix; quadratic — the documented small-side baseline).
+  matrix; quadratic — the documented small-side baseline, kept because it
+  is the exact oracle-checked reference implementation).
+- :func:`cosine_pairs_ivf` — the near-dup SCALE path: IVF-cell self-join
+  candidates (top-2 cells per vector), exact in-join cosine verification,
+  no broadcast of the corpus anywhere.
 - :func:`knn_ivf` — IVF (inverted-file) ANN, the primary scale path:
   spherical k-means centroids trained on a bounded sample, ingest-time
   cell assignment (:func:`ivf_assign`), queries probe their nprobe
@@ -432,4 +436,147 @@ def knn_ivf(
     )
     return partials.groupby("qid").map_groups(
         _topk_final(k), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed near-dup pairs: the scale path for cosine_pairs
+# ---------------------------------------------------------------------------
+
+PAIR_ASSIGN_CELLS = 2
+
+
+class _CellRowEmitter:
+    """embeddings → one row per (cell, vec_id, packed embedding) for each
+    of the vector's top ``n_assign`` cells.  Embeddings travel as packed
+    float32 binary because Arrow's hash join accepts binary payloads but
+    not list<> columns."""
+
+    def __init__(self, cent_ref, n_assign: int) -> None:
+        import ray
+
+        self.cent = ray.get(cent_ref)
+        self.n_assign = n_assign
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        norm = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        scores = (mat / norm) @ self.cent.T
+        top = np.argsort(-scores, axis=1)[:, : self.n_assign]
+        n, a = len(ids), self.n_assign
+        packed = [mat[i].astype(np.float32).tobytes() for i in range(n)]
+        return pa.table(
+            {
+                "cell": pa.array(
+                    top.reshape(-1).astype(np.int32), type=pa.int32()
+                ),
+                "vec_id": pa.array(np.repeat(ids, a), type=pa.int64()),
+                "emb": pa.array(
+                    [packed[i] for i in range(n) for _ in range(a)],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+
+def _verify_pair_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """Joined candidate rows → exact-cosine-verified ordered pairs."""
+    import pyarrow.compute as pc
+
+    kept = batch.filter(
+        pc.less(batch.column("vec_id"), batch.column("vec_id_r"))
+    )
+    if len(kept) == 0:
+        return pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+            }
+        )
+    ea = np.stack(
+        [
+            np.frombuffer(b, dtype=np.float32).astype(np.float64)
+            for b in kept.column("emb").to_pylist()
+        ]
+    )
+    eb = np.stack(
+        [
+            np.frombuffer(b, dtype=np.float32).astype(np.float64)
+            for b in kept.column("emb_r").to_pylist()
+        ]
+    )
+    cos = (ea * eb).sum(axis=1) / (
+        np.linalg.norm(ea, axis=1) * np.linalg.norm(eb, axis=1)
+    )
+    keep = cos >= threshold
+    return pa.table(
+        {
+            "vec_a": pa.array(
+                kept.column("vec_id").to_numpy(zero_copy_only=False)[keep],
+                type=pa.int64(),
+            ),
+            "vec_b": pa.array(
+                kept.column("vec_id_r").to_numpy(zero_copy_only=False)[keep],
+                type=pa.int64(),
+            ),
+            "cos": pa.array(cos[keep], type=pa.float64()),
+        }
+    )
+
+
+def cosine_pairs_ivf(
+    embeddings,
+    cent_ref,
+    threshold: float = 0.4,
+    n_assign: int = PAIR_ASSIGN_CELLS,
+    num_partitions: int | None = None,
+):
+    """Near-dup pairs WITHOUT any broadcast of the corpus matrix.
+
+    Candidate generation is an IVF-cell self-join (each vector indexed
+    under its ``n_assign`` nearest cells, so near pairs that straddle one
+    cell boundary still collide), verification is an exact vectorized
+    cosine inside the join output, and the final distinct-pair collapse is
+    a ``shuffle.hash_grouped`` Min.  Per-worker memory is one cell
+    partition, never the corpus — this is the plan that replaces
+    :func:`cosine_pairs`' broadcast at 10^12 rows.  Approximate in the
+    same sense as MinHash banding (a pair whose cells are all disjoint is
+    missed); the recall gate lives in tests/test_similarity_recall.py.
+    """
+    from ..shuffle import hash_grouped
+
+    if num_partitions is None:
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        num_partitions = max(2, cpus // 2)
+    keyed = embeddings.map_batches(
+        _CellRowEmitter,
+        fn_constructor_kwargs={"cent_ref": cent_ref, "n_assign": n_assign},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    joined = keyed.join(
+        keyed,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("cell",),
+        left_suffix="",
+        right_suffix="_r",
+    )
+    verified = joined.map_batches(
+        _verify_pair_batch,
+        fn_kwargs={"threshold": threshold},
+        batch_format="pyarrow",
+    )
+    return hash_grouped(
+        verified,
+        ["vec_a", "vec_b"],
+        [("cos", "min")],
+        rename={"cos_min": "cos"},
     )

@@ -127,6 +127,35 @@ def test_lsh_pruning_and_recall_floor(ray_session, clustered):
     assert np.mean(fracs) < 0.25
 
 
+def test_cosine_pairs_ivf_recall(ray_session, clustered):
+    """IVF-bucketed near-dup pairs find ≥90% of the exact threshold pairs
+    on clustered data, with zero corpus broadcast."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    ids, mat, ds = clustered
+    threshold = 0.8
+    cent = similarity.train_centroids_from_matrix(mat[:4096], 64, seed=42)
+    cent_ref = ray.put(cent)
+    got = {
+        (int(r["vec_a"]), int(r["vec_b"]))
+        for r in similarity.cosine_pairs_ivf(
+            ds, cent_ref, threshold=threshold
+        ).take_all()
+    }
+    m = mat  # already unit-norm
+    sims = m @ m.T
+    iu = np.triu_indices(len(ids), k=1)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*[x[sims[iu] >= threshold] for x in iu])
+    }
+    assert exact, "test setup must produce at least some exact pairs"
+    assert not (got - exact), "bucketed pairs must be a subset (exact verify)"
+    assert len(got & exact) / len(exact) >= 0.9
+
+
 def test_ivf_runs_on_driver_table(ray_session):
     """The sf embeddings table (isotropic) still executes end to end."""
     import __ray_entry__ as entrymod
