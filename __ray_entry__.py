@@ -180,6 +180,17 @@ def _kg_eval_f1(sf_dir: str):
     return pd.DataFrame([summary])
 
 
+def _kg_f1_counts(sf_dir: str):
+    """Per-type exact-span (tp, n_pred, n_truth) — the distributed F1 core
+    as an integer table (hash-comparable, unlike the derived ratios)."""
+    import ray
+
+    from promptner_ray.pipelines.eval import f1_counts
+
+    gold = ray.data.read_parquet(str(_corpus_root(sf_dir) / "gold"))
+    return f1_counts(_kg_detected(sf_dir), gold, num_partitions=4)
+
+
 def _kg_confusion(sf_dir: str):
     """Token-level confusion matrix of detected vs gold tags (G7)."""
     import ray
@@ -353,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             descending=[True, False, False, False],
         ).limit(50),
         "kg_confusion": _kg_confusion,
+        "kg_f1_counts": _kg_f1_counts,
         # rows-only: scalar metric summaries whose gate is the in-repo
         # single-process oracle (tests/test_pipeline_e2e.py)
         "kg_eval": _kg_eval,
@@ -811,6 +823,56 @@ def oracle_sql() -> dict[str, str]:
             FROM gold g JOIN pred p
               ON g.url = p.url AND g.sent_id = p.sent_id AND g.pos = p.pos
             GROUP BY 1, 2
+        """,
+        # span-F1 core: truth spans re-derived in SQL from gold BIO tags
+        # (islands technique, B-/dangling-I- semantics matching
+        # kernels.bio.bio_entities), predicted spans from exported
+        # mentions, exact (type, start, end) match counting
+        "kg_f1_counts": f"""
+            WITH det AS (SELECT url, sent_id
+                         FROM read_parquet('{_EXPORT}/detected/part=*/*.parquet')),
+            mrows AS (
+              SELECT d.url, d.sent_id, m.mtype AS ty,
+                     m.span_start AS s, m.span_end AS e
+              FROM (SELECT url, sent_id, unnest(mentions) AS m
+                    FROM read_parquet('{_EXPORT}/detected/part=*/*.parquet'))
+                   AS d(url, sent_id, m)),
+            gpos AS (
+              SELECT g.url, g.sent_id, unnest(g.bio) AS tag,
+                     generate_subscripts(g.bio, 1) - 1 AS pos
+              FROM read_parquet(
+                '/tmp/promptner_corpus/{_ORACLE_SF_NAME}/gold/*.parquet') g
+              JOIN det ON det.url = g.url AND det.sent_id = g.sent_id),
+            nz AS (SELECT *, substr(tag, 3) AS ty FROM gpos
+                   WHERE tag != 'O'),
+            marked AS (
+              SELECT *, CASE WHEN tag LIKE 'B-%' THEN 1
+                             WHEN lag(pos) OVER w IS NULL
+                               OR lag(pos) OVER w != pos - 1
+                               OR lag(ty) OVER w != ty THEN 1
+                             ELSE 0 END AS new_span
+              FROM nz WINDOW w AS (PARTITION BY url, sent_id ORDER BY pos)),
+            tspans AS (
+              SELECT url, sent_id, ty, min(pos) AS s, max(pos) + 1 AS e
+              FROM (SELECT *, sum(new_span) OVER (
+                        PARTITION BY url, sent_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM marked)
+              GROUP BY url, sent_id, ty, sid),
+            tpc AS (
+              SELECT t.ty, count(*) AS tp
+              FROM tspans t JOIN mrows p
+                ON t.url = p.url AND t.sent_id = p.sent_id AND t.ty = p.ty
+               AND t.s = p.s AND t.e = p.e
+              GROUP BY t.ty),
+            ntc AS (SELECT ty, count(*) AS n_truth FROM tspans GROUP BY ty),
+            npc AS (SELECT ty, count(*) AS n_pred FROM mrows GROUP BY ty)
+            SELECT coalesce(ntc.ty, npc.ty) AS etype,
+                   coalesce(tp, 0)::BIGINT AS tp,
+                   coalesce(n_pred, 0)::BIGINT AS n_pred,
+                   coalesce(n_truth, 0)::BIGINT AS n_truth
+            FROM ntc FULL JOIN npc ON ntc.ty = npc.ty
+            LEFT JOIN tpc ON coalesce(ntc.ty, npc.ty) = tpc.ty
         """,
     }
 
