@@ -369,7 +369,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # single-process oracle (tests/test_pipeline_e2e.py)
         "kg_eval": _kg_eval,
         "kg_eval_f1": _kg_eval_f1,
-        # rows-only: second-pass type verification needs the model
         "kg_typed_mentions": _kg_typed_mentions,
     }
 
@@ -727,6 +726,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE text != ''
         """,
         "kg_mentions": f"""
+            SELECT url, sent_id, m.surface AS mention, m.mtype AS mtype,
+                   m.span_start AS span_start, m.span_end AS span_end
+            FROM (SELECT url, sent_id, unnest(mentions) AS m
+                  FROM read_parquet('{_EXPORT}/detected/part=*/*.parquet'))
+        """,
+        # fixed-point invariant: a vocabulary-consistent first pass must
+        # survive second-pass type verification unchanged (every second
+        # opinion agrees, no disputes fire) — so typed mentions must equal
+        # the mentions table exactly; any parser/dispute regression in
+        # stages/typecheck.py breaks this value check.  The dispute and
+        # fallback paths themselves are pinned by unit tests.
+        "kg_typed_mentions": f"""
             SELECT url, sent_id, m.surface AS mention, m.mtype AS mtype,
                    m.span_start AS span_start, m.span_end AS span_end
             FROM (SELECT url, sent_id, unnest(mentions) AS m
