@@ -38,12 +38,11 @@ from ..stages.extract import (
 from ..stages.induce import explode_mentions_batch, induce_triples_batch
 from ..stages.link import (
     EdgeNamer,
+    canonicalize_partition,
     links_to_nodes,
-    make_link_aggregate,
     named_edges_join,
     partial_edge_counts,
     partial_link_counts,
-    unpack_link_rows,
 )
 from ..state import lineage
 
@@ -150,19 +149,23 @@ def triples(det, cfg: KGConfig):
 
 
 def links(mentions_ds):
-    """Canonicalization: ONE int64-keyed exchange with map-side combine.
+    """Canonicalization: ONE int64-hash-partitioned exchange, all C++.
 
     ``partial_link_counts`` collapses each block to per-(hash, surface,
-    mtype) counts; ``make_link_aggregate`` is a mergeable accumulator so
-    Ray combines per key per block BEFORE the shuffle (hot surfaces move
-    as one partial row per block, never raw mentions), then merges and
-    finalizes — no per-group ``map_groups`` Python on a string key.
+    mtype) counts (map-side combine: hot surfaces move as one partial row
+    per block, never raw mentions); the exchange partitions on the int64
+    ``surface_hash``; ``canonicalize_partition`` then resolves EVERY
+    entity of a partition with vectorized grouped sums + lexicographic
+    argmax — no per-entity Python, no string shuffle key.
     """
+    from ..shuffle import hash_partitioned
+
     partials = mentions_ds.map_batches(
         partial_link_counts, batch_format="pyarrow"
     )
-    agg = partials.groupby("surface_hash").aggregate(make_link_aggregate())
-    return agg.map_batches(unpack_link_rows, batch_format="pyarrow")
+    return hash_partitioned(
+        partials, ["surface_hash"], canonicalize_partition
+    )
 
 
 def edges(triples_ds):

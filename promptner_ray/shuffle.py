@@ -43,6 +43,43 @@ def default_partitions() -> int:
     return 8
 
 
+def hash_partitioned(
+    ds,
+    hash_cols: list[str],
+    fn,
+    num_partitions: int | None = None,
+):
+    """Run ``fn`` once per hash partition of ``ds``.
+
+    Appends ``part`` = stable mix of the (numeric) ``hash_cols`` mod N,
+    exchanges on that low-cardinality key, and calls ``fn(block)`` with
+    each partition's full rows (``part`` already dropped).  Any key that
+    is a function of ``hash_cols`` is wholly contained in one block, so a
+    vectorized per-block group computation is global — the building block
+    under :func:`hash_grouped` and the canonicalization stage.
+    """
+    n_parts = num_partitions or default_partitions()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("part", pa.array([], type=pa.int32()))
+        with np.errstate(over="ignore"):
+            acc = np.zeros(len(batch), dtype=np.int64)
+            for i, c in enumerate(hash_cols):
+                col = batch.column(c).to_numpy(zero_copy_only=False)
+                acc = acc * _MIX[i % 3] + col.astype(np.int64) * _MIX[(i + 1) % 3]
+        part = ((acc % n_parts) + n_parts) % n_parts
+        return batch.append_column(
+            "part", pa.array(part.astype(np.int32), type=pa.int32())
+        )
+
+    def run(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns(["part"]))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(run, batch_format="pyarrow")
+
+
 def hash_grouped(
     ds,
     keys: list[str],
@@ -61,24 +98,8 @@ def hash_grouped(
     subset, or a precomputed int64 digest of a string key).
     """
     rename = rename or {}
-    hcols = hash_cols or keys
-    n_parts = num_partitions or default_partitions()
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return batch.append_column("part", pa.array([], type=pa.int32()))
-        with np.errstate(over="ignore"):
-            acc = np.zeros(len(batch), dtype=np.int64)
-            for i, c in enumerate(hcols):
-                col = batch.column(c).to_numpy(zero_copy_only=False)
-                acc = acc * _MIX[i % 3] + col.astype(np.int64) * _MIX[(i + 1) % 3]
-        part = ((acc % n_parts) + n_parts) % n_parts
-        return batch.append_column(
-            "part", pa.array(part.astype(np.int32), type=pa.int32())
-        )
 
     def combine(group: pa.Table) -> pa.Table:
-        group = group.drop_columns(["part"])
         out = group.group_by(keys).aggregate(aggs)
         cols = {k: out.column(k) for k in keys}
         for col, fn in aggs:
@@ -91,5 +112,6 @@ def hash_grouped(
             cols[target] = arr
         return pa.table(cols)
 
-    parted = ds.map_batches(add_part, batch_format="pyarrow")
-    return parted.groupby("part").map_groups(combine, batch_format="pyarrow")
+    return hash_partitioned(
+        ds, hash_cols or keys, combine, num_partitions=num_partitions
+    )

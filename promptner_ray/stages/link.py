@@ -1,19 +1,19 @@
 """Entity canonicalization, linking, and graph aggregation.
 
-Shuffle discipline (SURVEY.md §4.3): every groupby here is TWO-PHASE —
+Shuffle discipline (SURVEY.md §4.3): every aggregation here is TWO-PHASE —
 ``map_batches`` first collapses each block to partial counts (hot keys like
 "England" shrink to one row per block: the map-side combine that stands in
-for salting), then a keyed ``groupby(...).map_groups`` merges the small
-partials.  Entity ids are content-derived (``surface_hash64`` of the
-normalized surface, reference ``eval.py:20-21`` normalization), so
-mention→entity resolution needs NO join at all — triples compute their
-subj/obj ids locally.  The only join in the pipeline (edge naming) is a
-broadcast map over the small nodes table.
+for salting), then ``shuffle.hash_partitioned`` exchanges the partials on
+the int64 entity hash and finishes each partition with vectorized Arrow /
+pandas kernels — no per-entity Python and no string shuffle keys.  Entity
+ids are content-derived (``surface_hash64`` of the normalized surface,
+reference ``eval.py:20-21`` normalization), so mention→entity resolution
+needs NO join at all — triples compute their subj/obj ids locally.  Edge
+naming is a broadcast map while the nodes table is small and a
+hash-shuffle join (:func:`named_edges_join`) past the threshold.
 """
 
 from __future__ import annotations
-
-from collections import Counter
 
 import pyarrow as pa
 
@@ -77,92 +77,79 @@ def partial_link_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-# -- mergeable canonicalization aggregate (no per-group map_groups) ---------
+# -- vectorized per-partition canonicalization ------------------------------
 #
-# Accumulator: (surface_norm, Counter[surface], Counter[mtype], total).
-# Ray's sort-based aggregate combines accumulators MAP-SIDE (one per key per
-# block — hot surfaces like "England" collapse before the exchange), shuffles
-# the int64 surface_hash key, and merges.  ``accumulate_block`` receives one
-# group's partial rows as an Arrow table and folds them vectorized via
-# ``Table.group_by``.
+# Rows are hash-partitioned on the int64 ``surface_hash`` (every entity's
+# partials land wholly in one partition), then each partition canonicalizes
+# ALL its entities in a handful of vectorized kernels: Arrow grouped sums
+# for the per-(entity, surface) / per-(entity, type) counts, a pandas
+# lexicographic sort + drop_duplicates for the (count desc, value asc)
+# argmax — no per-entity Python anywhere.
 
-def _counter_from(block: pa.Table, col: str) -> Counter:
-    out = block.group_by(col).aggregate([("n", "sum")])
-    return Counter(
-        dict(
-            zip(
-                out.column(col).to_pylist(),
-                out.column("n_sum").to_pylist(),
-            )
-        )
-    )
-
-
-def _link_init(_key) -> tuple:
-    return ("", Counter(), Counter(), 0)
-
-
-def _link_acc_block(acc: tuple, block: pa.Table) -> tuple:
-    norm, cs, ct, total = acc
+def canonicalize_partition(block: pa.Table) -> pa.Table:
+    """One hash partition of link partials → links rows (vectorized)."""
     if len(block) == 0:
-        return acc
-    norm = block.column("surface_norm")[0].as_py()
-    cs = cs + _counter_from(block, "surface")
-    ct = ct + _counter_from(block, "mtype")
-    import pyarrow.compute as pc
-
-    total += pc.sum(block.column("n")).as_py()
-    return (norm, cs, ct, total)
-
-
-def _link_merge(a: tuple, b: tuple) -> tuple:
-    return (a[0] or b[0], a[1] + b[1], a[2] + b[2], a[3] + b[3])
-
-
-def _link_finalize(acc: tuple) -> dict:
-    norm, cs, ct, total = acc
-    canonical = min(cs, key=lambda s: (-cs[s], s))
-    etype = min(ct, key=lambda t: (-ct[t], t))
-    return {
-        "surface_norm": norm,
-        "canonical": canonical,
-        "etype": etype,
-        "n_mentions": total,
-    }
-
-
-def make_link_aggregate():
-    from ray.data.aggregate import AggregateFn
-
-    return AggregateFn(
-        init=_link_init,
-        merge=_link_merge,
-        accumulate_block=_link_acc_block,
-        finalize=_link_finalize,
-        name="link",
+        return _LINKS_SCHEMA.empty_table()
+    sc = (
+        block.group_by(["surface_hash", "surface_norm", "surface"])
+        .aggregate([("n", "sum")])
+        .to_pandas()
     )
-
-
-def unpack_link_rows(batch: pa.Table) -> pa.Table:
-    """(surface_hash, link-dict) → the canonical links schema."""
-    hashes = batch.column("surface_hash").to_pylist()
-    links = batch.column("link").to_pylist()
+    tc = (
+        block.group_by(["surface_hash", "mtype"])
+        .aggregate([("n", "sum")])
+        .to_pandas()
+    )
+    canon = (
+        sc.sort_values(
+            ["surface_hash", "n_sum", "surface"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        .drop_duplicates("surface_hash")
+        .set_index("surface_hash")
+    )
+    etype = (
+        tc.sort_values(
+            ["surface_hash", "n_sum", "mtype"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        .drop_duplicates("surface_hash")
+        .set_index("surface_hash")["mtype"]
+    )
+    totals = sc.groupby("surface_hash")["n_sum"].sum()
+    hashes = canon.index.to_numpy()
     return pa.table(
         {
             "surface_norm": pa.array(
-                [d["surface_norm"] for d in links], type=pa.string()
+                canon["surface_norm"].to_numpy(), type=pa.string()
             ),
             "surface_hash": pa.array(hashes, type=pa.int64()),
             "entity_id": pa.array(hashes, type=pa.int64()),
             "canonical": pa.array(
-                [d["canonical"] for d in links], type=pa.string()
+                canon["surface"].to_numpy(), type=pa.string()
             ),
-            "etype": pa.array([d["etype"] for d in links], type=pa.string()),
+            "etype": pa.array(
+                etype.loc[hashes].to_numpy(), type=pa.string()
+            ),
             "n_mentions": pa.array(
-                [d["n_mentions"] for d in links], type=pa.int64()
+                totals.loc[hashes].to_numpy(), type=pa.int64()
             ),
         }
     )
+
+
+_LINKS_SCHEMA = pa.schema(
+    [
+        ("surface_norm", pa.string()),
+        ("surface_hash", pa.int64()),
+        ("entity_id", pa.int64()),
+        ("canonical", pa.string()),
+        ("etype", pa.string()),
+        ("n_mentions", pa.int64()),
+    ]
+)
 
 
 def links_to_nodes(batch: pa.Table) -> pa.Table:
