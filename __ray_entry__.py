@@ -238,6 +238,14 @@ def _events_asof(sf_dir: str):
     return asof.events_asof_orders(_read(sf_dir, "events"), idx_ref)
 
 
+def _events_asof_part(sf_dir: str):
+    from promptner_ray.functions import asof
+
+    return asof.events_asof_orders_partitioned(
+        _read(sf_dir, "events"), _read(sf_dir, "orders")
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: pages → …→ named edge table."""
     return _kg_edges("/root/testdata/sf0.001")
@@ -345,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events")
         ),
         "events_asof_orders": lambda sf: _events_asof(sf),
+        "events_asof_orders_part": _events_asof_part,
         "events_sessions": lambda sf: relational.events_sessions(
             _read(sf, "events")
         ),
@@ -658,6 +667,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, date_trunc('hour', ts)
         """,
         "events_asof_orders": """
+            SELECT e.event_id, e.user_id, o.o_orderdate AS order_ts
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        # the hash-partitioned plan must produce the identical result
+        "events_asof_orders_part": """
             SELECT e.event_id, e.user_id, o.o_orderdate AS order_ts
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
