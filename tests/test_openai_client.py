@@ -81,7 +81,7 @@ def test_completion_roundtrip_matches_stub(mock_server):
     base_url, state, stub = mock_server
     client = make_model("openai", base_url=base_url, api_key="test-key")
     spec = make_task_spec(task="conll")
-    sent = "Joe Blogs visited London on Tuesday"
+    sent = "John Smith visited Paris on Tuesday"
     prompt = spec.prompt.render_completion(sent)
     assert client.generate([prompt]) == stub.generate([prompt])
 
@@ -94,7 +94,7 @@ def test_lazy_completion_prompt_materialized(mock_server):
     base_url, _, stub = mock_server
     client = make_model("openai", base_url=base_url, api_key="test-key")
     spec = make_task_spec(task="conll")
-    lazy = spec.prompt.render_completion_lazy("Joe Blogs visited London")
+    lazy = spec.prompt.render_completion_lazy("John Smith visited Paris")
     assert client.generate([lazy]) == stub.generate([lazy.text])
 
 
@@ -105,7 +105,7 @@ def test_chat_roundtrip_matches_stub(mock_server):
     base_url, _, stub = mock_server
     client = make_model("openai", base_url=base_url, api_key="test-key")
     spec = make_task_spec(task="conll")
-    chat = spec.prompt.render_chat("Joe Blogs visited London")
+    chat = spec.prompt.render_chat("John Smith visited Paris")
     assert client.generate([chat]) == stub.generate([chat])
 
 
@@ -149,7 +149,7 @@ def test_batch_generate_order_preserved(mock_server):
     base_url, _, stub = mock_server
     client = make_model("openai", base_url=base_url, api_key="test-key")
     spec = make_task_spec(task="conll")
-    sents = [f"Joe Blogs visited London {i} times" for i in range(12)]
+    sents = [f"John Smith visited Paris {i} times" for i in range(12)]
     prompts = [spec.prompt.render_completion(s) for s in sents]
     assert client.generate(prompts) == stub.generate(prompts)
 
@@ -166,7 +166,7 @@ def test_detection_e2e_openai_matches_stub(ray_session, mock_server):
 
     base_url, _, _ = mock_server
     rows = [
-        {"url": f"u{i}", "sent_id": 0, "text": f"Joe Blogs visited London {i}"}
+        {"url": f"u{i}", "sent_id": 0, "text": f"John Smith visited Paris {i}"}
         for i in range(8)
     ]
     sents = ray.data.from_items(rows)
@@ -186,4 +186,5 @@ def test_detection_e2e_openai_matches_stub(ray_session, mock_server):
             for r in rows_
         )
 
+    assert any(r["mentions"] for r in via_stub), "stub must detect mentions"
     assert key(via_http) == key(via_stub)
