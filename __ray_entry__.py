@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": lambda sf: relational.events_tumbling(
             _read(sf, "events")
         ),
+        "events_hopping": lambda sf: relational.events_hopping(
+            _read(sf, "events")
+        ),
         "events_asof_orders": lambda sf: _events_asof(sf),
         "events_asof_orders_part": _events_asof_part,
         "events_sessions": lambda sf: relational.events_sessions(
@@ -665,6 +668,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_hopping": """
+            SELECT user_id, make_timestamp(s) AS window_start,
+                   count(*)::BIGINT AS n_events
+            FROM (
+              SELECT user_id, epoch_us(ts) AS tus,
+                     (epoch_us(ts) // 900000000) * 900000000
+                       - j * 900000000 AS s
+              FROM events, UNNEST(generate_series(0, 3)) AS g(j))
+            WHERE s + 3600000000 > tus
+            GROUP BY user_id, make_timestamp(s)
         """,
         "events_asof_orders": """
             SELECT e.event_id, e.user_id, o.o_orderdate AS order_ts

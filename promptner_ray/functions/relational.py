@@ -264,3 +264,67 @@ def lang_counts(docs):
     return partials.groupby("lang").aggregate(Sum("n")).rename_columns(
         {"sum(n)": "n_docs"}
     )
+
+
+# ---------------------------------------------------------------------------
+# events: hopping-window (overlapping) per-user aggregate
+# ---------------------------------------------------------------------------
+
+HOP_SIZE_US = 60 * 60 * 1_000_000       # 1-hour windows
+HOP_EVERY_US = 15 * 60 * 1_000_000      # hopping every 15 minutes
+
+
+def _hopping_partial(
+    batch: pa.Table,
+    size_us: int = HOP_SIZE_US,
+    hop_us: int = HOP_EVERY_US,
+) -> pa.Table:
+    """Each event lands in size/hop overlapping windows: vectorized
+    repeat-assign (numpy), then a native Arrow grouped count per block."""
+    if len(batch) == 0:
+        return _WINDOW_PARTIAL_SCHEMA.empty_table()
+    k = size_us // hop_us  # windows covering each event
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    users = batch.column("user_id").cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    last_start = (ts // hop_us) * hop_us
+    offsets = (np.arange(k, dtype=np.int64) * hop_us)[None, :]
+    starts = (last_start[:, None] - offsets).reshape(-1)
+    keep = starts + size_us > np.repeat(ts, k)  # event inside the window
+    tbl = pa.table(
+        {
+            "user_id": pa.array(np.repeat(users, k)[keep], type=pa.int64()),
+            "window_start": pa.array(
+                starts[keep], type=pa.timestamp("us")
+            ),
+        }
+    )
+    out = tbl.group_by(["user_id", "window_start"]).aggregate(
+        [([], "count_all")]
+    )
+    return pa.table(
+        {
+            "user_id": out.column("user_id"),
+            "window_start": out.column("window_start"),
+            "n": out.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def events_hopping(events):
+    """events → per (user_id, hopping 1h/15min window) event counts.
+
+    The overlapping-window aggregate: each event is assigned to its
+    size/hop covering windows map-side (bounded 4× row expansion, already
+    block-combined), then the same native grouped Sum as the tumbling
+    plan.  No state, no sort — overlap is handled by multi-assignment,
+    which is the scalable encoding of hopping windows.
+    """
+    from ray.data.aggregate import Sum
+
+    partials = events.map_batches(_hopping_partial, batch_format="pyarrow")
+    merged = partials.groupby(["user_id", "window_start"]).aggregate(Sum("n"))
+    return merged.rename_columns({"sum(n)": "n_events"}).select_columns(
+        ["user_id", "window_start", "n_events"]
+    )
