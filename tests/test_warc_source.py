@@ -1,0 +1,46 @@
+"""WARC source: round-trip vs the pages corpus + extraction equivalence."""
+
+from __future__ import annotations
+
+import pathlib
+
+
+def test_warc_roundtrip_and_extraction(ray_session, corpus_root, tmp_path):
+    import pyarrow.dataset as pads
+
+    from promptner_ray.sources.warc import read_warc, write_warc
+    from promptner_ray.stages.extract import extract_text_batch
+
+    pages = (
+        pads.dataset(str(pathlib.Path(corpus_root) / "pages"))
+        .to_table(columns=["url", "warc_ts", "html", "text"])
+        .to_pylist()
+    )
+    # split across two archives (one parse task per file)
+    mid = len(pages) // 2
+    write_warc(pages[:mid], tmp_path / "seg-00000.warc")
+    write_warc(pages[mid:], tmp_path / "seg-00001.warc")
+
+    ds = read_warc([str(tmp_path / "seg-00000.warc"), str(tmp_path / "seg-00001.warc")])
+    rows = {r["url"]: r for r in ds.take_all()}
+    assert len(rows) == len(pages)
+    want = {r["url"]: r for r in pages}
+    for url, r in rows.items():
+        assert r["html"] == want[url]["html"]  # payload byte-identical
+        assert r["warc_ts"] == want[url]["warc_ts"]
+
+    # the WARC-sourced table feeds extraction identically: inject the lang
+    # column (a crawl pipeline derives it downstream) and check byte
+    # identity of extracted text against the corpus ground truth
+    import pyarrow as pa
+
+    def add_lang(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "lang", pa.array(["en"] * len(batch), type=pa.string())
+        )
+
+    extracted = ds.map_batches(add_lang, batch_format="pyarrow").map_batches(
+        extract_text_batch, batch_format="pyarrow"
+    )
+    for r in extracted.take_all():
+        assert r["text"] == want[r["url"]]["text"]
