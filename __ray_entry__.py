@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         multimodal,
         relational,
+        sampling,
         similarity,
         textstats,
     )
@@ -315,6 +316,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.winnow_batch, batch_format="pyarrow"
         ),
         "lang_counts": lambda sf: relational.lang_counts(_docs(sf)),
+        "doc_sample": lambda sf: sampling.hash_sample(
+            _docs(sf).select_columns(["doc_id", "lang"]),
+            key="doc_id",
+            fraction=0.25,
+            seed=7,
+        ),
         # --- dedup (documents) ---------------------------------------
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(
@@ -593,6 +600,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": (
             "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
         ),
+        "doc_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_sql_hash_sample_predicate()}
+        """,
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS doc_id, "
             "count(*)::BIGINT AS n_dups FROM documents GROUP BY md5(text)"
@@ -933,3 +944,9 @@ def _STOPWORD_SET():
     from promptner_ray.kernels.stopwords import STOPWORD_SET
 
     return STOPWORD_SET
+
+
+def _sql_hash_sample_predicate():
+    from promptner_ray.functions.sampling import sql_hash_sample_predicate
+
+    return sql_hash_sample_predicate("doc_id::VARCHAR", 0.25, seed=7)
