@@ -309,6 +309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": lambda sf: _docs(sf).map_batches(
             textstats.explode_tokens_batch, batch_format="pyarrow"
         ),
+        "doc_bpe_tokens": lambda sf: _docs(sf).map_batches(
+            textstats.bpe_token_stats_batch, batch_format="pyarrow"
+        ),
         "doc_langid": lambda sf: _docs(sf).map_batches(
             textstats.langid_batch, batch_format="pyarrow"
         ),
@@ -581,6 +584,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(string_split(text,' ')) AS token "
             "FROM documents"
         ),
+        "doc_bpe_tokens": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_BPE_RE_SQL()}'))::BIGINT
+                     AS n_pretokens
+            FROM documents
+        """,
         "doc_langid": f"""
             WITH s AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
             sc AS (SELECT doc_id,
@@ -944,6 +953,12 @@ def _STOPWORD_SET():
     from promptner_ray.kernels.stopwords import STOPWORD_SET
 
     return STOPWORD_SET
+
+
+def _BPE_RE_SQL():
+    from promptner_ray.functions.textstats import BPE_PRETOKEN_RE
+
+    return BPE_PRETOKEN_RE.replace("'", "''")
 
 
 def _sql_hash_sample_predicate():

@@ -219,3 +219,40 @@ def explode_tokens_batch(batch: pa.Table) -> pa.Table:
             "token": flat,
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# subword-style token counting (BPE-pretokenizer regex)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenization, restricted to ASCII classes so the SAME
+# pattern runs identically under Python `re` and DuckDB's RE2 (the full
+# \p{L} classes need the `regex` module, absent here; the corpus is
+# ASCII).  Runs of letters / digits / punctuation each form one
+# pre-token, optionally absorbing one leading space — the unit LLM token
+# budgets are estimated in.
+BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+_BPE_RE = None
+
+
+def bpe_token_stats_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, n_pretokens): subword-budget estimate per doc.
+
+    Compiled once per worker process (module global), findall per row —
+    the regex engine is the vectorized kernel here.
+    """
+    import re
+
+    global _BPE_RE
+    if _BPE_RE is None:
+        _BPE_RE = re.compile(BPE_PRETOKEN_RE)
+    counts = [
+        len(_BPE_RE.findall(t)) for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_pretokens": pa.array(counts, type=pa.int64()),
+        }
+    )
