@@ -201,6 +201,13 @@ def _kg_confusion(sf_dir: str):
     return confusion_counts(_kg_detected(sf_dir), gold, num_partitions=4)
 
 
+def _doc_clean(sf_dir: str):
+    """C4-style cleaning: quality + language + exact-dedup keep-first."""
+    from promptner_ray.pipelines.corpus_clean import clean_corpus
+
+    return clean_corpus(_read(sf_dir, "documents"))
+
+
 def _knn_ivf(sf_dir: str):
     """IVF ANN: sample-trained centroids, ingest-time cell assignment,
     candidate-pruned top-k probe."""
@@ -319,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.winnow_batch, batch_format="pyarrow"
         ),
         "lang_counts": lambda sf: relational.lang_counts(_docs(sf)),
+        "doc_clean": _doc_clean,
         "doc_sample": lambda sf: sampling.hash_sample(
             _docs(sf).select_columns(["doc_id", "lang"]),
             key="doc_id",
@@ -612,6 +620,49 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_sql_hash_sample_predicate()}
+        """,
+        # composed cleaning pipeline: quality gates + language ID +
+        # exact-dedup keep-first, re-derived independently in SQL
+        "doc_clean": f"""
+            WITH base AS (
+              SELECT doc_id, text, string_split(text, ' ') AS t,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                length(text)::BIGINT AS n_chars,
+                (length(text) - length(
+                   regexp_replace(text, '{punct}', '', 'g')))::BIGINT
+                  AS n_punct,
+                len(list_filter(string_split(text, ' '),
+                    x -> x IN ({stop_list})))::BIGINT AS n_stop
+              FROM documents),
+            sc AS (SELECT doc_id,
+              len(list_filter(t, x -> x IN ({mk['en']}))) AS en,
+              len(list_filter(t, x -> x IN ({mk['de']}))) AS de,
+              len(list_filter(t, x -> x IN ({mk['fr']}))) AS fr,
+              len(list_filter(t, x -> x IN ({mk['es']}))) AS es
+            FROM base),
+            lang AS (SELECT doc_id,
+              CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+                   WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+                   WHEN fr > 0 AND fr >= es THEN 'fr'
+                   WHEN es > 0 THEN 'es'
+                   ELSE 'und' END AS lang_pred
+            FROM sc),
+            gated AS (
+              SELECT b.doc_id, b.n_tokens, l.lang_pred, b.text,
+                (b.n_tokens >= 5 AND b.n_tokens <= 5000
+                 AND (CASE WHEN b.n_chars > 0
+                           THEN b.n_punct::DOUBLE / b.n_chars
+                           ELSE 0.0 END) < 0.3
+                 AND (CASE WHEN b.n_tokens > 0
+                           THEN b.n_stop::DOUBLE / b.n_tokens
+                           ELSE 0.0 END) < 0.5) AS passes
+              FROM base b JOIN lang l USING (doc_id)),
+            keepers AS (
+              SELECT md5(text) AS fp, min(doc_id) AS keeper
+              FROM documents GROUP BY 1)
+            SELECT g.doc_id, g.n_tokens, g.lang_pred
+            FROM gated g JOIN keepers k ON md5(g.text) = k.fp
+            WHERE g.doc_id = k.keeper AND g.passes AND g.lang_pred = 'en'
         """,
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS doc_id, "

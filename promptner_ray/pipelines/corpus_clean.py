@@ -1,0 +1,138 @@
+"""Composed training-data cleaning pipeline (C4-style) over ``documents``.
+
+The standard webtext cleaning recipe as ONE streaming plan — the shape a
+100 TB pretraining-corpus pass actually takes:
+
+1. per-doc feature pass (single fused ``map_batches``): content hash,
+   quality gates (length / punctuation / stopword ratios,
+   reference-free heuristics per :mod:`..functions.textstats`),
+   language ID;
+2. exact-dedup keeper selection: hash-partitioned grouped Min over the
+   int64 content digest (``shuffle.hash_grouped`` — one row per distinct
+   text crosses the exchange);
+3. an int64-keyed hash join of the feature rows against the keeper
+   table, keeping rows that (a) ARE their content's keeper, (b) pass
+   the quality gates, (c) match the target language.
+
+No broadcast of anything corpus-sized; the only all-to-all moves one row
+per distinct content hash plus the join exchange.  Output: one row per
+surviving document with its features — the table a tokenizer/sharder
+would consume next.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.textstats import (
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    PUNCT_RE,
+    STOPWORDS,
+    _per_row_member_counts,
+    _split_tokens,
+)
+
+_FEATURE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("fp_key", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("lang_pred", pa.string()),
+        ("passes", pa.bool_()),
+    ]
+)
+
+
+def doc_features_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, fp_key, n_tokens, lang_pred, passes): every
+    per-doc signal the cleaning decision needs, in one pass."""
+    if len(batch) == 0:
+        return _FEATURE_SCHEMA.empty_table()
+    flat, offsets = _split_tokens(batch)
+    n_tokens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    text_col = batch.column("text")
+    n_chars = pc.utf8_length(text_col).cast(pa.int64()).to_numpy()
+    stripped = pc.replace_substring_regex(text_col, PUNCT_RE, "")
+    n_punct = n_chars - pc.utf8_length(stripped).cast(pa.int64()).to_numpy()
+    n_stop = _per_row_member_counts(flat, offsets, STOPWORDS)
+    punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+    stop_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
+    passes = (
+        (n_tokens >= 5)
+        & (n_tokens <= 5000)
+        & (punct_ratio < 0.3)
+        & (stop_ratio < 0.5)
+    )
+    scores = {
+        lang: _per_row_member_counts(flat, offsets, markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    n = len(batch)
+    preds = np.full(n, "und", dtype=object)
+    best = np.zeros(n, dtype=np.int64)
+    for lang in reversed(LANG_PRIORITY):
+        s = scores[lang]
+        take = (s >= best) & (s > 0)
+        preds[take] = lang
+        best = np.maximum(best, s)
+    fp_keys = [
+        int.from_bytes(
+            hashlib.md5(t.encode("utf-8")).digest()[:8], "big", signed=True
+        )
+        for t in text_col.to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "fp_key": pa.array(fp_keys, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "lang_pred": pa.array(preds.tolist(), type=pa.string()),
+            "passes": pa.array(passes, type=pa.bool_()),
+        }
+    )
+
+
+def clean_corpus(docs, lang: str = "en", num_partitions: int | None = None):
+    """documents → surviving (doc_id, n_tokens, lang_pred) rows."""
+    from ..shuffle import hash_grouped
+
+    feats = docs.map_batches(doc_features_batch, batch_format="pyarrow")
+    keepers = hash_grouped(
+        feats.select_columns(["fp_key", "doc_id"]),
+        ["fp_key"],
+        [("doc_id", "min")],
+        rename={"doc_id_min": "keeper_id"},
+        num_partitions=num_partitions,
+    )
+    if num_partitions is None:
+        import ray
+
+        num_partitions = (
+            max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+            if ray.is_initialized()
+            else 8
+        )
+    joined = feats.join(
+        keepers,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("fp_key",),
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.equal(batch.column("doc_id"), batch.column("keeper_id")),
+                batch.column("passes"),
+            ),
+            pc.equal(batch.column("lang_pred"), lang),
+        )
+        kept = batch.filter(mask)
+        return kept.select(["doc_id", "n_tokens", "lang_pred"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
