@@ -201,6 +201,17 @@ def _kg_confusion(sf_dir: str):
     return confusion_counts(_kg_detected(sf_dir), gold, num_partitions=4)
 
 
+def _dedup_components(sf_dir: str):
+    """Near-dup clusters: MinHash pairs → distributed label propagation."""
+    import ray
+
+    from promptner_ray.functions import dedup
+    from promptner_ray.functions.graphops import connected_components
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return connected_components(dedup.minhash_lsh_pairs(docs))
+
+
 def _doc_clean(sf_dir: str):
     """C4-style cleaning: quality + language + exact-dedup keep-first."""
     from promptner_ray.pipelines.corpus_clean import clean_corpus
@@ -343,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup.simhash_batch, batch_format="pyarrow"
         ),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_pairs(_docs(sf)),
+        "dedup_components": _dedup_components,
         # --- similarity search (embeddings) --------------------------
         "embed_knn": lambda sf: similarity.knn_topk(
             _emb(sf), _qref(sf), k=KNN_K
@@ -566,6 +578,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
           FROM toks, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS g(i)
         )"""
+    minhash_pairs_sql = f"""
+            WITH {shingles},
+            mh AS (
+              SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+              FROM sh, UNNEST(generate_series(0, 11)) AS p(i)
+              GROUP BY doc_id, i),
+            bands AS (
+              SELECT doc_id, i // 3 AS band,
+                     string_agg(h, ',' ORDER BY i) AS sig
+              FROM mh GROUP BY doc_id, i // 3)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        """
     return {
         "doc_token_stats": (
             "SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens, "
@@ -682,20 +709,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE ninter::DOUBLE / (sa.n + sb.n - ninter) >= {JACCARD_THRESHOLD}
         """,
-        "dedup_minhash_lsh": f"""
-            WITH {shingles},
-            mh AS (
-              SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
-              FROM sh, UNNEST(generate_series(0, 11)) AS p(i)
-              GROUP BY doc_id, i),
-            bands AS (
-              SELECT doc_id, i // 3 AS band,
-                     string_agg(h, ',' ORDER BY i) AS sig
-              FROM mh GROUP BY doc_id, i // 3)
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                        AND a.doc_id < b.doc_id
+        "dedup_minhash_lsh": minhash_pairs_sql,
+        # near-dup clusters: min-reachable-id per node via a recursive CTE
+        # — the independent ground truth for the engine's iterative
+        # label-propagation connected components
+        "dedup_components": f"""
+            WITH RECURSIVE prs AS ({minhash_pairs_sql}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM prs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM prs),
+            reach AS (
+              SELECT src AS v, src AS u FROM edges
+              UNION
+              SELECT r.v, e.dst AS u FROM reach r JOIN edges e
+                ON r.u = e.src)
+            SELECT v AS doc_id, min(u)::BIGINT AS component
+            FROM reach GROUP BY v
         """,
         "embed_knn": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

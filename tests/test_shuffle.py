@@ -98,3 +98,24 @@ def test_hash_grouped_string_key_with_digest(ray_session):
         .sort_values("k", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got.astype({"s": "int64"}), want)
+
+
+def test_connected_components_transitive_chain(ray_session):
+    """A chain a-b-c-d plus a separate pair collapses to min-id labels."""
+    import ray
+
+    from promptner_ray.functions.graphops import connected_components
+
+    pairs = ray.data.from_items(
+        [
+            {"doc_a": 10, "doc_b": 11},
+            {"doc_a": 11, "doc_b": 12},
+            {"doc_a": 12, "doc_b": 13},
+            {"doc_a": 50, "doc_b": 60},
+        ]
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).take_all()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 50: 50, 60: 50}
