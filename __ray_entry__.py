@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_pairs(_docs(sf)),
         "dedup_components": _dedup_components,
+        "dedup_minhash_keep": lambda sf: dedup.minhash_dedup(_docs(sf)),
         # --- similarity search (embeddings) --------------------------
         "embed_knn": lambda sf: similarity.knn_topk(
             _emb(sf), _qref(sf), k=KNN_K
@@ -726,6 +727,25 @@ def oracle_sql() -> dict[str, str]:
                 ON r.u = e.src)
             SELECT v AS doc_id, min(u)::BIGINT AS component
             FROM reach GROUP BY v
+        """,
+        # survivors of near-dedup: every doc that is not a non-keeper
+        # member of some component
+        "dedup_minhash_keep": f"""
+            WITH RECURSIVE prs AS ({minhash_pairs_sql}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM prs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM prs),
+            reach AS (
+              SELECT src AS v, src AS u FROM edges
+              UNION
+              SELECT r.v, e.dst AS u FROM reach r JOIN edges e
+                ON r.u = e.src),
+            comp AS (SELECT v AS doc_id, min(u) AS component
+                     FROM reach GROUP BY v)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL OR c.component = d.doc_id
         """,
         "embed_knn": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

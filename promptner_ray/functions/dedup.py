@@ -508,3 +508,48 @@ def simhash_pairs(docs, max_hamming: int = 3):
         [("hamming", "min")],
         rename={"hamming_min": "hamming"},
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dedup: pairs → clusters → deduplicated corpus
+# ---------------------------------------------------------------------------
+
+def minhash_dedup(docs, num_perm: int = NUM_PERM, band_rows: int = BAND_ROWS):
+    """documents → (doc_id,) of survivors after MinHash near-dedup.
+
+    The full dedup story in one plan: LSH banding generates candidate
+    pairs, distributed label propagation (:mod:`.graphops`) resolves
+    transitive clusters, and the corpus is filtered to one keeper (the
+    min doc id) per cluster via a hash join — losers are identified
+    distributively, never collected on the driver (at web scale
+    near-dups can be a third of the corpus).
+    """
+    import pyarrow.compute as pc
+
+    from .graphops import connected_components
+
+    comps = connected_components(
+        minhash_lsh_pairs(docs, num_perm=num_perm, band_rows=band_rows)
+    )
+    def to_losers(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("doc_id"), t.column("component")))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "is_loser": pa.array([True] * len(t), type=pa.bool_()),
+            }
+        )
+
+    losers = comps.map_batches(to_losers, batch_format="pyarrow")
+    joined = docs.select_columns(["doc_id"]).join(
+        losers,
+        join_type="left_outer",
+        num_partitions=_pair_join_partitions(),
+        on=("doc_id",),
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch.column("is_loser"))
+        return batch.filter(mask).select(["doc_id"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")

@@ -69,8 +69,14 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
 
 
 def _parse_files_batch(batch: pa.Table) -> pa.Table:
+    import gzip
+
     rows: list[dict] = []
     for data in batch.column("bytes").to_pylist():
+        if data[:2] == b"\x1f\x8b":  # .warc.gz: Common Crawl's wire format
+            # gzip.decompress handles multi-member streams, so both
+            # whole-file and member-per-record (CC-style) archives work
+            data = gzip.decompress(data)
         rows.extend(parse_warc_bytes(data))
     return pa.table(
         {
@@ -93,8 +99,11 @@ def read_warc(paths: list[str] | str):
     return ds.map_batches(_parse_files_batch, batch_format="pyarrow")
 
 
-def write_warc(rows: list[dict], path: str | pathlib.Path) -> None:
-    """pages-style rows (url, warc_ts, html) → one WARC/1.0 file."""
+def write_warc(
+    rows: list[dict], path: str | pathlib.Path, gzip_file: bool = False
+) -> None:
+    """pages-style rows (url, warc_ts, html) → one WARC/1.0 file
+    (gzip-compressed when ``gzip_file`` or the path ends ``.gz``)."""
     out = bytearray()
     for r in rows:
         html = r["html"]
@@ -115,4 +124,9 @@ def write_warc(rows: list[dict], path: str | pathlib.Path) -> None:
             f"Content-Length: {len(http)}\r\n"
         ).encode("utf-8")
         out += head + _CRLF + http + _CRLF + _CRLF
-    pathlib.Path(path).write_bytes(bytes(out))
+    payload = bytes(out)
+    if gzip_file or str(path).endswith(".gz"):
+        import gzip as _gzip
+
+        payload = _gzip.compress(payload, mtime=0)  # deterministic output
+    pathlib.Path(path).write_bytes(payload)

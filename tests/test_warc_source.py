@@ -44,3 +44,22 @@ def test_warc_roundtrip_and_extraction(ray_session, corpus_root, tmp_path):
     )
     for r in extracted.take_all():
         assert r["text"] == want[r["url"]]["text"]
+
+
+def test_warc_gz_roundtrip(ray_session, corpus_root, tmp_path):
+    import pathlib
+
+    import pyarrow.dataset as pads
+
+    from promptner_ray.sources.warc import read_warc, write_warc
+
+    pages = (
+        pads.dataset(str(pathlib.Path(corpus_root) / "pages"))
+        .to_table(columns=["url", "warc_ts", "html"])
+        .to_pylist()[:20]
+    )
+    write_warc(pages, tmp_path / "seg.warc.gz")
+    rows = {r["url"]: r for r in read_warc(str(tmp_path / "seg.warc.gz")).take_all()}
+    assert len(rows) == 20
+    for p in pages:
+        assert rows[p["url"]]["html"] == p["html"]
