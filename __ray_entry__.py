@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from promptner_ray.functions import (
         dedup,
         multimodal,
+        pii,
         relational,
         sampling,
         similarity,
@@ -326,6 +327,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "doc_tokens": lambda sf: _docs(sf).map_batches(
             textstats.explode_tokens_batch, batch_format="pyarrow"
+        ),
+        # synthetic-PII injection (pure fn of doc_id, mirrored in SQL)
+        # makes the redaction non-trivial on the PII-free sandbox corpus
+        "doc_pii_redact": lambda sf: pii.redact_pii(
+            _docs(sf).map_batches(
+                pii.inject_synthetic_pii_batch, batch_format="pyarrow"
+            ),
+            column="text_pii",
+        ).select_columns(
+            [
+                "doc_id",
+                "text_pii_redacted",
+                "n_email",
+                "n_ssn",
+                "n_phone",
+                "n_ipv4",
+            ]
         ),
         "doc_bpe_tokens": lambda sf: _docs(sf).map_batches(
             textstats.bpe_token_stats_batch, batch_format="pyarrow"
@@ -554,6 +572,19 @@ def _sql_winnow() -> str:
     """
 
 
+def _pii_redact_sql() -> str:
+    from promptner_ray.functions.pii import sql_inject_expr, sql_redact_exprs
+
+    red, counts = sql_redact_exprs("text_pii")
+    return f"""
+        WITH injected AS (
+          SELECT doc_id, {sql_inject_expr("text")} AS text_pii
+          FROM documents)
+        SELECT doc_id, {red} AS text_pii_redacted, {", ".join(counts)}
+        FROM injected
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # The KG oracle SQL reads exported stage tables; materialize them now
     # (cached) so the SQL side works whichever order the driver runs in.
@@ -620,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(string_split(text,' ')) AS token "
             "FROM documents"
         ),
+        "doc_pii_redact": _pii_redact_sql(),
         "doc_bpe_tokens": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '{_BPE_RE_SQL()}'))::BIGINT
