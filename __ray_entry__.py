@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": lambda sf: _docs(sf).map_batches(
             textstats.explode_tokens_batch, batch_format="pyarrow"
         ),
+        "doc_repetition": lambda sf: _docs(sf).map_batches(
+            textstats.repetition_stats_batch, batch_format="pyarrow"
+        ),
         # synthetic-PII injection (pure fn of doc_id, mirrored in SQL)
         # makes the redaction non-trivial on the PII-free sandbox corpus
         "doc_pii_redact": lambda sf: pii.redact_pii(
@@ -652,6 +655,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_pii_redact": _pii_redact_sql(),
+        "doc_repetition": """
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+                          FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS w,
+                           generate_subscripts(t, 1) AS i FROM toks),
+            tc AS (SELECT doc_id, w, count(*) AS c FROM tok
+                   GROUP BY doc_id, w),
+            top AS (SELECT doc_id, max(c) AS topc, sum(c) AS n FROM tc
+                    GROUP BY doc_id),
+            bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+                   FROM tok a JOIN tok b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM bg
+                   GROUP BY doc_id, g),
+            bs AS (SELECT doc_id,
+                          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                          sum(c) AS n2
+                   FROM bc GROUP BY doc_id)
+            SELECT t.doc_id, t.n::BIGINT AS n_tokens,
+                   t.topc::DOUBLE / t.n AS top_token_frac,
+                   COALESCE(b.dup::DOUBLE / b.n2, 0.0) AS dup_2gram_frac
+            FROM top t LEFT JOIN bs b USING (doc_id)
+        """,
         "doc_bpe_tokens": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '{_BPE_RE_SQL()}'))::BIGINT

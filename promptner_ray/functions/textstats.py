@@ -256,3 +256,81 @@ def bpe_token_stats_batch(batch: pa.Table) -> pa.Table:
             "n_pretokens": pa.array(counts, type=pa.int64()),
         }
     )
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, n_tokens, top_token_frac, dup_2gram_frac):
+    Gopher-style repetition quality signals (Rae et al. 2021, §A1.1).
+
+    ``top_token_frac`` is the share of tokens taken by the single most
+    frequent token; ``dup_2gram_frac`` the share of 2-gram positions
+    whose 2-gram occurs more than once in the document.  High values of
+    either mark boilerplate / degenerate pages a pretraining filter
+    drops.  Pure per-row signals (no shuffle): grouped counting runs in
+    pandas' C groupby over the flattened (row, token) frame, 2-grams are
+    formed positionally with a row-boundary mask.
+    """
+    import pandas as pd
+
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "top_token_frac": pa.array([], type=pa.float64()),
+                "dup_2gram_frac": pa.array([], type=pa.float64()),
+            }
+        )
+    flat, offsets = _split_tokens(batch)
+    lens = np.diff(offsets)
+    row_ids = np.repeat(np.arange(n), lens)
+    tok = flat.to_numpy(zero_copy_only=False)
+
+    tc = (
+        pd.DataFrame({"r": row_ids, "t": tok})
+        .groupby(["r", "t"], sort=False)
+        .size()
+    )
+    top = tc.groupby(level=0).max().reindex(range(n), fill_value=0).to_numpy()
+
+    same_row = row_ids[:-1] == row_ids[1:]
+    bg_rows = row_ids[:-1][same_row]
+    bg = pd.DataFrame(
+        {
+            "r": bg_rows,
+            "g": pd.Series(tok[:-1][same_row]).str.cat(
+                pd.Series(tok[1:][same_row]), sep=" "
+            ),
+        }
+    )
+    if len(bg):
+        bc = bg.groupby(["r", "g"], sort=False).size()
+        per_row = bc.groupby(level=0)
+        n2 = per_row.sum().reindex(range(n), fill_value=0).to_numpy()
+        dup = (
+            bc[bc > 1]
+            .groupby(level=0)
+            .sum()
+            .reindex(range(n), fill_value=0)
+            .to_numpy()
+        )
+    else:
+        n2 = np.zeros(n, dtype=np.int64)
+        dup = np.zeros(n, dtype=np.int64)
+
+    n_tokens = lens.astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "top_token_frac": pa.array(
+                np.where(n_tokens > 0, top / np.maximum(n_tokens, 1), 0.0),
+                type=pa.float64(),
+            ),
+            "dup_2gram_frac": pa.array(
+                np.where(n2 > 0, dup / np.maximum(n2, 1), 0.0),
+                type=pa.float64(),
+            ),
+        }
+    )

@@ -459,3 +459,24 @@ def test_countmin_sketch_bounds(ray_session):
     hot = hot_keys(tokens, "token", list(exact), threshold_frac=0.02)
     truly_hot = {t for t, n in exact.items() if n >= 0.02 * cm.total}
     assert truly_hot <= set(hot)  # no false negatives on heavy hitters
+
+
+def test_repetition_stats_crafted():
+    import pyarrow as pa
+
+    from promptner_ray.functions.textstats import repetition_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b a b c", "x y z", "q", "r r r r"],
+        }
+    )
+    out = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+    # "a b a b c": bigrams [a b, b a, a b, b c] -> 2 of 4 duplicated
+    assert out.loc[0, "dup_2gram_frac"] == 0.5
+    assert out.loc[0, "top_token_frac"] == 2 / 5
+    assert out.loc[1, "dup_2gram_frac"] == 0.0
+    assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "dup_2gram_frac"] == 0.0
+    assert out.loc[3, "top_token_frac"] == 1.0
+    assert out.loc[3, "dup_2gram_frac"] == 1.0  # "r r" x3, all duplicated
