@@ -264,6 +264,23 @@ def _events_asof_part(sf_dir: str):
     )
 
 
+def _events_range(sf_dir: str):
+    import ray
+
+    from promptner_ray.functions import asof, rangejoin
+
+    idx_ref = ray.put(asof.load_orders_index(sf_dir))
+    return rangejoin.events_range_orders(_read(sf_dir, "events"), idx_ref)
+
+
+def _events_range_part(sf_dir: str):
+    from promptner_ray.functions import rangejoin
+
+    return rangejoin.events_range_orders_partitioned(
+        _read(sf_dir, "events"), _read(sf_dir, "orders")
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: pages → …→ named edge table."""
     return _kg_edges("/root/testdata/sf0.001")
@@ -409,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_asof_orders": lambda sf: _events_asof(sf),
         "events_asof_orders_part": _events_asof_part,
+        "events_range_orders": _events_range,
+        "events_range_orders_part": _events_range_part,
         "events_sessions": lambda sf: relational.events_sessions(
             _read(sf, "events")
         ),
@@ -573,6 +592,20 @@ def _sql_winnow() -> str:
     SELECT doc_id, count(*)::BIGINT AS n_fp, min(sel) AS fp_min
     FROM chosen GROUP BY doc_id
     """
+
+
+# count/min/max are order-independent, so the range-join aggregate row is
+# value-exact against SQL; both physical plans share this one oracle.
+_RANGE_JOIN_SQL = """
+    SELECT e.event_id, count(o.o_orderdate)::BIGINT AS n_orders,
+           min(o.o_orderdate) AS first_order_ts,
+           max(o.o_orderdate) AS last_order_ts
+    FROM events e LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+     AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id
+"""
 
 
 def _pii_redact_sql() -> str:
@@ -870,6 +903,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
+        "events_range_orders": _RANGE_JOIN_SQL,
+        "events_range_orders_part": _RANGE_JOIN_SQL,
         "events_sessions": """
             WITH marked AS (
               SELECT user_id, ts,

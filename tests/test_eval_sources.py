@@ -480,3 +480,32 @@ def test_repetition_stats_crafted():
     assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "dup_2gram_frac"] == 0.0
     assert out.loc[3, "top_token_frac"] == 1.0
     assert out.loc[3, "dup_2gram_frac"] == 1.0  # "r r" x3, all duplicated
+
+
+def test_range_join_kernel_boundaries():
+    import numpy as np
+    import pyarrow as pa
+
+    from promptner_ray.functions.rangejoin import _range_match
+
+    # right side: user 1 has orders at t=100, 200, 300
+    index = {1: np.array([100, 200, 300], dtype=np.int64)}
+    out = _range_match(
+        np.array([10, 11, 12, 13], dtype=np.int64),
+        np.array([1, 1, 1, 2], dtype=np.int64),
+        np.array([200, 199, 350, 200], dtype=np.int64),
+        index,
+        window_us=100,
+    ).to_pandas().set_index("event_id")
+    # ts=200, window [100, 200]: both bounds inclusive -> 100 and 200
+    assert out.loc[10, "n_orders"] == 2
+    assert out.loc[10, "first_order_ts"].value == 100 * 1000  # us -> ns
+    # ts=199, window [99, 199]: only 100
+    assert out.loc[11, "n_orders"] == 1
+    # ts=350, window [250, 350]: only 300
+    assert out.loc[12, "n_orders"] == 1
+    # unknown key: LEFT-join semantics, row kept with n=0 and null ts
+    assert out.loc[13, "n_orders"] == 0
+    assert pa.Table.from_pandas(out.reset_index()).column(
+        "first_order_ts"
+    ).null_count == 1
