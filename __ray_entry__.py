@@ -428,6 +428,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders_part": _events_asof_part,
         "events_range_orders": _events_range,
         "events_range_orders_part": _events_range_part,
+        "events_topk": lambda sf: relational.grouped_topk(
+            _read(sf, "events"), k=3
+        ),
+        "events_quantiles": lambda sf: relational.grouped_quantiles(
+            _read(sf, "events")
+        ),
         "events_sessions": lambda sf: relational.events_sessions(
             _read(sf, "events")
         ),
@@ -905,6 +911,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_range_orders": _RANGE_JOIN_SQL,
         "events_range_orders_part": _RANGE_JOIN_SQL,
+        "events_topk": """
+            SELECT user_id, event_id, value, rk FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id) AS rk
+              FROM events)
+            WHERE rk <= 3
+        """,
+        "events_quantiles": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   quantile_disc(value, 0.25) AS p25,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.75) AS p75
+            FROM events GROUP BY event_type
+        """,
         "events_sessions": """
             WITH marked AS (
               SELECT user_id, ts,

@@ -328,3 +328,158 @@ def events_hopping(events):
     return merged.rename_columns({"sum(n)": "n_events"}).select_columns(
         ["user_id", "window_start", "n_events"]
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k: per-key ranking with map-side pruning
+# ---------------------------------------------------------------------------
+
+
+def _topk_kernel(batch: pa.Table, k: int) -> pa.Table:
+    """(user_id, event_id, value) rows → per-user top-k by value (desc),
+    ties broken by event_id (asc) so ranking is total and deterministic.
+
+    One lexsort + one vectorized rank-within-group scan — no Python per
+    group.  Used both map-side (per-batch prune: a batch's global top-k
+    contribution is a subset of its local top-k) and as the exact
+    per-partition finalizer after the key exchange.
+    """
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "value": pa.array([], type=pa.float64()),
+                "rk": pa.array([], type=pa.int64()),
+            }
+        )
+    u = batch.column("user_id").to_numpy(zero_copy_only=False)
+    e = batch.column("event_id").to_numpy(zero_copy_only=False)
+    v = batch.column("value").to_numpy(zero_copy_only=False)
+    order = np.lexsort((e, -v, u))
+    us = u[order]
+    idx = np.arange(len(us))
+    new_grp = np.concatenate(([True], us[1:] != us[:-1]))
+    grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+    pos = idx - grp_start
+    keep = pos < k
+    sel = order[keep]
+    return pa.table(
+        {
+            "user_id": pa.array(u[sel], type=pa.int64()),
+            "event_id": pa.array(e[sel], type=pa.int64()),
+            "value": pa.array(v[sel], type=pa.float64()),
+            "rk": pa.array(pos[keep] + 1, type=pa.int64()),
+        }
+    )
+
+
+def grouped_topk(events, k: int = 3, num_partitions: int | None = None):
+    """events → per-user top-``k`` rows by value (``rk`` = 1-based rank).
+
+    Classic per-key ranking Ray Data has no native operator for.  Plan:
+    per-batch prune to local top-k (so at most k rows per (key, block)
+    cross the exchange), hash-partition on the key, one exact vectorized
+    finalizer per partition.  Equivalent to SQL
+    ``row_number() OVER (PARTITION BY user_id ORDER BY value DESC,
+    event_id) <= k`` — the DuckDB oracle.
+    """
+    from ..shuffle import hash_partitioned
+
+    pruned = events.select_columns(
+        ["user_id", "event_id", "value"]
+    ).map_batches(
+        lambda t: _topk_kernel(t, k).drop_columns(["rk"]),
+        batch_format="pyarrow",
+    )
+    return hash_partitioned(
+        pruned,
+        ["user_id"],
+        lambda block: _topk_kernel(block, k),
+        num_partitions=num_partitions,
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped exact quantiles (quantile_disc semantics)
+# ---------------------------------------------------------------------------
+
+QUANTILES = (0.25, 0.5, 0.75)
+
+
+def _etype_hash_batch(batch: pa.Table) -> pa.Table:
+    """Append an int64 md5 digest of the string key (the numeric column
+    `shuffle.hash_partitioned` mixes); hashed once per DISTINCT value."""
+    import hashlib
+
+    vals = batch.column("event_type").to_pylist()
+    cache: dict[str, int] = {}
+    for s in set(vals):
+        cache[s] = int.from_bytes(
+            hashlib.md5(s.encode("utf-8")).digest()[:8], "big", signed=True
+        )
+    return batch.append_column(
+        "etype_hash",
+        pa.array([cache[s] for s in vals], type=pa.int64()),
+    )
+
+
+def _quantile_partition(block: pa.Table, qs: tuple) -> pa.Table:
+    """One key partition → (event_type, n, q…) exact quantiles.
+
+    ``quantile_disc`` convention (index ``ceil(q·n)−1``, validated
+    against DuckDB): picks an EXISTING value — no interpolation
+    arithmetic, so doubles compare bit-exactly with the SQL oracle.
+    """
+    if len(block) == 0:
+        cols = {
+            "event_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+        for q in qs:
+            cols[f"p{int(q * 100)}"] = pa.array([], type=pa.float64())
+        return pa.table(cols)
+    et = np.asarray(block.column("event_type").to_pylist(), dtype=object)
+    v = block.column("value").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, et))
+    et_s, v_s = et[order], v[order]
+    new_grp = np.concatenate(([True], et_s[1:] != et_s[:-1]))
+    starts = np.flatnonzero(new_grp)
+    ends = np.concatenate((starts[1:], [len(et_s)]))
+    names = et_s[starts]
+    ns = (ends - starts).astype(np.int64)
+    cols = {
+        "event_type": pa.array(names.tolist(), type=pa.string()),
+        "n": pa.array(ns, type=pa.int64()),
+    }
+    for q in qs:
+        idx = np.maximum(np.ceil(q * ns).astype(np.int64) - 1, 0)
+        cols[f"p{int(q * 100)}"] = pa.array(v_s[starts + idx], type=pa.float64())
+    return pa.table(cols)
+
+
+def grouped_quantiles(
+    events, qs: tuple = QUANTILES, num_partitions: int | None = None
+):
+    """events → per-event_type exact discrete quantiles of ``value``.
+
+    Exact grouped quantiles require each key's full value set on one
+    worker: the value column is exchanged per key (fine for
+    moderate-per-key volumes; at extreme per-key cardinality switch to a
+    mergeable sketch or pre-sample — documented contract, mirroring the
+    sessionization operator's per-key-fits-one-partition assumption).
+    Map-side the exchange carries only (key-hash, value): 12 bytes/row.
+    """
+    from ..shuffle import hash_partitioned
+
+    keyed = events.select_columns(["event_type", "value"]).map_batches(
+        _etype_hash_batch, batch_format="pyarrow"
+    )
+    return hash_partitioned(
+        keyed,
+        ["etype_hash"],
+        lambda block: _quantile_partition(
+            block.drop_columns(["etype_hash"]), qs
+        ),
+        num_partitions=num_partitions,
+    )
