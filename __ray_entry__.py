@@ -614,6 +614,96 @@ _RANGE_JOIN_SQL = """
 """
 
 
+def _f1_counts_sql() -> str:
+    """Span-F1 core counts in SQL (shared by the kg_f1_counts oracle
+    and the kg_eval_f1 summary oracle)."""
+    return f"""
+            WITH det AS (SELECT url, sent_id
+                         FROM read_parquet('{_EXPORT}/detected/part=*/*.parquet')),
+            mrows AS (
+              SELECT d.url, d.sent_id, m.mtype AS ty,
+                     m.span_start AS s, m.span_end AS e
+              FROM (SELECT url, sent_id, unnest(mentions) AS m
+                    FROM read_parquet('{_EXPORT}/detected/part=*/*.parquet'))
+                   AS d(url, sent_id, m)),
+            gpos AS (
+              SELECT g.url, g.sent_id, unnest(g.bio) AS tag,
+                     generate_subscripts(g.bio, 1) - 1 AS pos
+              FROM read_parquet(
+                '/tmp/promptner_corpus/{_ORACLE_SF_NAME}/gold/*.parquet') g
+              JOIN det ON det.url = g.url AND det.sent_id = g.sent_id),
+            nz AS (SELECT *, substr(tag, 3) AS ty FROM gpos
+                   WHERE tag != 'O'),
+            marked AS (
+              SELECT *, CASE WHEN tag LIKE 'B-%' THEN 1
+                             WHEN lag(pos) OVER w IS NULL
+                               OR lag(pos) OVER w != pos - 1
+                               OR lag(ty) OVER w != ty THEN 1
+                             ELSE 0 END AS new_span
+              FROM nz WINDOW w AS (PARTITION BY url, sent_id ORDER BY pos)),
+            tspans AS (
+              SELECT url, sent_id, ty, min(pos) AS s, max(pos) + 1 AS e
+              FROM (SELECT *, sum(new_span) OVER (
+                        PARTITION BY url, sent_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM marked)
+              GROUP BY url, sent_id, ty, sid),
+            tpc AS (
+              SELECT t.ty, count(*) AS tp
+              FROM tspans t JOIN mrows p
+                ON t.url = p.url AND t.sent_id = p.sent_id AND t.ty = p.ty
+               AND t.s = p.s AND t.e = p.e
+              GROUP BY t.ty),
+            ntc AS (SELECT ty, count(*) AS n_truth FROM tspans GROUP BY ty),
+            npc AS (SELECT ty, count(*) AS n_pred FROM mrows GROUP BY ty)
+            SELECT coalesce(ntc.ty, npc.ty) AS etype,
+                   coalesce(tp, 0)::BIGINT AS tp,
+                   coalesce(n_pred, 0)::BIGINT AS n_pred,
+                   coalesce(n_truth, 0)::BIGINT AS n_truth
+            FROM ntc FULL JOIN npc ON ntc.ty = npc.ty
+            LEFT JOIN tpc ON coalesce(ntc.ty, npc.ty) = tpc.ty
+        """
+
+
+def _f1_summary_sql() -> str:
+    """Micro/macro P/R/F1 over the span-count core — the SQL twin of
+    ``pipelines.eval.evaluate_f1``.
+
+    Float-parity care: every expression mirrors the Python operation
+    order (left-associative ``(2*p)*r/(p+r)``), and the macro-F1 sum is
+    pinned to ascending-type order on BOTH sides (``list_sum(list(f
+    ORDER BY etype))`` here, sorted dict in ``evaluate_f1``) so the
+    result is bit-identical, not merely close.
+    """
+    return f"""
+        WITH base AS ({_f1_counts_sql()}),
+        per AS (
+          SELECT etype,
+            CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred ELSE 0.0 END AS p,
+            CASE WHEN n_truth > 0 THEN tp::DOUBLE / n_truth ELSE 0.0 END AS r
+          FROM base),
+        perf AS (
+          SELECT etype,
+            CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS f
+          FROM per),
+        tot AS (
+          SELECT sum(tp) AS tp, sum(n_pred) AS np, sum(n_truth) AS nt
+          FROM base),
+        micro AS (
+          SELECT
+            CASE WHEN np > 0 THEN tp::DOUBLE / np ELSE 0.0 END AS mp,
+            CASE WHEN nt > 0 THEN tp::DOUBLE / nt ELSE 0.0 END AS mr
+          FROM tot)
+        SELECT mp AS micro_precision, mr AS micro_recall,
+               CASE WHEN mp + mr > 0 THEN 2 * mp * mr / (mp + mr)
+                    ELSE 0.0 END AS micro_f1,
+               (SELECT CASE WHEN count(*) > 0
+                       THEN list_sum(list(f ORDER BY etype)) / count(*)
+                       ELSE 0.0 END FROM perf) AS macro_f1
+        FROM micro
+    """
+
+
 def _pii_redact_sql() -> str:
     from promptner_ray.functions.pii import sql_inject_expr, sql_redact_exprs
 
@@ -1103,52 +1193,8 @@ def oracle_sql() -> dict[str, str]:
         # (islands technique, B-/dangling-I- semantics matching
         # kernels.bio.bio_entities), predicted spans from exported
         # mentions, exact (type, start, end) match counting
-        "kg_f1_counts": f"""
-            WITH det AS (SELECT url, sent_id
-                         FROM read_parquet('{_EXPORT}/detected/part=*/*.parquet')),
-            mrows AS (
-              SELECT d.url, d.sent_id, m.mtype AS ty,
-                     m.span_start AS s, m.span_end AS e
-              FROM (SELECT url, sent_id, unnest(mentions) AS m
-                    FROM read_parquet('{_EXPORT}/detected/part=*/*.parquet'))
-                   AS d(url, sent_id, m)),
-            gpos AS (
-              SELECT g.url, g.sent_id, unnest(g.bio) AS tag,
-                     generate_subscripts(g.bio, 1) - 1 AS pos
-              FROM read_parquet(
-                '/tmp/promptner_corpus/{_ORACLE_SF_NAME}/gold/*.parquet') g
-              JOIN det ON det.url = g.url AND det.sent_id = g.sent_id),
-            nz AS (SELECT *, substr(tag, 3) AS ty FROM gpos
-                   WHERE tag != 'O'),
-            marked AS (
-              SELECT *, CASE WHEN tag LIKE 'B-%' THEN 1
-                             WHEN lag(pos) OVER w IS NULL
-                               OR lag(pos) OVER w != pos - 1
-                               OR lag(ty) OVER w != ty THEN 1
-                             ELSE 0 END AS new_span
-              FROM nz WINDOW w AS (PARTITION BY url, sent_id ORDER BY pos)),
-            tspans AS (
-              SELECT url, sent_id, ty, min(pos) AS s, max(pos) + 1 AS e
-              FROM (SELECT *, sum(new_span) OVER (
-                        PARTITION BY url, sent_id ORDER BY pos
-                        ROWS UNBOUNDED PRECEDING) AS sid
-                    FROM marked)
-              GROUP BY url, sent_id, ty, sid),
-            tpc AS (
-              SELECT t.ty, count(*) AS tp
-              FROM tspans t JOIN mrows p
-                ON t.url = p.url AND t.sent_id = p.sent_id AND t.ty = p.ty
-               AND t.s = p.s AND t.e = p.e
-              GROUP BY t.ty),
-            ntc AS (SELECT ty, count(*) AS n_truth FROM tspans GROUP BY ty),
-            npc AS (SELECT ty, count(*) AS n_pred FROM mrows GROUP BY ty)
-            SELECT coalesce(ntc.ty, npc.ty) AS etype,
-                   coalesce(tp, 0)::BIGINT AS tp,
-                   coalesce(n_pred, 0)::BIGINT AS n_pred,
-                   coalesce(n_truth, 0)::BIGINT AS n_truth
-            FROM ntc FULL JOIN npc ON ntc.ty = npc.ty
-            LEFT JOIN tpc ON coalesce(ntc.ty, npc.ty) = tpc.ty
-        """,
+        "kg_f1_counts": _f1_counts_sql(),
+        "kg_eval_f1": _f1_summary_sql(),
     }
 
 

@@ -159,9 +159,11 @@ def postprocess_results_batch(batch: pa.Table) -> pa.Table:
 def evaluate_f1(detected, gold, num_partitions: int = 8) -> dict:
     """Micro/macro P/R/F1 summary (driver-side constant-size reduction)."""
     tbl = f1_counts(detected, gold, num_partitions).to_pandas()
+    # ascending-type order pins the macro-F1 float summation order to the
+    # SQL oracle's `list(f ORDER BY etype)` — bit-identical, not close
     counts = {
         r.etype: (int(r.tp), int(r.n_pred), int(r.n_truth))
-        for r in tbl.itertuples()
+        for r in tbl.sort_values("etype").itertuples()
     }
     return prf_from_counts(counts)
 
