@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sampling,
         similarity,
         textstats,
+        vectorize,
     )
 
     def _docs(sf_dir: str):
@@ -345,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": lambda sf: _docs(sf).map_batches(
             textstats.explode_tokens_batch, batch_format="pyarrow"
         ),
+        "doc_hashed_tf": lambda sf: vectorize.hashed_tf(_docs(sf)),
         "doc_repetition": lambda sf: _docs(sf).map_batches(
             textstats.repetition_stats_batch, batch_format="pyarrow"
         ),
@@ -704,6 +706,12 @@ def _f1_summary_sql() -> str:
     """
 
 
+def _hashed_tf_sql() -> str:
+    from promptner_ray.functions.vectorize import sql_hashed_tf
+
+    return sql_hashed_tf()
+
+
 def _pii_redact_sql() -> str:
     from promptner_ray.functions.pii import sql_inject_expr, sql_redact_exprs
 
@@ -784,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_pii_redact": _pii_redact_sql(),
+        "doc_hashed_tf": _hashed_tf_sql(),
         "doc_repetition": """
             WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
                           FROM documents),

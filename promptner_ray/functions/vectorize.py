@@ -1,0 +1,83 @@
+"""Feature-hashing (hashing-trick) term-frequency vectorizer.
+
+``hashed_tf`` maps each document's tokens into a fixed number of buckets
+by content hash and counts per-bucket occurrences — the standard
+unbounded-vocabulary featurizer (Weinberger et al. 2009): no vocabulary
+build pass, no driver state, embarrassingly parallel, output width fixed
+regardless of corpus size.  The feature column feeds the repo's
+similarity/ANN operators (:mod:`.similarity`) — text → vector → near-dup
+in one streaming plan.
+
+Buckets are emitted as WIDE int64 columns (``b0…b{D-1}``) rather than a
+list column: counts are exact integers, so the DuckDB oracle (same md5
+bucket expression, ``SUM(CASE)`` pivot) compares bit-exactly with no
+list-formatting ambiguity.
+
+Per-batch cost: one md5 per DISTINCT token per batch (cached dict), then
+a single C-level grouped count over (row, bucket) — no Python loop over
+token instances.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .textstats import _split_tokens
+
+DIM = 8
+
+
+def _bucket_of(token: str, dim: int) -> int:
+    return (
+        int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+        % dim
+    )
+
+
+def hashed_tf_batch(batch: pa.Table, dim: int = DIM) -> pa.Table:
+    """documents → (doc_id, b0…b{dim-1}) hashed term-frequency counts."""
+    n = len(batch)
+    if n == 0:
+        cols = {"doc_id": pa.array([], type=pa.int64())}
+        for b in range(dim):
+            cols[f"b{b}"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+    flat, offsets = _split_tokens(batch)
+    row_ids = np.repeat(np.arange(n), np.diff(offsets))
+    toks = flat.to_numpy(zero_copy_only=False)
+    cache = {t: _bucket_of(t, dim) for t in set(toks.tolist())}
+    buckets = np.fromiter(
+        (cache[t] for t in toks.tolist()), dtype=np.int64, count=len(toks)
+    )
+    counts = np.zeros((n, dim), dtype=np.int64)
+    np.add.at(counts, (row_ids, buckets), 1)
+    cols = {"doc_id": batch.column("doc_id").cast(pa.int64())}
+    for b in range(dim):
+        cols[f"b{b}"] = pa.array(counts[:, b], type=pa.int64())
+    return pa.table(cols)
+
+
+def hashed_tf(docs, dim: int = DIM):
+    """Dataset of documents → hashed-TF feature table (stateless pass)."""
+    return docs.map_batches(
+        hashed_tf_batch, fn_kwargs={"dim": dim}, batch_format="pyarrow"
+    )
+
+
+def sql_hashed_tf(dim: int = DIM) -> str:
+    """DuckDB twin: identical md5 bucket assignment + ``SUM(CASE)`` pivot."""
+    bucket = "('0x' || substr(md5(w), 1, 16))::UBIGINT % " + str(dim)
+    sums = ", ".join(
+        f"sum(CASE WHEN bkt = {b} THEN 1 ELSE 0 END)::BIGINT AS b{b}"
+        for b in range(dim)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        bk AS (SELECT doc_id, {bucket} AS bkt FROM tok)
+        SELECT doc_id, {sums} FROM bk GROUP BY doc_id
+    """
