@@ -219,6 +219,13 @@ def _doc_clean(sf_dir: str):
     return clean_corpus(_read(sf_dir, "documents"))
 
 
+def _doc_curate(sf_dir: str):
+    """Full curation: C4 gates + Gopher repetition + MinHash near-dedup."""
+    from promptner_ray.pipelines.corpus_clean import curate_corpus
+
+    return curate_corpus(_read(sf_dir, "documents"))
+
+
 def _knn_ivf(sf_dir: str):
     """IVF ANN: sample-trained centroids, ingest-time cell assignment,
     candidate-pruned top-k probe."""
@@ -378,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "lang_counts": lambda sf: relational.lang_counts(_docs(sf)),
         "doc_clean": _doc_clean,
+        "doc_curate": _doc_curate,
         "doc_sample": lambda sf: sampling.hash_sample(
             _docs(sf).select_columns(["doc_id", "lang"]),
             key="doc_id",
@@ -735,6 +743,11 @@ def oracle_sql() -> dict[str, str]:
             _kg_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     except Exception:
         pass  # no Ray session: the export must already exist on disk
+    from promptner_ray.pipelines.corpus_clean import (
+        CURATE_DUP2_MAX,
+        CURATE_TOP_TOKEN_MAX as CURATE_TOP_MAX,
+    )
+
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS())
     big_stop_list = ", ".join(
         "'" + s.replace("'", "''") + "'" for s in sorted(_STOPWORD_SET())
@@ -887,6 +900,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, g.n_tokens, g.lang_pred
             FROM gated g JOIN keepers k ON md5(g.text) = k.fp
             WHERE g.doc_id = k.keeper AND g.passes AND g.lang_pred = 'en'
+        """,
+        # full curation recipe: the doc_clean gates + Gopher repetition
+        # fractions + MinHash near-dedup restricted to the gated
+        # survivors, transitive clusters via the recursive CTE
+        "doc_curate": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, text, string_split(text, ' ') AS t,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                length(text)::BIGINT AS n_chars,
+                (length(text) - length(
+                   regexp_replace(text, '{punct}', '', 'g')))::BIGINT
+                  AS n_punct,
+                len(list_filter(string_split(text, ' '),
+                    x -> x IN ({stop_list})))::BIGINT AS n_stop
+              FROM documents),
+            sc AS (SELECT doc_id,
+              len(list_filter(t, x -> x IN ({mk['en']}))) AS en,
+              len(list_filter(t, x -> x IN ({mk['de']}))) AS de,
+              len(list_filter(t, x -> x IN ({mk['fr']}))) AS fr,
+              len(list_filter(t, x -> x IN ({mk['es']}))) AS es
+            FROM base),
+            lang AS (SELECT doc_id,
+              CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+                   WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+                   WHEN fr > 0 AND fr >= es THEN 'fr'
+                   WHEN es > 0 THEN 'es'
+                   ELSE 'und' END AS lang_pred
+            FROM sc),
+            gated AS (
+              SELECT b.doc_id, b.n_tokens, l.lang_pred, b.text,
+                (b.n_tokens >= 5 AND b.n_tokens <= 5000
+                 AND (CASE WHEN b.n_chars > 0
+                           THEN b.n_punct::DOUBLE / b.n_chars
+                           ELSE 0.0 END) < 0.3
+                 AND (CASE WHEN b.n_tokens > 0
+                           THEN b.n_stop::DOUBLE / b.n_tokens
+                           ELSE 0.0 END) < 0.5) AS passes
+              FROM base b JOIN lang l USING (doc_id)),
+            keepers AS (
+              SELECT md5(text) AS fp, min(doc_id) AS keeper
+              FROM documents GROUP BY 1),
+            rtok AS (SELECT doc_id, unnest(t) AS w,
+                            generate_subscripts(t, 1) AS i FROM base),
+            rtc AS (SELECT doc_id, w, count(*) AS c FROM rtok
+                    GROUP BY doc_id, w),
+            rtop AS (SELECT doc_id, max(c) AS topc, sum(c) AS n FROM rtc
+                     GROUP BY doc_id),
+            rbg AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+                    FROM rtok a JOIN rtok b
+                      ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            rbc AS (SELECT doc_id, g, count(*) AS c FROM rbg
+                    GROUP BY doc_id, g),
+            rbs AS (SELECT doc_id,
+                           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                           sum(c) AS n2
+                    FROM rbc GROUP BY doc_id),
+            rep AS (SELECT t.doc_id, t.topc::DOUBLE / t.n AS top_token_frac,
+                           COALESCE(b.dup::DOUBLE / b.n2, 0.0)
+                             AS dup_2gram_frac
+                    FROM rtop t LEFT JOIN rbs b USING (doc_id)),
+            surv AS (
+              SELECT g.doc_id, g.n_tokens, g.lang_pred,
+                     r.top_token_frac, r.dup_2gram_frac
+              FROM gated g JOIN keepers k ON md5(g.text) = k.fp
+                   JOIN rep r ON r.doc_id = g.doc_id
+              WHERE g.doc_id = k.keeper AND g.passes AND g.lang_pred = 'en'
+                AND r.top_token_frac < {CURATE_TOP_MAX}
+                AND r.dup_2gram_frac < {CURATE_DUP2_MAX}),
+            stoks AS (SELECT d.doc_id, string_split(d.text, ' ') AS t
+                      FROM documents d JOIN surv s ON s.doc_id = d.doc_id),
+            ssh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+              FROM stoks,
+                   UNNEST(generate_series(1, greatest(len(t)-2, 1)))
+                     AS g2(i)),
+            smh AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+                    FROM ssh, UNNEST(generate_series(0, 11)) AS p(i)
+                    GROUP BY doc_id, i),
+            sbands AS (SELECT doc_id, i // 3 AS band,
+                              string_agg(h, ',' ORDER BY i) AS sig
+                       FROM smh GROUP BY doc_id, i // 3),
+            prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM sbands a JOIN sbands b
+                      ON a.band = b.band AND a.sig = b.sig
+                     AND a.doc_id < b.doc_id),
+            cedges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                       UNION SELECT doc_b AS src, doc_a AS dst FROM prs),
+            reach AS (SELECT src AS v, src AS u FROM cedges
+                      UNION
+                      SELECT r.v, e.dst AS u FROM reach r
+                      JOIN cedges e ON r.u = e.src),
+            comp AS (SELECT v AS doc_id, min(u) AS component FROM reach
+                     GROUP BY v)
+            SELECT s.doc_id, s.n_tokens, s.lang_pred,
+                   s.top_token_frac, s.dup_2gram_frac
+            FROM surv s LEFT JOIN comp c ON c.doc_id = s.doc_id
+            WHERE c.doc_id IS NULL OR c.component = s.doc_id
         """,
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS doc_id, "

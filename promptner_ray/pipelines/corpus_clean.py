@@ -136,3 +136,153 @@ def clean_corpus(docs, lang: str = "en", num_partitions: int | None = None):
         return kept.select(["doc_id", "n_tokens", "lang_pred"])
 
     return joined.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# full curation recipe: C4 gates + Gopher repetition + MinHash near-dedup
+# ---------------------------------------------------------------------------
+
+CURATE_TOP_TOKEN_MAX = 0.12
+CURATE_DUP2_MAX = 0.2
+
+
+def curation_features_batch(batch: pa.Table) -> pa.Table:
+    """One fused per-doc feature pass: the C4 signals of
+    :func:`doc_features_batch` plus the Gopher repetition fractions —
+    a single scan of the text column feeds every gate downstream."""
+    from ..functions.textstats import repetition_stats_batch
+
+    base = doc_features_batch(batch)
+    reps = repetition_stats_batch(batch)
+    return base.append_column(
+        "top_token_frac", reps.column("top_token_frac")
+    ).append_column("dup_2gram_frac", reps.column("dup_2gram_frac"))
+
+
+def curate_corpus(
+    docs,
+    lang: str = "en",
+    top_token_max: float = CURATE_TOP_TOKEN_MAX,
+    dup2_max: float = CURATE_DUP2_MAX,
+    num_partitions: int | None = None,
+):
+    """documents → curated survivor rows: the full modern pretraining
+    recipe as ONE streaming plan.
+
+    Stages (all previously oracle-proven in isolation, composed here):
+
+    1. fused feature pass (quality gates, language ID, content hash,
+       repetition fractions) — one scan, no shuffle;
+    2. exact-dedup keeper selection (grouped Min over the int64 digest;
+       one row per distinct text crosses the exchange);
+    3. gate filter: keeper ∧ quality ∧ language ∧ Gopher repetition;
+    4. MinHash near-dedup WITHIN the gated survivors (LSH pairs →
+       distributed connected components → anti-join of cluster
+       non-keepers) — near-dups of already-dropped docs don't kill
+       survivors.
+
+    Everything exchanged is int64-keyed; no broadcast of anything
+    corpus-sized; all joins are ``shuffle.local_hash_join`` (tagged
+    union + one hash exchange + per-partition C++ join — no Ray join
+    aggregator actors, so chaining them never deadlocks a small
+    session).  The gated survivor manifest (5 narrow scalar columns,
+    no text) feeds two consumers — the near-dedup pass and the final
+    anti-join — so it is pinned to the (spillable) object store once
+    instead of re-running the feature/keeper lineage twice.  Output:
+    (doc_id, n_tokens, lang_pred, top_token_frac, dup_2gram_frac) —
+    the shard manifest a tokenizer consumes.
+    """
+    from ..functions.dedup import minhash_lsh_pairs
+    from ..functions.graphops import connected_components
+    from ..shuffle import hash_grouped, local_hash_join
+
+    feats = docs.map_batches(curation_features_batch, batch_format="pyarrow")
+    keepers = hash_grouped(
+        feats.select_columns(["fp_key", "doc_id"]),
+        ["fp_key"],
+        [("doc_id", "min")],
+        rename={"doc_id_min": "keeper_id"},
+        num_partitions=num_partitions,
+    )
+    feature_schema = pa.schema(
+        list(_FEATURE_SCHEMA)
+        + [
+            ("top_token_frac", pa.float64()),
+            ("dup_2gram_frac", pa.float64()),
+        ]
+    )
+    joined = local_hash_join(
+        feats,
+        keepers,
+        on=["fp_key"],
+        left_schema=feature_schema,
+        right_schema=pa.schema(
+            [("fp_key", pa.int64()), ("keeper_id", pa.int64())]
+        ),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    out_cols = [
+        "doc_id",
+        "n_tokens",
+        "lang_pred",
+        "top_token_frac",
+        "dup_2gram_frac",
+    ]
+
+    def gate(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.equal(
+                        batch.column("doc_id"), batch.column("keeper_id")
+                    ),
+                    batch.column("passes"),
+                ),
+                pc.equal(batch.column("lang_pred"), lang),
+            ),
+            pc.and_(
+                pc.less(batch.column("top_token_frac"), top_token_max),
+                pc.less(batch.column("dup_2gram_frac"), dup2_max),
+            ),
+        )
+        return batch.filter(mask).select(out_cols)
+
+    surv = joined.map_batches(gate, batch_format="pyarrow").materialize()
+    surv_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("lang_pred", pa.string()),
+            ("top_token_frac", pa.float64()),
+            ("dup_2gram_frac", pa.float64()),
+        ]
+    )
+    sdocs = local_hash_join(
+        docs.select_columns(["doc_id", "text"]),
+        surv.select_columns(["doc_id"]),
+        on=["doc_id"],
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string())]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+        how="semi",
+        num_partitions=num_partitions,
+    )
+    comps = connected_components(minhash_lsh_pairs(sdocs))
+
+    def to_losers(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("doc_id"), t.column("component")))
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64())})
+
+    losers = comps.map_batches(to_losers, batch_format="pyarrow")
+    return local_hash_join(
+        surv,
+        losers,
+        on=["doc_id"],
+        left_schema=surv_schema,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+        how="anti",
+        num_partitions=num_partitions,
+    )

@@ -80,6 +80,86 @@ def hash_partitioned(
     return parted.groupby("part").map_groups(run, batch_format="pyarrow")
 
 
+def local_hash_join(
+    left,
+    right,
+    on: list[str],
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    how: str = "inner",
+    num_partitions: int | None = None,
+):
+    """Join two Datasets without Ray's ``Dataset.join`` operator.
+
+    Pads both sides to the union schema (missing columns all-null),
+    tags rows with ``__side``, unions, hash-exchanges ONCE on the
+    (numeric) key columns, and runs pyarrow's C++ hash join per
+    partition.  Rationale: each Ray join operator spins its own
+    aggregator-actor pool reserving CPU slivers, so several joins alive
+    concurrently in one streaming plan can deadlock a small session
+    (measured at 4 CPUs) and add actor churn at scale; this plan moves
+    the same bytes through the existing exchange machinery with zero
+    extra actors, and a self-contained partition needs no cross-worker
+    probe side.
+
+    ``how``: ``"inner"`` / ``"left_outer"`` (pyarrow join per
+    partition), or ``"semi"`` / ``"anti"`` (vectorized ``is_in``
+    membership filter on a single key — the right side contributes
+    only its key column, no payload).
+
+    Schemas are passed explicitly so the (lazy) inputs need not
+    execute to discover them.  Key columns must be numeric — digest
+    string keys to int64 first (see ``exact_dedup``'s ``fp_key``).
+    """
+    on = list(on)
+    if how in ("semi", "anti") and len(on) != 1:
+        raise ValueError("semi/anti joins support a single key column")
+    left_names = [f.name for f in left_schema]
+    right_names = [f.name for f in right_schema]
+    right_extra = [n for n in right_names if n not in on]
+    full = pa.schema(
+        list(left_schema) + [right_schema.field(n) for n in right_extra]
+    )
+
+    def pad(tag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for f in full:
+                if f.name in batch.column_names:
+                    cols[f.name] = batch.column(f.name).cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(len(batch), f.type)
+            cols["__side"] = pa.array(
+                np.full(len(batch), tag, dtype=np.int8), type=pa.int8()
+            )
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(pad(0), batch_format="pyarrow").union(
+        right.map_batches(pad(1), batch_format="pyarrow")
+    )
+
+    def join_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = t.column("__side")
+        lt = t.filter(pc.equal(side, 0)).select(left_names)
+        rt = t.filter(pc.equal(side, 1)).select(right_names)
+        if how in ("semi", "anti"):
+            mask = pc.is_in(
+                lt.column(on[0]),
+                value_set=rt.column(on[0]).combine_chunks(),
+            )
+            if how == "anti":
+                mask = pc.invert(mask)
+            return lt.filter(mask)
+        jt = "inner" if how == "inner" else "left outer"
+        return lt.join(rt, keys=on, join_type=jt)
+
+    return hash_partitioned(both, on, join_part, num_partitions=num_partitions)
+
+
 def hash_grouped(
     ds,
     keys: list[str],
