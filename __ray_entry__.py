@@ -226,6 +226,21 @@ def _doc_curate(sf_dir: str):
     return curate_corpus(_read(sf_dir, "documents"))
 
 
+def _doc_decontam(sf_dir: str):
+    """Benchmark decontamination: training docs sharing a word 3-gram
+    with the deterministic benchmark slice (doc_id % 10 == 7)."""
+    from promptner_ray.functions.decontam import contaminated_docs
+
+    return contaminated_docs(_read(sf_dir, "documents"))
+
+
+def _doc_decontam_keep(sf_dir: str):
+    """Surviving training doc ids after the decontamination anti-join."""
+    from promptner_ray.functions.decontam import decontaminate
+
+    return decontaminate(_read(sf_dir, "documents"))
+
+
 def _knn_ivf(sf_dir: str):
     """IVF ANN: sample-trained centroids, ingest-time cell assignment,
     candidate-pruned top-k probe."""
@@ -386,6 +401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": lambda sf: relational.lang_counts(_docs(sf)),
         "doc_clean": _doc_clean,
         "doc_curate": _doc_curate,
+        "doc_decontam": _doc_decontam,
+        "doc_decontam_keep": _doc_decontam_keep,
         "doc_sample": lambda sf: sampling.hash_sample(
             _docs(sf).select_columns(["doc_id", "lang"]),
             key="doc_id",
@@ -857,6 +874,37 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_sql_hash_sample_predicate()}
+        """,
+        # benchmark decontamination: strict full word 3-gram windows
+        # (docs < 3 tokens contribute nothing — generate_series(1, len-2)
+        # is empty), md5-hex digests matching decontam._doc_gram_digests,
+        # benchmark slice carved as doc_id % 10 = 7
+        "doc_decontam": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+            train AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 7)
+            SELECT t.doc_id, count(*)::BIGINT AS n_hit
+            FROM train t JOIN bench b USING (g)
+            GROUP BY t.doc_id
+        """,
+        "doc_decontam_keep": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+            bad AS (SELECT DISTINCT t.doc_id
+                    FROM grams t JOIN bench b USING (g)
+                    WHERE t.doc_id % 10 <> 7)
+            SELECT doc_id FROM documents
+            WHERE doc_id % 10 <> 7 AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         # composed cleaning pipeline: quality gates + language ID +
         # exact-dedup keep-first, re-derived independently in SQL

@@ -1,0 +1,190 @@
+"""Benchmark decontamination: flag training docs that overlap an eval set.
+
+The standard pretraining hygiene pass (GPT-3 appendix C, The Pile):
+any training document sharing a word n-gram with a held-out benchmark
+document is contaminated and must be dropped (or at least flagged)
+before training, otherwise eval numbers are memorization.
+
+Physical plan — the benchmark side is an eval set, tiny by nature
+(MMLU + HellaSwag + every common benchmark ≈ MBs against a 100 TB
+corpus), so this is the canonical broadcast-small-side shape:
+
+1. distinct benchmark n-gram digests computed distributed (per-block
+   distinct → one hash-partitioned Arrow distinct — only digest rows
+   cross the exchange), collected once, ``ray.put`` once;
+2. the corpus streams through a map-ONLY membership probe (no shuffle
+   of the corpus at all): per doc, distinct n-grams → md5 digests →
+   set-membership count against the broadcast set.
+
+For a pathological benchmark too large to broadcast, the identical
+semantics are ``shuffle.local_hash_join(corpus_grams, bench_grams,
+how="semi")`` + a grouped count — that variant exchanges every corpus
+n-gram and is deliberately NOT the default.
+
+Digests are md5-hex so the DuckDB oracle (``md5(array_to_string(...))``
+membership over the same split) reproduces them byte-for-byte; at
+100 TB the md5 inner loop would swap for a vectorized 64-bit hash, as
+with the MinHash/shingle family (see ``dedup`` module docstring).
+
+In this sandbox there is no separate benchmark table, so the eval set
+is carved deterministically out of ``documents`` itself:
+``doc_id % mod == rem`` (SQL-expressible, stable across runs).  n-grams
+are strict full windows — documents shorter than ``n`` tokens
+contribute nothing (mirrors ``generate_series`` emptiness in SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+NGRAM_N = 3
+BENCH_MOD = 10
+BENCH_REM = 7
+
+
+def _doc_gram_digests(text: str, n: int) -> set[str]:
+    """Distinct md5-hex digests of the doc's full word n-grams."""
+    toks = text.split(" ")
+    return {
+        hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest()
+        for i in range(len(toks) - n + 1)
+    }
+
+
+def _bench_mask(batch: pa.Table, mod: int, rem: int, invert: bool) -> pa.Table:
+    ids = batch.column("doc_id")
+    m = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, mod), mod)), rem)
+    return batch.filter(pc.invert(m) if invert else m)
+
+
+def _gram_rows_batch(batch: pa.Table, n: int) -> pa.Table:
+    """docs → one row per distinct (within-block) n-gram digest, plus the
+    int64 reinterpretation used as the numeric exchange key."""
+    grams: set[str] = set()
+    for text in batch.column("text").to_pylist():
+        grams.update(_doc_gram_digests(text, n))
+    gl = sorted(grams)
+    return pa.table(
+        {
+            "g": pa.array(gl, type=pa.string()),
+            "g_key": pa.array(
+                [int(g[:16], 16) - (1 << 63) for g in gl], type=pa.int64()
+            ),
+        }
+    )
+
+
+def benchmark_gram_ref(
+    docs, n: int = NGRAM_N, mod: int = BENCH_MOD, rem: int = BENCH_REM
+):
+    """Distinct n-gram digest set of the benchmark slice, in the object
+    store (``ray.put``) — resolved once per probe actor, never per batch."""
+    import ray
+
+    from ..shuffle import hash_grouped
+
+    bench = docs.map_batches(
+        _bench_mask,
+        fn_kwargs={"mod": mod, "rem": rem, "invert": False},
+        batch_format="pyarrow",
+    )
+    distinct = hash_grouped(
+        bench.map_batches(
+            _gram_rows_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
+        ),
+        ["g"],
+        [],
+        hash_cols=["g_key"],
+    )
+    grams = frozenset(
+        r["g"] for r in distinct.select_columns(["g"]).take_all()
+    )
+    return ray.put(grams)
+
+
+class _ContamProbe:
+    """Stateful map stage: benchmark digest set resolved once per actor."""
+
+    def __init__(self, bench_ref, n: int):
+        import ray
+
+        self.bench: frozenset[str] = ray.get(bench_ref)
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        hits: list[int] = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            k = len(self.bench & _doc_gram_digests(text, self.n))
+            if k:
+                doc_ids.append(doc_id)
+                hits.append(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_hit": pa.array(hits, type=pa.int64()),
+            }
+        )
+
+
+def contaminated_docs(
+    docs,
+    n: int = NGRAM_N,
+    mod: int = BENCH_MOD,
+    rem: int = BENCH_REM,
+    concurrency=(1, 8),
+):
+    """documents → (doc_id, n_hit): training docs (the non-benchmark
+    slice) sharing ≥1 word n-gram with any benchmark doc, with the count
+    of distinct shared n-grams.  Map-only over the corpus."""
+    bench_ref = benchmark_gram_ref(docs, n=n, mod=mod, rem=rem)
+    train = docs.map_batches(
+        _bench_mask,
+        fn_kwargs={"mod": mod, "rem": rem, "invert": True},
+        batch_format="pyarrow",
+    )
+    return train.map_batches(
+        _ContamProbe,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def decontaminate(
+    docs,
+    n: int = NGRAM_N,
+    mod: int = BENCH_MOD,
+    rem: int = BENCH_REM,
+    num_partitions: int | None = None,
+):
+    """documents → surviving (doc_id,) training rows: the anti-join of
+    the training slice against :func:`contaminated_docs` — the table a
+    downstream tokenizer reads.  The anti side is the contaminated id
+    list (a small fraction of the corpus); the exchange is
+    ``shuffle.local_hash_join`` on int64 ids, no join actors."""
+    from ..shuffle import local_hash_join
+
+    train_ids = docs.map_batches(
+        lambda t: _bench_mask(t, mod, rem, True).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    bad = contaminated_docs(docs, n=n, mod=mod, rem=rem).select_columns(
+        ["doc_id"]
+    )
+    return local_hash_join(
+        train_ids,
+        bad,
+        on=["doc_id"],
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+        how="anti",
+        num_partitions=num_partitions,
+    )
