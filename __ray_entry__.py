@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from promptner_ray.functions import (
         dedup,
         multimodal,
+        ngrams,
         pii,
         relational,
         sampling,
@@ -403,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curate": _doc_curate,
         "doc_decontam": _doc_decontam,
         "doc_decontam_keep": _doc_decontam_keep,
+        "doc_ngram_counts": lambda sf: ngrams.ngram_counts(_docs(sf)),
+        "doc_top_ngrams": lambda sf: ngrams.top_ngrams(_docs(sf)),
         "doc_sample": lambda sf: sampling.hash_sample(
             _docs(sf).select_columns(["doc_id", "lang"]),
             key="doc_id",
@@ -874,6 +877,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_sql_hash_sample_predicate()}
+        """,
+        # corpus n-gram statistics: same strict 3-token windows as
+        # decontamination; occurrences (not per-doc distinct) counted
+        "doc_ngram_counts": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents)
+            SELECT array_to_string(t[i:i+2], ' ') AS gram,
+                   count(*)::BIGINT AS n
+            FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+            GROUP BY gram
+        """,
+        "doc_top_ngrams": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents)
+            SELECT array_to_string(t[i:i+2], ' ') AS gram,
+                   count(*)::BIGINT AS n
+            FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+            GROUP BY gram
+            ORDER BY n DESC, gram ASC
+            LIMIT 50
         """,
         # benchmark decontamination: strict full word 3-gram windows
         # (docs < 3 tokens contribute nothing — generate_series(1, len-2)

@@ -1,0 +1,123 @@
+"""Corpus-level n-gram statistics: global counts and top-k.
+
+The building block behind contamination audits, boilerplate detection
+(a 3-gram appearing in 10% of pages is chrome, not content) and
+classical LM estimation.  At 100 TB the naive plan — explode every
+window and shuffle the strings — moves more bytes than the corpus
+itself; this plan never ships a gram that a block has already counted:
+
+1. **map-side combine** — per block, explode windows and collapse them
+   with one vectorized ``pa.Table.group_by``: what leaves the block is
+   one (gram, partial-count) row per *distinct-in-block* gram, the
+   classic combiner that shrinks the exchange by the in-block repeat
+   factor (boilerplate-heavy web text: 5-50×);
+2. **hash-partitioned sum** — ``shuffle.hash_grouped`` on an int64
+   blake2b digest of the gram (the string key never drives the
+   exchange machinery), one C++ group_by per partition;
+3. (top-k only) **per-partition candidate cut** — every global top-k
+   gram is a top-k gram of whichever partition holds it, so each
+   partition's block emits only its local top-k and the final exact
+   ``sort().limit()`` sees ≤ partitions × k rows — constant driver
+   work at any corpus size.
+
+Windows are strict full n-token windows over ``text.split(" ")`` —
+identical to the decontamination module — so the DuckDB oracle is a
+plain ``generate_series``-windowed GROUP BY.  Tie-break for top-k is
+the total order (count DESC, gram ASC) on BOTH sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+NGRAM_N = 3
+TOP_K = 50
+
+
+def _gram_count_batch(batch: pa.Table, n: int) -> pa.Table:
+    """Block combiner: every full n-gram window occurrence, collapsed to
+    (gram, n, g_key) with one vectorized group_by; g_key is computed
+    only per distinct-in-block gram."""
+    grams: list[str] = []
+    for text in batch.column("text").to_pylist():
+        toks = text.split(" ")
+        grams.extend(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+    if not grams:
+        return pa.table(
+            {
+                "gram": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "g_key": pa.array([], type=pa.int64()),
+            }
+        )
+    local = (
+        pa.table({"gram": pa.array(grams, type=pa.string())})
+        .group_by(["gram"])
+        .aggregate([([], "count_all")])
+    )
+    keys = [
+        int.from_bytes(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+            "big",
+            signed=True,
+        )
+        for g in local.column("gram").to_pylist()
+    ]
+    return pa.table(
+        {
+            "gram": local.column("gram"),
+            "n": local.column("count_all").cast(pa.int64()),
+            "g_key": pa.array(keys, type=pa.int64()),
+        }
+    )
+
+
+def ngram_counts(docs, n: int = NGRAM_N, num_partitions: int | None = None):
+    """documents → (gram, n): global occurrence count of every full
+    word n-gram window (repeats within a doc count each time)."""
+    from ..shuffle import hash_grouped
+
+    partial = docs.map_batches(
+        _gram_count_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
+    )
+    return hash_grouped(
+        partial,
+        ["gram"],
+        [("n", "sum")],
+        rename={"n_sum": "n"},
+        hash_cols=["g_key"],
+        num_partitions=num_partitions,
+    )
+
+
+def _topk_cut_batch(batch: pa.Table, k: int) -> pa.Table:
+    """Local candidate cut: the global top-k under (n DESC, gram ASC) is
+    a subset of each batch's top-k, so emitting only those k rows keeps
+    the final exact sort constant-size."""
+    if len(batch) <= k:
+        return batch
+    idx = pc.sort_indices(
+        batch,
+        sort_keys=[("n", "descending"), ("gram", "ascending")],
+    )
+    return batch.take(idx[:k])
+
+
+def top_ngrams(
+    docs,
+    n: int = NGRAM_N,
+    k: int = TOP_K,
+    num_partitions: int | None = None,
+):
+    """documents → the k most frequent word n-grams, exact, under the
+    total order (count DESC, gram ASC)."""
+    counts = ngram_counts(docs, n=n, num_partitions=num_partitions)
+    cut = counts.map_batches(
+        _topk_cut_batch, fn_kwargs={"k": k}, batch_format="pyarrow"
+    )
+    return cut.sort(["n", "gram"], descending=[True, False]).limit(k)

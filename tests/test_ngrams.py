@@ -1,0 +1,47 @@
+"""Unit tests for corpus n-gram counts and exact top-k (functions/ngrams.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from promptner_ray.functions.ngrams import ngram_counts, top_ngrams
+
+
+def _docs_ds(texts: list[str]):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+
+
+def test_ngram_counts_occurrences(ray_session):
+    # "a b a b a" has windows: "a b a", "b a b", "a b a" -> counts 2,1
+    out = ngram_counts(_docs_ds(["a b a b a", "x y"])).to_pandas()
+    got = dict(zip(out["gram"], out["n"]))
+    assert got == {"a b a": 2, "b a b": 1}
+
+
+def test_top_ngrams_exact_with_tiebreak(ray_session):
+    # force ties at the cut: four grams with count 1 after the top-2;
+    # the total order (n DESC, gram ASC) must pick them deterministically
+    texts = [
+        "p q r",
+        "p q r",
+        "p q r",  # "p q r" x3
+        "a b c",
+        "a b c",  # "a b c" x2
+        "d e f",
+        "b c d",
+        "c d e",
+        "z z z",  # four singletons
+    ]
+    # split across many single-doc blocks so the candidate cut runs per batch
+    ds = _docs_ds(texts).repartition(4)
+    out = top_ngrams(ds, k=4).to_pandas()
+    assert list(out["gram"]) == ["p q r", "a b c", "b c d", "c d e"]
+    assert list(out["n"]) == [3, 2, 1, 1]
