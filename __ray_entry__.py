@@ -241,6 +241,14 @@ def _doc_decontam_keep(sf_dir: str):
     return decontaminate(_read(sf_dir, "documents"))
 
 
+def _doc_pack(sf_dir: str):
+    """Packed-training-stream layout: global token offsets via the
+    two-pass distributed exclusive scan."""
+    from promptner_ray.functions.packing import pack_layout
+
+    return pack_layout(_read(sf_dir, "documents"))
+
+
 def _knn_ivf(sf_dir: str):
     """IVF ANN: sample-trained centroids, ingest-time cell assignment,
     candidate-pruned top-k probe."""
@@ -406,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam_keep": _doc_decontam_keep,
         "doc_ngram_counts": lambda sf: ngrams.ngram_counts(_docs(sf)),
         "doc_top_ngrams": lambda sf: ngrams.top_ngrams(_docs(sf)),
+        "doc_pack": _doc_pack,
         "doc_sample": lambda sf: sampling.hash_sample(
             _docs(sf).select_columns(["doc_id", "lang"]),
             key="doc_id",
@@ -897,6 +906,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY gram
             ORDER BY n DESC, gram ASC
             LIMIT 50
+        """,
+        # packed-stream layout: exclusive cumsum over whitespace token
+        # counts in doc_id order, 256-token sequences — pure int
+        # arithmetic, so the window-function twin is bit-exact
+        "doc_pack": """
+            WITH t AS (SELECT doc_id,
+                              len(string_split(text, ' '))::BIGINT AS n_tokens
+                       FROM documents),
+            s AS (SELECT doc_id, n_tokens,
+                    coalesce(sum(n_tokens) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0)::BIGINT AS start
+                  FROM t)
+            SELECT doc_id, n_tokens, start,
+                   start // 256 AS seq_first,
+                   (start + n_tokens - 1) // 256 AS seq_last,
+                   start % 256 AS seq_offset
+            FROM s
         """,
         # benchmark decontamination: strict full word 3-gram windows
         # (docs < 3 tokens contribute nothing — generate_series(1, len-2)
