@@ -415,6 +415,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_counts": lambda sf: ngrams.ngram_counts(_docs(sf)),
         "doc_top_ngrams": lambda sf: ngrams.top_ngrams(_docs(sf)),
         "doc_pack": _doc_pack,
+        "doc_stratified_sample": lambda sf: sampling.stratified_sample(
+            _docs(sf).select_columns(["doc_id", "lang"]),
+            group="lang",
+            key="doc_id",
+            k=20,
+        ),
         "doc_sample": lambda sf: sampling.hash_sample(
             _docs(sf).select_columns(["doc_id", "lang"]),
             key="doc_id",
@@ -906,6 +912,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY gram
             ORDER BY n DESC, gram ASC
             LIMIT 50
+        """,
+        # quota sampler: 20 docs per language, deterministic md5 rank
+        # (rank string identical to sampling._rank_cut_batch)
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5(doc_id::VARCHAR || ':0'), doc_id
+                ) AS rn
+              FROM documents)
+            WHERE rn <= 20
         """,
         # packed-stream layout: exclusive cumsum over whitespace token
         # counts in doc_id order, 256-token sequences — pure int

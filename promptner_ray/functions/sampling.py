@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MOD = 1_000_000
 
@@ -56,3 +57,89 @@ def sql_hash_sample_predicate(key_expr: str, fraction: float, seed: int = 0) -> 
     cut = int(fraction * MOD)
     u = f"('0x' || substr(md5({key_expr} || ':{seed}'), 1, 16))::UBIGINT"
     return f"({u} % {MOD}) < {cut}"
+
+
+def _rank_cut_batch(
+    batch: pa.Table, group: str, key: str, k: int, seed: int
+) -> pa.Table:
+    """Keep each group's k lowest-ranked rows within this table; rank is
+    the md5-hex of ``key:seed`` (total order, ``key`` tie-break).  The
+    global per-group k-minimum is a subset of every superset's per-group
+    k-minimum, so this same kernel serves as the per-batch candidate cut
+    AND the exact per-partition finisher."""
+    import numpy as np
+
+    if len(batch) == 0:
+        return batch
+    ranks = np.array(
+        [
+            hashlib.md5(f"{v}:{seed}".encode("utf-8")).hexdigest()
+            for v in batch.column(key).to_pylist()
+        ]
+    )
+    keyed = batch.append_column("__rank", pa.array(ranks, type=pa.string()))
+    idx = pc.sort_indices(
+        keyed,
+        sort_keys=[
+            (group, "ascending"),
+            ("__rank", "ascending"),
+            (key, "ascending"),
+        ],
+    )
+    s = keyed.take(idx)
+    g = np.asarray(s.column(group).to_pylist())
+    new_run = np.ones(len(g), dtype=bool)
+    new_run[1:] = g[1:] != g[:-1]
+    run_id = np.cumsum(new_run) - 1
+    run_start = np.zeros(run_id[-1] + 1, dtype=np.int64)
+    run_start[run_id[new_run]] = np.flatnonzero(new_run)
+    pos_in_run = np.arange(len(g)) - run_start[run_id]
+    return s.filter(pa.array(pos_in_run < k)).drop_columns(["__rank"])
+
+
+def stratified_sample(
+    ds,
+    group: str,
+    key: str,
+    k: int,
+    seed: int = 0,
+    num_partitions: int | None = None,
+):
+    """Exactly ``min(k, group size)`` rows per ``group`` value, chosen by
+    deterministic md5 rank of ``key`` — the quota/mixture-rebalancing
+    sampler (e.g. equal documents per language regardless of raw skew).
+
+    Plan: per-batch candidate cut (each block forwards at most k rows
+    per group it has seen) → hash partition on an int64 digest of the
+    group so each group lands whole → the same kernel finishes exactly.
+    The exchange carries ≤ k·(groups per block) rows per block, never
+    the corpus; no global sort."""
+    from ..shuffle import hash_partitioned
+
+    def digest(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("__gk", pa.array([], type=pa.int64()))
+        keys = [
+            int.from_bytes(
+                hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(),
+                "big",
+                signed=True,
+            )
+            for v in batch.column(group).to_pylist()
+        ]
+        return batch.append_column("__gk", pa.array(keys, type=pa.int64()))
+
+    cut = ds.map_batches(
+        _rank_cut_batch,
+        fn_kwargs={"group": group, "key": key, "k": k, "seed": seed},
+        batch_format="pyarrow",
+    ).map_batches(digest, batch_format="pyarrow")
+
+    def finish(part: pa.Table) -> pa.Table:
+        return _rank_cut_batch(
+            part.drop_columns(["__gk"]), group, key, k, seed
+        )
+
+    return hash_partitioned(
+        cut, ["__gk"], finish, num_partitions=num_partitions
+    )
