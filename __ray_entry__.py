@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.explode_tokens_batch, batch_format="pyarrow"
         ),
         "doc_hashed_tf": lambda sf: vectorize.hashed_tf(_docs(sf)),
+        "doc_classifier_score": lambda sf: vectorize.linear_score(_docs(sf)),
         "doc_repetition": lambda sf: _docs(sf).map_batches(
             textstats.repetition_stats_batch, batch_format="pyarrow"
         ),
@@ -755,6 +756,12 @@ def _hashed_tf_sql() -> str:
     return sql_hashed_tf()
 
 
+def _linear_score_sql() -> str:
+    from promptner_ray.functions.vectorize import sql_linear_score
+
+    return sql_linear_score()
+
+
 def _pii_redact_sql() -> str:
     from promptner_ray.functions.pii import sql_inject_expr, sql_redact_exprs
 
@@ -841,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_pii_redact": _pii_redact_sql(),
         "doc_hashed_tf": _hashed_tf_sql(),
+        "doc_classifier_score": _linear_score_sql(),
         "doc_repetition": """
             WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
                           FROM documents),

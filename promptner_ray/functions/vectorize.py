@@ -67,6 +67,69 @@ def hashed_tf(docs, dim: int = DIM):
     )
 
 
+def classifier_weights(dim: int = DIM) -> list[int]:
+    """Deterministic integer weight vector: first md5 byte of ``w:{b}``
+    centered at zero.  Stands in for trained fasttext/logistic weights —
+    the *serving* plan (broadcast small weights, vectorized dot per
+    batch, no shuffle) is identical whatever the weights' provenance;
+    integer weights keep the score exact so the DuckDB twin (same
+    weights inlined as literals) compares bit-for-bit, with no
+    float-summation-order ambiguity."""
+    return [
+        hashlib.md5(f"w:{b}".encode("utf-8")).digest()[0] - 128
+        for b in range(dim)
+    ]
+
+
+def linear_score_batch(
+    batch: pa.Table, weights: list[int] | None = None, dim: int = DIM
+) -> pa.Table:
+    """documents → (doc_id, score, keep): hashed-TF features dotted with
+    the weight vector; ``keep`` is the positive-margin decision."""
+    w = np.asarray(weights if weights is not None else classifier_weights(dim),
+                   dtype=np.int64)
+    tf = hashed_tf_batch(batch, dim=len(w))
+    counts = np.column_stack(
+        [tf.column(f"b{b}").to_numpy(zero_copy_only=False) for b in range(len(w))]
+    ) if len(tf) else np.zeros((0, len(w)), dtype=np.int64)
+    score = counts @ w
+    return pa.table(
+        {
+            "doc_id": tf.column("doc_id"),
+            "score": pa.array(score, type=pa.int64()),
+            "keep": pa.array(score > 0, type=pa.bool_()),
+        }
+    )
+
+
+def linear_score(docs, dim: int = DIM):
+    """Model-scoring pass: fixed (broadcast) linear weights over hashed
+    TF — the shape of every learned quality/toxicity filter at corpus
+    scale: stateless map, no exchange, weights shipped once per task."""
+    return docs.map_batches(
+        linear_score_batch, fn_kwargs={"dim": dim}, batch_format="pyarrow"
+    )
+
+
+def sql_linear_score(dim: int = DIM) -> str:
+    """DuckDB twin of :func:`linear_score`: same md5 buckets, the same
+    integer weights inlined as literals."""
+    w = classifier_weights(dim)
+    bucket = "('0x' || substr(md5(w), 1, 16))::UBIGINT % " + str(dim)
+    terms = " + ".join(
+        f"sum(CASE WHEN bkt = {b} THEN {w[b]} ELSE 0 END)" for b in range(dim)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        bk AS (SELECT doc_id, {bucket} AS bkt FROM tok),
+        sc AS (SELECT doc_id, ({terms})::BIGINT AS score
+               FROM bk GROUP BY doc_id)
+        SELECT doc_id, score, score > 0 AS keep FROM sc
+    """
+
+
 def sql_hashed_tf(dim: int = DIM) -> str:
     """DuckDB twin: identical md5 bucket assignment + ``SUM(CASE)`` pivot."""
     bucket = "('0x' || substr(md5(w), 1, 16))::UBIGINT % " + str(dim)
