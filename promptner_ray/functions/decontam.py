@@ -62,48 +62,35 @@ def _bench_mask(batch: pa.Table, mod: int, rem: int, invert: bool) -> pa.Table:
 
 
 def _gram_rows_batch(batch: pa.Table, n: int) -> pa.Table:
-    """docs → one row per distinct (within-block) n-gram digest, plus the
-    int64 reinterpretation used as the numeric exchange key."""
+    """docs → one row per distinct (within-block) n-gram digest."""
     grams: set[str] = set()
     for text in batch.column("text").to_pylist():
         grams.update(_doc_gram_digests(text, n))
-    gl = sorted(grams)
-    return pa.table(
-        {
-            "g": pa.array(gl, type=pa.string()),
-            "g_key": pa.array(
-                [int(g[:16], 16) - (1 << 63) for g in gl], type=pa.int64()
-            ),
-        }
-    )
+    return pa.table({"g": pa.array(sorted(grams), type=pa.string())})
 
 
 def benchmark_gram_ref(
     docs, n: int = NGRAM_N, mod: int = BENCH_MOD, rem: int = BENCH_REM
 ):
     """Distinct n-gram digest set of the benchmark slice, in the object
-    store (``ray.put``) — resolved once per probe actor, never per batch."""
-    import ray
+    store (``ray.put``) — resolved once per probe actor, never per batch.
 
-    from ..shuffle import hash_grouped
+    No exchange: blocks emit their distinct digests and the driver
+    unions them.  Driver bytes are bounded by the final broadcast set
+    (the benchmark is MBs against a 100 TB corpus — the premise of this
+    plan), so a distributed distinct before the collect would only add
+    a shuffle to dedupe the ≤ #blocks-fold overlap."""
+    import ray
 
     bench = docs.map_batches(
         _bench_mask,
         fn_kwargs={"mod": mod, "rem": rem, "invert": False},
         batch_format="pyarrow",
     )
-    distinct = hash_grouped(
-        bench.map_batches(
-            _gram_rows_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
-        ),
-        ["g"],
-        [],
-        hash_cols=["g_key"],
-    )
-    grams = frozenset(
-        r["g"] for r in distinct.select_columns(["g"]).take_all()
-    )
-    return ray.put(grams)
+    rows = bench.map_batches(
+        _gram_rows_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
+    ).take_all()
+    return ray.put(frozenset(r["g"] for r in rows))
 
 
 class _ContamProbe:
@@ -139,11 +126,20 @@ def contaminated_docs(
     n: int = NGRAM_N,
     mod: int = BENCH_MOD,
     rem: int = BENCH_REM,
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """documents → (doc_id, n_hit): training docs (the non-benchmark
     slice) sharing ≥1 word n-gram with any benchmark doc, with the count
     of distinct shared n-grams.  Map-only over the corpus."""
+    if concurrency is None:
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        concurrency = (1, max(2, cpus // 2))
     bench_ref = benchmark_gram_ref(docs, n=n, mod=mod, rem=rem)
     train = docs.map_batches(
         _bench_mask,
