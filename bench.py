@@ -127,6 +127,10 @@ def _operator_suite() -> dict[str, float]:
         "doc_token_stats",
         "doc_quality",
         "doc_langid",
+        "doc_decontam",
+        "doc_ngram_counts",
+        "doc_pack",
+        "doc_classifier_score",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_jaccard_pairs",
