@@ -249,6 +249,15 @@ def _doc_pack(sf_dir: str):
     return pack_layout(_read(sf_dir, "documents"))
 
 
+def _doc_shuffle(sf_dir: str):
+    """Deterministic global shuffle order via bucket-offset ranking."""
+    from promptner_ray.functions.ordering import shuffle_positions
+
+    return shuffle_positions(
+        _read(sf_dir, "documents").select_columns(["doc_id"])
+    )
+
+
 def _knn_ivf(sf_dir: str):
     """IVF ANN: sample-trained centroids, ingest-time cell assignment,
     candidate-pruned top-k probe."""
@@ -416,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_counts": lambda sf: ngrams.ngram_counts(_docs(sf)),
         "doc_top_ngrams": lambda sf: ngrams.top_ngrams(_docs(sf)),
         "doc_pack": _doc_pack,
+        "doc_shuffle": _doc_shuffle,
         "doc_stratified_sample": lambda sf: sampling.stratified_sample(
             _docs(sf).select_columns(["doc_id", "lang"]),
             group="lang",
@@ -920,6 +930,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY gram
             ORDER BY n DESC, gram ASC
             LIMIT 50
+        """,
+        # deterministic global training-shuffle order: dense zero-based
+        # rank under ORDER BY md5(doc_id:seed), doc_id
+        "doc_shuffle": """
+            SELECT doc_id,
+              (row_number() OVER (
+                 ORDER BY md5(doc_id::VARCHAR || ':0'), doc_id
+               ) - 1)::BIGINT AS pos
+            FROM documents
         """,
         # quota sampler: 20 docs per language, deterministic md5 rank
         # (rank string identical to sampling._rank_cut_batch)
