@@ -258,6 +258,19 @@ def _doc_shuffle(sf_dir: str):
     )
 
 
+def _embed_cluster(sf_dir: str):
+    """k-means cluster assignment; centroids trained on a bounded
+    deterministic sample and exported so the SQL oracle can recompute
+    the argmax-cosine assignment independently."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    similarity.ensure_centroid_export(sf_dir)
+    cent_ref = ray.put(similarity.train_centroids(sf_dir))
+    return similarity.cluster_assign(_read(sf_dir, "embeddings"), cent_ref)
+
+
 def _knn_ivf(sf_dir: str):
     """IVF ANN: sample-trained centroids, ingest-time cell assignment,
     candidate-pruned top-k probe."""
@@ -461,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf), _qref(sf), k=KNN_K
         ),
         "embed_knn_ivf": _knn_ivf,
+        "embed_cluster": _embed_cluster,
         "embed_cosine_pairs_ivf": _cosine_pairs_ivf,
         # --- multimodal plumbing (documents-as-binary) ---------------
         "multimodal_features": lambda sf: multimodal.media_features(
@@ -795,6 +809,9 @@ def oracle_sql() -> dict[str, str]:
             _kg_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     except Exception:
         pass  # no Ray session: the export must already exist on disk
+    from promptner_ray.functions.similarity import ensure_centroid_export
+
+    ensure_centroid_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     from promptner_ray.pipelines.corpus_clean import (
         CURATE_DUP2_MAX,
         CURATE_TOP_TOKEN_MAX as CURATE_TOP_MAX,
@@ -1209,6 +1226,19 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rank
               FROM q, embeddings e WHERE e.vec_id != q.qid)
             SELECT qid, nid, rank FROM scored WHERE rank <= {KNN_K}
+        """,
+        # k-means assignment: argmax cosine against the exported
+        # (deterministically trained) centroid table — same first-max
+        # tie-break as np.argmax via (sim DESC, cell ASC)
+        "embed_cluster": f"""
+            SELECT e.vec_id, (
+              SELECT c.cell
+              FROM read_parquet(
+                '/tmp/promptner_centroids/{_ORACLE_SF_NAME}/centroids.parquet') c
+              ORDER BY list_cosine_similarity(
+                e.embedding::DOUBLE[], c.centroid) DESC, c.cell ASC
+              LIMIT 1) AS cell
+            FROM embeddings e
         """,
         "embed_cosine_pairs": f"""
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -580,3 +580,52 @@ def cosine_pairs_ivf(
         [("cos", "min")],
         rename={"cos_min": "cos"},
     )
+
+
+# --- k-means clustering as a first-class operator ---------------------
+
+CENTROID_EXPORT_ROOT = "/tmp/promptner_centroids"
+
+
+def ensure_centroid_export(sf_dir: str) -> str:
+    """Train the (deterministic) spherical k-means centroids for
+    ``sf_dir`` and leave them as plain parquet so an independent engine
+    can recompute the cluster assignment — the same exported-upstream
+    oracle scheme as the KG stage tables (pipelines/export.py).  Pure
+    driver-side numpy + pyarrow: needs no Ray session.  Idempotent."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    out_dir = pathlib.Path(CENTROID_EXPORT_ROOT) / pathlib.Path(sf_dir).name
+    out = out_dir / "centroids.parquet"
+    if out.exists():
+        return str(out)
+    cent = train_centroids(sf_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tbl = pa.table(
+        {
+            "cell": pa.array(range(len(cent)), type=pa.int32()),
+            "centroid": pa.array(
+                [row.astype(float).tolist() for row in cent],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    tmp = out_dir / "centroids.parquet.tmp"
+    pq.write_table(tbl, tmp)
+    tmp.rename(out)
+    return str(out)
+
+
+def cluster_assign(embeddings, cent_ref):
+    """embeddings → (vec_id, cell): nearest-centroid (max cosine)
+    cluster id per vector — k-means *serving*, the shape of every
+    corpus-clustering pass (semantic dedup buckets, domain discovery,
+    diversity-balanced sampling).  Training is bounded-sample
+    driver-side (``train_centroids``); assignment streams map-only with
+    the centroid matrix broadcast once (``_IvfAssigner``), so the plan
+    is embarrassingly parallel at any corpus size."""
+    return ivf_assign(embeddings, cent_ref).select_columns(
+        ["vec_id", "cell"]
+    )
