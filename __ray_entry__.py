@@ -341,6 +341,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from promptner_ray.functions import (
         dedup,
+        hll,
         multimodal,
         ngrams,
         pii,
@@ -348,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sampling,
         similarity,
         textstats,
+        urls,
         vectorize,
     )
 
@@ -431,6 +433,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.winnow_batch, batch_format="pyarrow"
         ),
         "lang_counts": lambda sf: relational.lang_counts(_docs(sf)),
+        "doc_blocklist": lambda sf: _docs(sf).map_batches(
+            textstats.blocklist_batch, batch_format="pyarrow"
+        ),
+        "doc_domains": lambda sf: urls.doc_domains(_docs(sf)),
+        "domain_counts": lambda sf: urls.domain_counts(_docs(sf)),
+        "doc_tfidf": lambda sf: vectorize.tfidf(_docs(sf)),
+        "doc_distinct_sketch": lambda sf: hll.hll_registers(_docs(sf)),
         "doc_clean": _doc_clean,
         "doc_curate": _doc_curate,
         "doc_decontam": _doc_decontam,
@@ -513,6 +522,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle_sql() so the SQL side is self-sufficient.
         "kg_docs_text": _kg_docs_text,
         "kg_sentences": _kg_sentences,
+        # C4-style corpus pass: drop repeated sentences, keep the global
+        # first occurrence in (url, sent_id) order
+        "kg_sentence_dedup": lambda sf: dedup.first_occurrence(
+            _kg_sentences(sf), "text", ["url", "sent_id"]
+        ),
         "kg_mentions": _kg_mentions,
         "kg_triples": _kg_triples,
         "kg_links": _kg_links,
@@ -786,6 +800,36 @@ def _linear_score_sql() -> str:
     return sql_linear_score()
 
 
+def _blocklist_sql() -> str:
+    from promptner_ray.functions.textstats import sql_blocklist
+
+    return sql_blocklist()
+
+
+def _doc_domains_sql() -> str:
+    from promptner_ray.functions.urls import sql_doc_domains
+
+    return sql_doc_domains()
+
+
+def _domain_counts_sql() -> str:
+    from promptner_ray.functions.urls import sql_domain_counts
+
+    return sql_domain_counts()
+
+
+def _tfidf_sql() -> str:
+    from promptner_ray.functions.vectorize import sql_tfidf
+
+    return sql_tfidf()
+
+
+def _hll_sql() -> str:
+    from promptner_ray.functions.hll import sql_hll_registers
+
+    return sql_hll_registers()
+
+
 def _pii_redact_sql() -> str:
     from promptner_ray.functions.pii import sql_inject_expr, sql_redact_exprs
 
@@ -876,6 +920,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_redact": _pii_redact_sql(),
         "doc_hashed_tf": _hashed_tf_sql(),
         "doc_classifier_score": _linear_score_sql(),
+        "doc_blocklist": _blocklist_sql(),
+        "doc_domains": _doc_domains_sql(),
+        "domain_counts": _domain_counts_sql(),
+        "doc_tfidf": _tfidf_sql(),
+        "doc_distinct_sketch": _hll_sql(),
         "doc_repetition": """
             WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
                           FROM documents),
@@ -1371,6 +1420,22 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
             SELECT url, sent_id::INT AS sent_id, text FROM s
             WHERE text != ''
+        """,
+        # first-occurrence sentence dedup: one survivor per distinct
+        # sentence text, the (url, sent_id)-smallest
+        "kg_sentence_dedup": f"""
+            WITH d AS (SELECT url, text FROM read_parquet('{_CORPUS_GLOB}')
+                       WHERE lang = 'en'),
+            s AS (
+              SELECT url,
+                     unnest(string_split(text, chr(10))) AS text,
+                     generate_subscripts(string_split(text, chr(10)), 1) - 1
+                       AS sent_id
+              FROM d)
+            SELECT url, sent_id::INT AS sent_id, text FROM s
+            WHERE text != ''
+            QUALIFY row_number()
+                    OVER (PARTITION BY text ORDER BY url, sent_id) = 1
         """,
         "kg_mentions": f"""
             SELECT url, sent_id, m.surface AS mention, m.mtype AS mtype,

@@ -148,6 +148,10 @@ def _operator_suite() -> dict[str, float]:
         "doc_ngram_counts",
         "doc_pack",
         "doc_classifier_score",
+        "doc_tfidf",
+        "doc_distinct_sketch",
+        "domain_counts",
+        "kg_sentence_dedup",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_jaccard_pairs",

@@ -553,3 +553,46 @@ def minhash_dedup(docs, num_perm: int = NUM_PERM, band_rows: int = BAND_ROWS):
         return batch.filter(mask).select(["doc_id"])
 
     return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def first_occurrence(ds, value_col: str, order_cols: list[str],
+                     num_partitions: int | None = None):
+    """Global first-occurrence dedup: per distinct ``value_col``, keep
+    the single row with the lexicographically smallest ``order_cols`` —
+    the C4-style "drop repeated lines/sentences, keep the earliest"
+    corpus pass.
+
+    Plan: digest the value to int64 per row (the string never keys the
+    exchange), hash-partition on the digest so every copy of a value
+    lands in one partition, then one vectorized sort + adjacent-compare
+    per partition — no per-group Python.  Grouping inside the partition
+    is by the VALUE, not its digest, so a digest collision cannot merge
+    two distinct values."""
+    from ..shuffle import hash_partitioned
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [_hash64(v) for v in batch.column(value_col).to_pylist()]
+        return batch.append_column(
+            "__vkey", pa.array(keys, type=pa.int64())
+        )
+
+    sort_keys = [(value_col, "ascending")] + [
+        (c, "ascending") for c in order_cols
+    ]
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.drop_columns(["__vkey"])
+        t2 = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        vals = t2.column(value_col).combine_chunks()
+        first = np.ones(len(t2), dtype=bool)
+        if len(t2) > 1:
+            first[1:] = pc.not_equal(
+                vals.slice(1), vals.slice(0, len(vals) - 1)
+            ).to_numpy(zero_copy_only=False)
+        return t2.filter(pa.array(first)).drop_columns(["__vkey"])
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return hash_partitioned(
+        keyed, ["__vkey"], keep_first, num_partitions=num_partitions
+    )

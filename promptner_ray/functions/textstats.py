@@ -334,3 +334,42 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+# Corpus-blocklist filter: the deny-list companion to quality_batch's
+# keep-heuristics (C4 dropped any page containing a "bad words" token).
+# The list mixes tokens the synthetic corpus DOES contain with ones it
+# doesn't, so both filter branches are exercised.
+BLOCKLIST: tuple[str, ...] = ("slow", "dup", "spam", "malware")
+
+
+def blocklist_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, n_blocked, keep): occurrence count of
+    blocklisted tokens and the C4-style keep decision (zero hits).
+
+    Stateless vectorized membership pass (``is_in`` + per-row segment
+    sum) — no shuffle, streams at any corpus size."""
+    flat, offsets = _split_tokens(batch)
+    n_blocked = _per_row_member_counts(flat, offsets, BLOCKLIST)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_blocked": pa.array(n_blocked, type=pa.int64()),
+            "keep": pa.array(n_blocked == 0, type=pa.bool_()),
+        }
+    )
+
+
+def sql_blocklist() -> str:
+    """DuckDB twin of :func:`blocklist_batch`."""
+    lits = ", ".join(f"'{w}'" for w in BLOCKLIST)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        SELECT doc_id,
+               sum(CASE WHEN w IN ({lits}) THEN 1 ELSE 0 END)::BIGINT
+                 AS n_blocked,
+               sum(CASE WHEN w IN ({lits}) THEN 1 ELSE 0 END) = 0 AS keep
+        FROM tok GROUP BY doc_id
+    """

@@ -144,3 +144,79 @@ def sql_hashed_tf(dim: int = DIM) -> str:
         bk AS (SELECT doc_id, {bucket} AS bkt FROM tok)
         SELECT doc_id, {sums} FROM bk GROUP BY doc_id
     """
+
+
+def corpus_df(docs, dim: int = DIM) -> tuple[int, list[int]]:
+    """(n_docs, per-bucket document frequency) — a constant-size reduce.
+
+    Per block: one row of ``dim + 1`` partial counts (docs in block,
+    docs with bucket b non-zero); Ray's native ``sum`` folds the rows.
+    The reduction volume is ``dim`` integers per block at any corpus
+    size — the same shape as the sketch reduces (:mod:`.sketch`)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf = hashed_tf_batch(batch, dim=dim)
+        cols = {"n_docs": pa.array([len(tf)], type=pa.int64())}
+        for b in range(dim):
+            nz = int(
+                np.count_nonzero(
+                    tf.column(f"b{b}").to_numpy(zero_copy_only=False)
+                )
+            )
+            cols[f"df{b}"] = pa.array([nz], type=pa.int64())
+        return pa.table(cols)
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_docs"] + [f"df{b}" for b in range(dim)]
+    )
+    return int(agg["sum(n_docs)"]), [
+        int(agg[f"sum(df{b})"]) for b in range(dim)
+    ]
+
+
+def tfidf(docs, dim: int = DIM):
+    """documents → (doc_id, t0…t{dim-1}) smoothed TF-IDF weights:
+    ``tf_b · ln((N+1)/(df_b+1))``.
+
+    Two streaming passes: a constant-size DF reduce (the only global
+    state — ``dim`` scalars, shipped to every task as literals), then a
+    stateless weighting map.  No shuffle at any corpus size.  The idf
+    scalars use ``math.log`` (libm), which DuckDB's ``ln`` reproduces
+    bit-for-bit on the same doubles, so the float output is
+    oracle-exact, not merely close."""
+    import math
+
+    n, dfs = corpus_df(docs, dim=dim)
+    idf = np.array(
+        [math.log((n + 1.0) / (df + 1.0)) for df in dfs], dtype=np.float64
+    )
+
+    def weight(batch: pa.Table) -> pa.Table:
+        tf = hashed_tf_batch(batch, dim=dim)
+        cols = {"doc_id": tf.column("doc_id")}
+        for b in range(dim):
+            counts = tf.column(f"b{b}").to_numpy(zero_copy_only=False)
+            cols[f"t{b}"] = pa.array(
+                counts.astype(np.float64) * idf[b], type=pa.float64()
+            )
+        return pa.table(cols)
+
+    return docs.map_batches(weight, batch_format="pyarrow")
+
+
+def sql_tfidf(dim: int = DIM) -> str:
+    """DuckDB twin of :func:`tfidf`: same buckets, same smoothed idf."""
+    weights = ", ".join(
+        f"(b{b} * ln((SELECT (count(*) + 1.0)::DOUBLE FROM documents) / "
+        f"(df.df{b} + 1.0)))::DOUBLE AS t{b}"
+        for b in range(dim)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{b}"
+        for b in range(dim)
+    )
+    return f"""
+        WITH tf AS ({sql_hashed_tf(dim)}),
+        df AS (SELECT {dfs} FROM tf)
+        SELECT doc_id, {weights} FROM tf, df
+    """

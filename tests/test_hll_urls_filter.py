@@ -1,0 +1,121 @@
+"""Unit tests for the HLL distinct sketch, URL/domain ops, blocklist
+filter, TF-IDF, and first-occurrence dedup (the oracle-parity suite pins
+their SQL twins; these pin the semantics and the estimate accuracy)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from promptner_ray.functions.dedup import first_occurrence
+from promptner_ray.functions.hll import (
+    P,
+    hll_estimate,
+    hll_partial_batch,
+    hll_registers,
+)
+from promptner_ray.functions.textstats import blocklist_batch
+from promptner_ray.functions.urls import (
+    extract_domains_batch,
+    inject_synthetic_urls_batch,
+)
+
+
+def _docs_ds(texts: list[str]):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+
+
+def test_hll_estimate_small_range() -> None:
+    # 40 distinct tokens: well inside the linear-counting regime for
+    # m=64 registers — the estimate must land within ±20%.
+    toks = [f"tok{i}" for i in range(40)]
+    regs = hll_partial_batch(
+        pa.table({"text": pa.array([" ".join(toks)])}), column="text"
+    )
+    est = hll_estimate(regs)
+    assert 32 <= est <= 48, est
+
+
+def test_hll_estimate_large_cardinality() -> None:
+    # 20k distinct tokens at p=6 (13% standard error): within 3 sigma.
+    toks = [f"w{i}" for i in range(20_000)]
+    regs = hll_partial_batch(
+        pa.table({"text": pa.array([" ".join(toks)])}), column="text"
+    )
+    est = hll_estimate(regs)
+    assert abs(est - 20_000) / 20_000 < 0.40, est
+
+
+def test_hll_registers_merge_equals_single_pass(ray_session) -> None:
+    # distributed merged registers == one-block computation
+    texts = [f"a{i} b{i % 7} c" for i in range(50)]
+    merged = (
+        hll_registers(_docs_ds(texts))
+        .to_pandas()
+        .sort_values("register")
+        .reset_index(drop=True)
+    )
+    single = (
+        hll_partial_batch(
+            pa.table({"text": pa.array([" ".join(texts)])}), column="text"
+        )
+        .to_pandas()
+        .sort_values("register")
+        .reset_index(drop=True)
+    )
+    assert merged.equals(single)
+    assert (merged["max_rank"] >= 1).all()
+    assert (merged["register"] < (1 << P)).all()
+
+
+def test_blocklist_counts_occurrences() -> None:
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["slow slow dup", "fast clean", "spam"]),
+        }
+    )
+    out = blocklist_batch(batch).to_pydict()
+    assert out["n_blocked"] == [3, 0, 1]
+    assert out["keep"] == [False, True, False]
+
+
+def test_url_extraction_order_and_hosts() -> None:
+    batch = pa.table(
+        {"doc_id": pa.array([7], type=pa.int64()), "text": pa.array(["x"])}
+    )
+    inj = inject_synthetic_urls_batch(batch)
+    out = extract_domains_batch(inj).to_pydict()
+    assert out["domain"] == [
+        "site7.example.com",
+        "cdn2.assets.net",
+        "www.portal1.org",
+    ]
+    assert out["url_idx"] == [0, 1, 2]
+
+
+def test_first_occurrence_keeps_global_min(ray_session) -> None:
+    t = pa.table(
+        {
+            "url": pa.array(["u2", "u1", "u1", "u3", "u2"]),
+            "sent_id": pa.array([0, 5, 1, 0, 1], type=pa.int32()),
+            "text": pa.array(["dup", "dup", "dup", "only", "other"]),
+        }
+    )
+    out = (
+        first_occurrence(ray.data.from_arrow(t), "text", ["url", "sent_id"])
+        .to_pandas()
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    # "dup" survives at its (url, sent_id)-smallest occurrence: (u1, 1)
+    assert out["text"].tolist() == ["dup", "only", "other"]
+    assert out["url"].tolist() == ["u1", "u3", "u2"]
+    assert out["sent_id"].tolist() == [1, 0, 1]
