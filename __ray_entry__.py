@@ -438,8 +438,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "doc_domains": lambda sf: urls.doc_domains(_docs(sf)),
         "domain_counts": lambda sf: urls.domain_counts(_docs(sf)),
+        "doc_domain_cap": lambda sf: urls.domain_cap(_docs(sf)),
         "doc_tfidf": lambda sf: vectorize.tfidf(_docs(sf)),
+        "doc_lm_score": lambda sf: vectorize.lm_score(_docs(sf)),
         "doc_distinct_sketch": lambda sf: hll.hll_registers(_docs(sf)),
+        "dedup_winnow_pairs": lambda sf: dedup.winnow_pairs(_docs(sf)),
         "doc_clean": _doc_clean,
         "doc_curate": _doc_curate,
         "doc_decontam": _doc_decontam,
@@ -655,8 +658,9 @@ def _sql_simhash_cte() -> str:
       FROM bits GROUP BY doc_id)"""
 
 
-def _sql_winnow() -> str:
-    """Winnowing fingerprint summary in SQL: explicit 8-term polynomial
+def _sql_winnow_chosen() -> str:
+    """Shared CTE chain ending in ``chosen(doc_id, sel)`` — the distinct
+    winnowing fingerprint set per document: explicit 8-term polynomial
     rolling hash (base 257 mod 2^61-1) + per-window min — mirrors
     functions.textstats.winnow_fingerprints for k=8, w=6 on ASCII text."""
     mod = (1 << 61) - 1
@@ -665,7 +669,7 @@ def _sql_winnow() -> str:
         for j in range(8)
     )
     return f"""
-    WITH pos AS (
+    pos AS (
       SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
       FROM documents WHERE length(text) >= 8),
     kh AS (
@@ -678,10 +682,32 @@ def _sql_winnow() -> str:
                           ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS sel
       FROM kh),
     chosen AS (SELECT DISTINCT doc_id, sel FROM win
-               WHERE i <= greatest(1, n - 5))
+               WHERE i <= greatest(1, n - 5))"""
+
+
+def _sql_winnow() -> str:
+    """Winnowing fingerprint summary in SQL (see :func:`_sql_winnow_chosen`)."""
+    return f"""
+    WITH {_sql_winnow_chosen()}
     SELECT doc_id, count(*)::BIGINT AS n_fp, min(sel) AS fp_min
     FROM chosen GROUP BY doc_id
     """
+
+
+def _winnow_pairs_sql() -> str:
+    """DuckDB twin of functions.dedup.winnow_pairs: self-join the chosen
+    fingerprint sets, count shared fingerprints per ordered pair."""
+    from promptner_ray.functions.dedup import WINNOW_MIN_SHARED
+
+    return f"""
+    WITH {_sql_winnow_chosen()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*)::BIGINT AS n_shared
+    FROM chosen a JOIN chosen b
+      ON a.sel = b.sel AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """  # min_shared=40: measured bimodal gap, see dedup.WINNOW_MIN_SHARED
 
 
 # count/min/max are order-independent, so the range-join aggregate row is
@@ -830,6 +856,18 @@ def _hll_sql() -> str:
     return sql_hll_registers()
 
 
+def _domain_cap_sql() -> str:
+    from promptner_ray.functions.urls import sql_domain_cap
+
+    return sql_domain_cap()
+
+
+def _lm_score_sql() -> str:
+    from promptner_ray.functions.vectorize import sql_lm_score
+
+    return sql_lm_score()
+
+
 def _pii_redact_sql() -> str:
     from promptner_ray.functions.pii import sql_inject_expr, sql_redact_exprs
 
@@ -923,8 +961,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_blocklist": _blocklist_sql(),
         "doc_domains": _doc_domains_sql(),
         "domain_counts": _domain_counts_sql(),
+        "doc_domain_cap": _domain_cap_sql(),
         "doc_tfidf": _tfidf_sql(),
+        "doc_lm_score": _lm_score_sql(),
         "doc_distinct_sketch": _hll_sql(),
+        "dedup_winnow_pairs": _winnow_pairs_sql(),
         "doc_repetition": """
             WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
                           FROM documents),

@@ -149,8 +149,10 @@ def _operator_suite() -> dict[str, float]:
         "doc_pack",
         "doc_classifier_score",
         "doc_tfidf",
+        "doc_lm_score",
         "doc_distinct_sketch",
         "domain_counts",
+        "doc_domain_cap",
         "kg_sentence_dedup",
         "dedup_exact",
         "dedup_minhash_lsh",

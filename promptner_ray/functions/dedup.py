@@ -596,3 +596,104 @@ def first_occurrence(ds, value_col: str, order_cols: list[str],
     return hash_partitioned(
         keyed, ["__vkey"], keep_first, num_partitions=num_partitions
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing-fingerprint overlap pairs (substring-level near-dup candidates)
+# ---------------------------------------------------------------------------
+
+# ≥40 shared fingerprints cleanly separates the synthetic corpus's true
+# near-dup clusters (41-94 shared) from its background (≤31 — the tiny
+# 31-word vocabulary makes ordinary 8-char substrings corpus-common, so
+# low thresholds flag everything; measured bimodal gap at sf0.001/sf0.01).
+WINNOW_MIN_SHARED = 40
+
+
+def winnow_fp_rows_batch(batch: pa.Table, k: int = 8, w: int = 6) -> pa.Table:
+    """documents → one row per (doc_id, distinct winnowing fingerprint).
+
+    The fingerprints are the ones :func:`..textstats.winnow_fingerprints`
+    selects (mod 2^61−1, so they fit int64 natively)."""
+    from .textstats import winnow_fingerprints
+
+    doc_ids: list[int] = []
+    hs: list[int] = []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        for fp in winnow_fingerprints(text, k=k, w=w):
+            doc_ids.append(doc_id)
+            hs.append(fp)
+    return pa.table(
+        {
+            "h": pa.array(hs, type=pa.int64()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+        }
+    )
+
+
+def winnow_pairs(docs, min_shared: int = WINNOW_MIN_SHARED,
+                 k: int = 8, w: int = 6, max_df: int | None = None):
+    """documents → (doc_a, doc_b, n_shared) for pairs sharing ≥
+    ``min_shared`` winnowing fingerprints — the substring-overlap
+    near-dup detector (MOSS-style): two documents share a fingerprint
+    iff they share a k-char substring the winnowing scheme selected, so
+    this surfaces copies that token-level shingles miss (reorderings,
+    partial quotes).
+
+    Same inverted-index plan as :func:`jaccard_pairs`' intersection
+    counting: fingerprint self-join → per-block pair-count combine →
+    grouped sum; no broadcast, no driver state.  ``max_df`` is the
+    hot-key control for web scale: a fingerprint present in f docs
+    contributes f² join rows, so boilerplate substrings (site chrome,
+    license headers) must be dropped before the join — the stop-words
+    move of MOSS.  Left off by default because the synthetic corpus's
+    31-word vocabulary makes EVERY substring common (a df cap there
+    erases the true-dup signal instead of the noise); on real web text
+    set it to a few × the expected duplication factor.  The SQL twin
+    replays the rolling hash and self-joins the chosen set (assumes
+    every doc has ≥ k chars, like the ``doc_winnow`` oracle)."""
+    from ..shuffle import hash_grouped
+
+    rows = docs.map_batches(
+        winnow_fp_rows_batch,
+        fn_kwargs={"k": k, "w": w},
+        batch_format="pyarrow",
+    ).materialize()  # consumed by both join sides; pin the blocks once
+    if max_df is not None:
+        # distinct (h, df) via hash_grouped count; keep rare fingerprints
+        rare = hash_grouped(rows, ["h"], [([], "count_all")],
+                            rename={"count_all": "df"})
+
+        def rare_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.less_equal(batch.column("df"), max_df)
+            ).drop_columns(["df"])
+
+        keep = rare.map_batches(rare_only, batch_format="pyarrow")
+        from ..shuffle import local_hash_join
+
+        rows = local_hash_join(
+            rows,
+            keep,
+            on=["h"],
+            left_schema=pa.schema(
+                [("h", pa.int64()), ("doc_id", pa.int64())]
+            ),
+            right_schema=pa.schema([("h", pa.int64())]),
+            how="semi",
+        ).materialize()
+    cooc = _self_join_pairs(rows, "h")
+    nshared = hash_grouped(
+        cooc.map_batches(_pair_count_partial, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
+        [("n", "sum")],
+        rename={"n_sum": "n_shared"},
+    )
+
+    def cut(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n_shared"), min_shared)
+        )
+
+    return nshared.map_batches(cut, batch_format="pyarrow")

@@ -175,3 +175,45 @@ def sql_domain_counts(column: str = "text") -> str:
         WITH ex AS ({sql_doc_domains(column)})
         SELECT domain, count(*)::BIGINT AS n FROM ex GROUP BY domain
     """
+
+
+def domain_cap(docs, k: int = 5, column: str = "text"):
+    """documents → (doc_id, domain): at most ``k`` documents per
+    primary domain (a document's FIRST URL host), chosen by
+    deterministic md5 rank — the RefinedWeb-style per-domain quota that
+    stops a single crawl-heavy site from dominating the training mix.
+
+    Pure composition: :func:`doc_domains` (first match per doc) →
+    :func:`..sampling.stratified_sample` on the domain — the quota
+    machinery (per-batch candidate cut, group-digest exchange) is shared
+    with the per-language sampler."""
+    import pyarrow.compute as pc
+
+    from .sampling import stratified_sample
+
+    first = doc_domains(docs, column=column).map_batches(
+        lambda b: b.filter(pc.equal(b.column("url_idx"), 0)).drop_columns(
+            ["url_idx"]
+        ),
+        batch_format="pyarrow",
+    )
+    return stratified_sample(first, group="domain", key="doc_id", k=k)
+
+
+def sql_domain_cap(k: int = 5, column: str = "text") -> str:
+    """DuckDB twin of :func:`domain_cap` (seed 0 rank, ties by doc_id)."""
+    return f"""
+        WITH injected AS (
+          SELECT doc_id, {sql_inject_urls_expr(column)} AS t FROM documents),
+        d AS (
+          SELECT doc_id, regexp_extract(t, '{URL_PATTERN}', 1) AS domain
+          FROM injected)
+        SELECT doc_id, domain FROM (
+          SELECT doc_id, domain,
+            row_number() OVER (
+              PARTITION BY domain
+              ORDER BY md5(doc_id::VARCHAR || ':0'), doc_id
+            ) AS rn
+          FROM d)
+        WHERE rn <= {k}
+    """

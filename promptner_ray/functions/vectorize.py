@@ -220,3 +220,98 @@ def sql_tfidf(dim: int = DIM) -> str:
         df AS (SELECT {dfs} FROM tf)
         SELECT doc_id, {weights} FROM tf, df
     """
+
+
+def corpus_bucket_totals(docs, dim: int = DIM) -> tuple[int, list[int]]:
+    """(total token count, per-bucket occurrence totals) — the unigram
+    "LM training" pass over the hashed vocabulary: a constant-size
+    reduce exactly like :func:`corpus_df`, but counting occurrences."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf = hashed_tf_batch(batch, dim=dim)
+        cols = {}
+        total = 0
+        for b in range(dim):
+            s = int(
+                tf.column(f"b{b}").to_numpy(zero_copy_only=False).sum()
+            ) if len(tf) else 0
+            cols[f"c{b}"] = pa.array([s], type=pa.int64())
+            total += s
+        cols["total"] = pa.array([total], type=pa.int64())
+        return pa.table(cols)
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").sum(
+        [f"c{b}" for b in range(dim)] + ["total"]
+    )
+    return int(agg["sum(total)"]), [int(agg[f"sum(c{b})"]) for b in range(dim)]
+
+
+def lm_score(docs, dim: int = DIM):
+    """documents → (doc_id, n_tokens, logprob, avg_logprob): unigram
+    language-model quality score over the hashed vocabulary — the shape
+    of CCNet's perplexity filter with the n-gram LM replaced by the
+    corpus's own unigram distribution over ``dim`` hash buckets.
+
+    Two streaming passes: the constant-size count reduce ("training"),
+    then a stateless scoring map with the ``dim`` log-probabilities
+    shipped as literals.  The hashed vocabulary is what makes this
+    corpus-size-independent: a real 10^8-type vocabulary would need a
+    broadcast table, a 2^16-bucket hash needs 512 KB however large the
+    corpus.  Floats are oracle-EXACT: the per-doc sum accumulates
+    bucket-by-bucket in fixed order, matching SQL's left-associative
+    ``+`` chain, and ``math.log`` ≡ DuckDB ``ln`` on equal doubles."""
+    import math
+
+    total, counts = corpus_bucket_totals(docs, dim=dim)
+    logp = [
+        math.log(c / total) if c > 0 and total > 0 else 0.0 for c in counts
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = hashed_tf_batch(batch, dim=dim)
+        mat = [
+            tf.column(f"b{b}").to_numpy(zero_copy_only=False)
+            for b in range(dim)
+        ]
+        n_tokens = np.zeros(len(tf), dtype=np.int64)
+        for col in mat:
+            n_tokens += col
+        acc = np.zeros(len(tf), dtype=np.float64)
+        for b in range(dim):  # fixed order == SQL's left-assoc sum
+            acc = acc + mat[b].astype(np.float64) * logp[b]
+        avg = np.where(n_tokens > 0, acc / np.maximum(n_tokens, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": tf.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "logprob": pa.array(acc, type=pa.float64()),
+                "avg_logprob": pa.array(avg, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def sql_lm_score(dim: int = DIM) -> str:
+    """DuckDB twin of :func:`lm_score`: same buckets, same fixed-order
+    float accumulation."""
+    lp = ", ".join(
+        f"CASE WHEN sum(b{b}) > 0 AND sum(b0"
+        + "".join(f" + b{j}" for j in range(1, dim))
+        + f") > 0 THEN ln(sum(b{b})::DOUBLE / sum(b0"
+        + "".join(f" + b{j}" for j in range(1, dim))
+        + f")::DOUBLE) ELSE 0.0 END AS lp{b}"
+        for b in range(dim)
+    )
+    ntok = " + ".join(f"b{b}" for b in range(dim))
+    acc = " + ".join(f"b{b} * lp{b}" for b in range(dim))
+    return f"""
+        WITH tf AS ({sql_hashed_tf(dim)}),
+        lm AS (SELECT {lp} FROM tf)
+        SELECT doc_id, ({ntok})::BIGINT AS n_tokens,
+               ({acc})::DOUBLE AS logprob,
+               CASE WHEN {ntok} > 0
+                    THEN ({acc}) / ({ntok})::DOUBLE ELSE 0.0 END
+                 AS avg_logprob
+        FROM tf, lm
+    """

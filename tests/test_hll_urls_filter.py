@@ -119,3 +119,72 @@ def test_first_occurrence_keeps_global_min(ray_session) -> None:
     assert out["text"].tolist() == ["dup", "only", "other"]
     assert out["url"].tolist() == ["u1", "u3", "u2"]
     assert out["sent_id"].tolist() == [1, 0, 1]
+
+
+def test_winnow_pairs_detects_duplicates(ray_session) -> None:
+    from promptner_ray.functions.dedup import winnow_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base + " tail", "completely different words here ok",
+             "another unrelated document text body"]
+    out = winnow_pairs(_docs_ds(texts), min_shared=3).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs
+    assert (2, 3) not in pairs
+
+
+def test_winnow_pairs_max_df_drops_boilerplate(ray_session) -> None:
+    from promptner_ray.functions.dedup import winnow_pairs
+
+    # boilerplate suffix shared by ALL docs; only 0/1 share unique body
+    boiler = " standard footer license text common to every page"
+    texts = [
+        "alpha beta gamma delta epsilon zeta" + boiler,
+        "alpha beta gamma delta epsilon zeta" + boiler,
+        "one two three four five six seven" + boiler,
+        "eight nine ten eleven twelve thirteen" + boiler,
+    ]
+    # with the df cap at 2, boilerplate fingerprints (df=4) are dropped:
+    # only the true dup pair survives even at a low threshold
+    out = winnow_pairs(
+        _docs_ds(texts), min_shared=2, max_df=2
+    ).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(0, 1)}
+
+
+def test_lm_score_orders_by_typicality(ray_session) -> None:
+    from promptner_ray.functions.vectorize import lm_score
+
+    # doc 0 repeats the corpus-dominant token; doc 2 is one rare token
+    # ("typical" → bucket 5, "unusual" → bucket 0: no hash collision)
+    texts = ["typical typical typical typical", "typical unusual", "unusual"]
+    out = (
+        lm_score(_docs_ds(texts))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "avg_logprob"] > out.loc[2, "avg_logprob"]
+    assert out.loc[0, "n_tokens"] == 4
+
+
+def test_domain_cap_limits_per_domain(ray_session) -> None:
+    from promptner_ray.functions.urls import domain_cap
+
+    # 12 docs; primary domain = site{doc_id % 37}.example.com → doc_ids
+    # 0..11 give 12 distinct domains at k=1 each; force collisions by
+    # using doc_ids 0 and 37 (same primary domain)
+    import pyarrow as pa
+    import ray as _ray
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 37, 74, 5], type=pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    out = domain_cap(_ray.data.from_arrow(t), k=2).to_pandas()
+    counts = out.groupby("domain").size()
+    assert (counts <= 2).all()
+    # site0.example.com has 3 candidates (0, 37, 74) → capped at 2
+    assert counts["site0.example.com"] == 2
