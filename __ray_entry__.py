@@ -449,6 +449,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam_keep": _doc_decontam_keep,
         "doc_ngram_counts": lambda sf: ngrams.ngram_counts(_docs(sf)),
         "doc_top_ngrams": lambda sf: ngrams.top_ngrams(_docs(sf)),
+        # exact token counts via the DYNAMIC salted-shuffle plan
+        # (sample → count-min hot detection → two-stage salted merge);
+        # result is plan-independent, so a plain GROUP BY oracles it
+        "doc_word_counts": lambda sf: ngrams.token_counts_salted(_docs(sf)),
         "doc_pack": _doc_pack,
         "doc_shuffle": _doc_shuffle,
         "doc_stratified_sample": lambda sf: sampling.stratified_sample(
@@ -1037,6 +1041,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY gram
             ORDER BY n DESC, gram ASC
             LIMIT 50
+        """,
+        # the salted plan is physical-only: the exact GROUP BY is its oracle
+        "doc_word_counts": """
+            SELECT w AS gram, count(*)::BIGINT AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w
         """,
         # deterministic global training-shuffle order: dense zero-based
         # rank under ORDER BY md5(doc_id:seed), doc_id

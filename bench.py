@@ -146,6 +146,7 @@ def _operator_suite() -> dict[str, float]:
         "doc_langid",
         "doc_decontam",
         "doc_ngram_counts",
+        "doc_word_counts",
         "doc_pack",
         "doc_classifier_score",
         "doc_tfidf",

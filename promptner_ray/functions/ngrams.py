@@ -121,3 +121,70 @@ def top_ngrams(
         _topk_cut_batch, fn_kwargs={"k": k}, batch_format="pyarrow"
     )
     return cut.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
+def token_counts_salted(
+    docs,
+    n_salts: int = 8,
+    sample_fraction: float = 0.02,
+    threshold_frac: float = 0.01,
+    num_partitions: int | None = None,
+):
+    """documents → (gram, n) exact global token counts, via the DYNAMIC
+    salted-shuffle plan for Zipf-skewed keys:
+
+    1. **candidate discovery** — deterministic hash-sample of documents
+       (:func:`..sampling.hash_sample`), distinct tokens to the driver
+       (bounded by the sample's vocabulary; any truly hot token appears
+       in a 2% sample with near-certainty);
+    2. **hot detection** — one streaming count-min pass over the FULL
+       token stream (:func:`..sketch.hot_keys`): candidates whose
+       estimated frequency exceeds ``threshold_frac`` of all tokens
+       become the hot set — no exact count, no extra shuffle;
+    3. **salted aggregate** — the per-block combine from
+       :func:`ngram_counts` (n=1), then
+       :func:`..shuffle.salted_grouped`: hot tokens' partials split
+       across ``n_salts`` sub-groups before the final merge.
+
+    The result equals :func:`ngram_counts` ``(n=1)`` exactly — salting
+    changes the physical fan-in only — so the same GROUP BY oracle
+    value-checks this plan end to end.
+    """
+    import pyarrow.compute as pc
+
+    from ..shuffle import salted_grouped
+    from .sampling import hash_sample
+    from .sketch import hot_keys
+    from .textstats import explode_tokens_batch
+
+    # 1. candidate vocabulary from a deterministic document sample
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        t = explode_tokens_batch(batch)
+        return pa.table(
+            {"token": pc.unique(t.column("token").combine_chunks())}
+        )
+
+    cand = sorted(
+        set(
+            hash_sample(docs, key="doc_id", fraction=sample_fraction, seed=13)
+            .map_batches(distinct_tokens, batch_format="pyarrow")
+            .to_pandas()["token"]  # ≤ sample vocabulary: small by design
+        )
+    )
+    # 2. sketch-estimated hot set over the full token stream
+    tokens = docs.map_batches(explode_tokens_batch, batch_format="pyarrow")
+    hot = hot_keys(tokens, "token", cand, threshold_frac=threshold_frac)
+    # 3. per-block combine, then the salted two-stage merge
+    partial = docs.map_batches(
+        _gram_count_batch, fn_kwargs={"n": 1}, batch_format="pyarrow"
+    )
+    return salted_grouped(
+        partial,
+        ["gram"],
+        [("n", "sum")],
+        hot=hot,
+        n_salts=n_salts,
+        rename={"n_sum": "n"},
+        hash_cols=["g_key"],
+        num_partitions=num_partitions,
+    )

@@ -195,3 +195,98 @@ def hash_grouped(
     return hash_partitioned(
         ds, hash_cols or keys, combine, num_partitions=num_partitions
     )
+
+
+def salted_grouped(
+    ds,
+    keys: list[str],
+    aggs: list[tuple],
+    hot: list,
+    n_salts: int = 8,
+    rename: dict[str, str] | None = None,
+    hash_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+):
+    """Two-stage skew-split aggregate: :func:`hash_grouped` with hot keys
+    spread over ``n_salts`` sub-groups first, then re-merged.
+
+    The explicit salted shuffle for skewed hot keys (head entities, stop
+    tokens, head URLs): rows whose FIRST key column value is in ``hot``
+    get a salt = row-position mod ``n_salts`` appended to the group key
+    for phase 1, so a hot key's rows split across ``n_salts`` partitions
+    instead of landing on one; phase 2 re-merges the ≤ ``n_salts``
+    partial rows per hot key (cold keys carry salt 0 — their phase-2
+    merge is a 1-row no-op).  Requires re-mergeable aggregate fns
+    (``sum`` / ``min`` / ``max`` — a count must arrive pre-combined as a
+    summable column).  The result is EXACTLY :func:`hash_grouped`'s for
+    any ``hot`` set — only the physical fan-in changes — so the hot set
+    may come from an approximate detector (``functions.sketch.hot_keys``)
+    with no correctness risk.
+
+    When every upstream block is already map-side combined (one row per
+    distinct-in-block key), a key's phase-1 fan-in is bounded by the
+    block count and salting buys little below ~10^5 blocks; it is the
+    right tool when partials are per-row (no in-block repetition) or the
+    block count itself is huge.
+
+    ``hot`` ships by closure — it is small by definition (keys above a
+    frequency floor; bound its size at detection).
+    """
+    if not 1 <= n_salts <= 10_000:
+        raise ValueError(f"n_salts={n_salts} outside sane range")
+    for _, fn in aggs:
+        if fn not in ("sum", "min", "max"):
+            raise ValueError(
+                f"aggregate {fn!r} is not re-mergeable across salts"
+            )
+    hot_set = set(hot)
+    hot_col = keys[0]
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(
+                "__salt", pa.array([], type=pa.int64())
+            )
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            batch.column(hot_col), value_set=pa.array(sorted(hot_set))
+        ).to_numpy(zero_copy_only=False)
+        salt = np.where(mask, np.arange(len(batch)) % n_salts, 0)
+        return batch.append_column(
+            "__salt", pa.array(salt, type=pa.int64())
+        )
+
+    # hash cols that are not group keys must survive phase 1 for phase
+    # 2's exchange; they are functions of the key, so adding them to the
+    # phase-1 group key changes nothing semantically
+    base_hash = hash_cols or keys
+    extra_hash = [c for c in base_hash if c not in keys]
+    # phase 1 keeps Arrow's {col}_{fn} names (renaming them back to {col}
+    # would collide when one column carries several aggregates); phase 2
+    # re-aggregates those columns and maps {col}_{fn}_{fn} to the caller's
+    # final names
+    phase1 = hash_grouped(
+        ds.map_batches(add_salt, batch_format="pyarrow"),
+        keys + extra_hash + ["__salt"],
+        aggs,
+        hash_cols=base_hash + ["__salt"],
+        num_partitions=num_partitions,
+    )
+    rename = rename or {}
+    aggs2 = [(f"{c}_{fn}", fn) for c, fn in aggs]
+    rename2 = {
+        f"{c}_{fn}_{fn}": rename.get(f"{c}_{fn}", f"{c}_{fn}")
+        for c, fn in aggs
+    }
+    merged = hash_grouped(
+        phase1.drop_columns(["__salt"]),
+        keys + extra_hash,
+        aggs2,
+        rename=rename2,
+        hash_cols=base_hash,
+        num_partitions=num_partitions,
+    )
+    if extra_hash:
+        merged = merged.drop_columns(extra_hash)
+    return merged

@@ -119,3 +119,82 @@ def test_connected_components_transitive_chain(ray_session):
         for r in connected_components(pairs).take_all()
     }
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 50: 50, 60: 50}
+
+
+def test_salted_grouped_equals_hash_grouped(ray_session) -> None:
+    """Salting is physical-only: same result as the unsalted aggregate,
+    whatever the hot set (including wrongly-guessed hot keys)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.shuffle import hash_grouped, salted_grouped
+
+    rng = np.random.default_rng(5)
+    # Zipf-ish skew: key 0 holds ~half the rows
+    keys = np.where(rng.random(5000) < 0.5, 0, rng.integers(1, 200, 5000))
+    t = pa.table(
+        {
+            "k": pa.array(keys, type=pa.int64()),
+            "v": pa.array(np.arange(5000), type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    plain = (
+        hash_grouped(ds, ["k"], [("v", "sum"), ("v", "min")])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for hot in ([0], [0, 7, 9999], []):
+        salted = (
+            salted_grouped(
+                ray.data.from_arrow(t).repartition(8),
+                ["k"],
+                [("v", "sum"), ("v", "min")],
+                hot=hot,
+                n_salts=4,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert salted.equals(plain), f"hot={hot}"
+
+
+def test_salted_grouped_rejects_non_mergeable(ray_session) -> None:
+    import pytest
+
+    from promptner_ray.shuffle import salted_grouped
+
+    with pytest.raises(ValueError):
+        salted_grouped(None, ["k"], [([], "count_all")], hot=[])
+
+
+def test_token_counts_salted_matches_plain(ray_session) -> None:
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.functions.ngrams import ngram_counts, token_counts_salted
+
+    texts = ["the the the a b", "the c d", "e f the"] * 30
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    plain = (
+        ngram_counts(ray.data.from_arrow(t), n=1)
+        .to_pandas()
+        .sort_values("gram")
+        .reset_index(drop=True)
+    )
+    salted = (
+        token_counts_salted(ds, sample_fraction=0.5, threshold_frac=0.05)
+        .to_pandas()
+        .sort_values("gram")
+        .reset_index(drop=True)
+    )
+    assert salted.equals(plain)
