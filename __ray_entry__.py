@@ -127,6 +127,12 @@ def _kg_edges(sf_dir: str):
     return kg.named_edges(edges_ds, names_ref)
 
 
+def _kg_degrees(sf_dir: str):
+    from promptner_ray.functions.graphops import node_degrees
+
+    return node_degrees(_kg_edges(sf_dir))
+
+
 def _kg_export(sf_dir: str) -> str:
     """Materialize the KG stage tables once (cached) for the SQL oracles."""
     from promptner_ray.pipelines.export import ensure_kg_export
@@ -461,6 +467,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="doc_id",
             k=20,
         ),
+        # Dolma/Pile-style training-mix reweighting (weights >1 repeat,
+        # <1 hash-downsample; expected multiplicity == weight exactly)
+        "doc_mixture": lambda sf: sampling.mixture_resample(
+            _docs(sf).select_columns(["doc_id", "source"])
+        ),
         "doc_sample": lambda sf: sampling.hash_sample(
             _docs(sf).select_columns(["doc_id", "lang"]),
             key="doc_id",
@@ -545,6 +556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).limit(50),
         "kg_confusion": _kg_confusion,
         "kg_f1_counts": _kg_f1_counts,
+        # per-node degree/weight totals — hub (hot-entity) profiling
+        "kg_degrees": _kg_degrees,
         # rows-only: scalar metric summaries whose gate is the in-repo
         # single-process oracle (tests/test_pipeline_e2e.py)
         "kg_eval": _kg_eval,
@@ -872,6 +885,12 @@ def _lm_score_sql() -> str:
     return sql_lm_score()
 
 
+def _mixture_sql() -> str:
+    from promptner_ray.functions.sampling import sql_mixture_resample
+
+    return sql_mixture_resample()
+
+
 def _pii_redact_sql() -> str:
     from promptner_ray.functions.pii import sql_inject_expr, sql_redact_exprs
 
@@ -970,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": _lm_score_sql(),
         "doc_distinct_sketch": _hll_sql(),
         "dedup_winnow_pairs": _winnow_pairs_sql(),
+        "doc_mixture": _mixture_sql(),
         "doc_repetition": """
             WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
                           FROM documents),
@@ -1564,6 +1584,20 @@ def oracle_sql() -> dict[str, str]:
             FROM named
             ORDER BY weight DESC, subj_id, pred, obj_id
             LIMIT 50
+        """,
+        "kg_degrees": f"""
+            WITH {_sql_edges_cte()},
+            ends AS (
+              SELECT subj_id AS entity_id, 1 AS n_out, 0 AS n_in,
+                     weight AS w_out, 0 AS w_in
+              FROM named
+              UNION ALL
+              SELECT obj_id, 0, 1, 0, weight FROM named)
+            SELECT entity_id, sum(n_out)::BIGINT AS n_out,
+                   sum(n_in)::BIGINT AS n_in,
+                   sum(w_out)::BIGINT AS w_out,
+                   sum(w_in)::BIGINT AS w_in
+            FROM ends GROUP BY entity_id
         """,
         # token-level confusion matrix: predicted BIO reconstructed in SQL
         # from mention spans, truth from the corpus gold table

@@ -143,3 +143,93 @@ def stratified_sample(
     return hash_partitioned(
         cut, ["__gk"], finish, num_partitions=num_partitions
     )
+
+
+# Dolma/Pile-style source mixture: weight > 1 upsamples (full repeated
+# copies + a hash-sampled fractional copy), weight < 1 downsamples.
+# Literal dict so the SQL twin inlines the same CASE; sources absent
+# from the dict keep weight 1.0.
+MIXTURE_WEIGHTS: dict[str, float] = {
+    "src0": 2.5,
+    "src1": 2.0,
+    "src5": 0.5,
+    "src7": 0.25,
+}
+MIXTURE_SEED = 11
+
+
+def mixture_resample_batch(
+    batch: pa.Table,
+    weights: dict[str, float] | None = None,
+    seed: int = MIXTURE_SEED,
+) -> pa.Table:
+    """documents → (doc_id, source, copy_idx): per-source reweighting.
+
+    A weight ``w`` emits ``floor(w)`` full copies plus one more iff the
+    deterministic md5 predicate fires with fraction ``w - floor(w)`` —
+    so expected multiplicity is exactly ``w``, reproducibly (same
+    hash-predicate family as :func:`hash_sample`: stable across runs,
+    partitionings and engines).  Stateless per-row transform: the
+    training-mix rebalance runs as one streaming map at any scale."""
+    import numpy as np
+
+    w = MIXTURE_WEIGHTS if weights is None else weights
+    ids = batch.column("doc_id").to_pylist()
+    srcs = batch.column("source").to_pylist()
+    counts = np.empty(len(batch), dtype=np.int64)
+    for i, (d, s) in enumerate(zip(ids, srcs)):
+        wt = w.get(s, 1.0)
+        full = int(wt)
+        frac = wt - full
+        extra = 0
+        if frac > 0:
+            u = (
+                int.from_bytes(
+                    hashlib.md5(f"{d}:{seed}".encode("utf-8")).digest()[:8],
+                    "big",
+                )
+                % MOD
+            )
+            extra = 1 if u < int(frac * MOD) else 0
+        counts[i] = full + extra
+    idx = np.repeat(np.arange(len(batch)), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    copy_idx = np.arange(int(counts.sum())) - np.repeat(starts, counts)
+    out = batch.select(["doc_id", "source"]).take(pa.array(idx))
+    return out.append_column(
+        "copy_idx", pa.array(copy_idx, type=pa.int64())
+    )
+
+
+def mixture_resample(docs, weights: dict[str, float] | None = None,
+                     seed: int = MIXTURE_SEED):
+    """Dataset → reweighted (doc_id, source, copy_idx) training mix."""
+    return docs.map_batches(
+        mixture_resample_batch,
+        fn_kwargs={"weights": weights, "seed": seed},
+        batch_format="pyarrow",
+    )
+
+
+def sql_mixture_resample(weights: dict[str, float] | None = None,
+                         seed: int = MIXTURE_SEED) -> str:
+    """DuckDB twin of :func:`mixture_resample`."""
+    w = MIXTURE_WEIGHTS if weights is None else weights
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {v!r}" for s, v in w.items()
+    ) + " ELSE 1.0 END"
+    u = f"('0x' || substr(md5(doc_id::VARCHAR || ':{seed}'), 1, 16))::UBIGINT"
+    return f"""
+        WITH wt AS (
+          SELECT doc_id, source, {case} AS w FROM documents),
+        c AS (
+          SELECT doc_id, source,
+                 (floor(w)::BIGINT +
+                  CASE WHEN w - floor(w) > 0
+                        AND ({u} % {MOD}) < floor((w - floor(w)) * {MOD})::BIGINT
+                       THEN 1 ELSE 0 END) AS cnt
+          FROM wt)
+        SELECT doc_id, source,
+               unnest(generate_series(0, cnt - 1)) AS copy_idx
+        FROM c WHERE cnt > 0
+    """

@@ -52,3 +52,31 @@ def test_stratified_sample_blocking_invariant(ray_session):
     a = stratified_sample(_ds(rows, blocks=1), "lang", "doc_id", k=4).to_pandas()
     b = stratified_sample(_ds(rows, blocks=8), "lang", "doc_id", k=4).to_pandas()
     assert set(zip(a["doc_id"], a["lang"])) == set(zip(b["doc_id"], b["lang"]))
+
+
+def test_mixture_resample_multiplicities(ray_session) -> None:
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.functions.sampling import mixture_resample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(400), type=pa.int64()),
+            "source": pa.array(
+                ["a"] * 100 + ["b"] * 100 + ["c"] * 100 + ["d"] * 100
+            ),
+        }
+    )
+    out = mixture_resample(
+        ray.data.from_arrow(t), weights={"a": 3.0, "b": 0.5, "c": 1.25}
+    ).to_pandas()
+    per = out.groupby("source").size()
+    assert per["a"] == 300  # integer weight: exact triplication
+    assert 30 <= per["b"] <= 70  # fraction 0.5: hash-sampled
+    assert 100 <= per["c"] <= 150  # 1 full copy + ~25% extra
+    assert per["d"] == 100  # default weight 1.0
+    # copy_idx is dense per (doc_id): every kept doc has 0..cnt-1
+    g = out.groupby("doc_id")["copy_idx"].agg(["min", "max", "count"])
+    assert (g["min"] == 0).all()
+    assert (g["max"] == g["count"] - 1).all()
