@@ -155,19 +155,13 @@ def _distinct_pairs(pairs):
 # ---------------------------------------------------------------------------
 
 def shingle_rows_batch(batch: pa.Table) -> pa.Table:
-    """documents → one row per (doc_id, distinct shingle)."""
-    doc_ids: list[int] = []
-    shingles: list[str] = []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        for s in shingle_set(text):
-            doc_ids.append(doc_id)
-            shingles.append(s)
+    """documents → one row per (doc_id, distinct shingle); vectorized
+    window construction (``_doc_shingles_vec``)."""
+    ids, grams = _doc_shingles_vec(batch)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "s": pa.array(shingles, type=pa.string()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "s": grams,
         }
     )
 
@@ -182,18 +176,21 @@ def _hash64(s: str) -> int:
 
 
 def _shingle_hash_rows_batch(batch: pa.Table) -> pa.Table:
-    """documents → one row per (doc_id, distinct shingle hash)."""
-    doc_ids: list[int] = []
-    hashes: list[int] = []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        for s in shingle_set(text):
-            doc_ids.append(doc_id)
-            hashes.append(_hash64(s))
+    """documents → one row per (doc_id, distinct shingle hash).
+
+    Windows come vectorized; the blake2b digest runs once per
+    distinct-in-block shingle VALUE (cached) — near-dup blocks repeat
+    shingles heavily, so the digest loop is far smaller than the row
+    count."""
+    ids, grams = _doc_shingles_vec(batch)
+    cache: dict[str, int] = {}
+    hashes = [
+        cache.get(s) or cache.setdefault(s, _hash64(s))
+        for s in grams.to_pylist()
+    ]
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
             "h": pa.array(hashes, type=pa.int64()),
         }
     )
@@ -202,14 +199,14 @@ def _shingle_hash_rows_batch(batch: pa.Table) -> pa.Table:
 def _shingle_size_batch(batch: pa.Table) -> pa.Table:
     """documents → (doc_id, sz): distinct-shingle count per doc (no shuffle:
     every doc's text is one row, so its whole set is counted in-block)."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    sizes = [
-        len(shingle_set(t)) for t in batch.column("text").to_pylist()
-    ]
+    ids, _ = _doc_shingles_vec(batch)
+    uniq, cnt = np.unique(ids, return_counts=True)
+    # docs with zero tokens cannot occur (shingle_set is total: even ""
+    # yields one whole-text shingle), so uniq covers every input doc
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "sz": pa.array(sizes, type=pa.int64()),
+            "doc_id": pa.array(uniq, type=pa.int64()),
+            "sz": pa.array(cnt, type=pa.int64()),
         }
     )
 
@@ -697,3 +694,72 @@ def winnow_pairs(docs, min_shared: int = WINNOW_MIN_SHARED,
         )
 
     return nshared.map_batches(cut, batch_format="pyarrow")
+
+
+def _doc_shingles_vec(batch: pa.Table, n: int = SHINGLE_N):
+    """(doc_id int64 ndarray, shingle Arrow string array), DISTINCT per
+    doc — the vectorized twin of per-row ``shingle_set`` (same
+    convention: documents shorter than ``n`` tokens contribute their
+    whole token list as one shingle).  Windows are
+    ``binary_join_element_wise`` over shifted slices of the flattened
+    token stream; per-doc distinctness is one C-level group_by."""
+    import numpy as np
+
+    tok_lists = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    if isinstance(tok_lists, pa.ChunkedArray):
+        tok_lists = tok_lists.combine_chunks()
+    flat = tok_lists.values
+    offsets = np.asarray(tok_lists.offsets).astype(np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    pieces_ids: list[np.ndarray] = []
+    pieces_grams: list[pa.Array] = []
+    total = len(flat)
+    if total >= n:
+        pos = np.arange(total - n + 1)
+        valid = parent[pos] == parent[pos + n - 1]
+        starts = pos[valid]
+        if len(starts):
+            parts = [
+                pc.take(flat, pa.array(starts + j, type=pa.int64()))
+                for j in range(n)
+            ]
+            grams = (
+                parts[0]
+                if n == 1
+                else pc.binary_join_element_wise(*parts, " ")
+            )
+            pieces_ids.append(doc_ids[parent[starts]])
+            pieces_grams.append(grams)
+    short = counts < n
+    if short.any():
+        # whole-text shingle for short docs (text IS the joined tokens)
+        pieces_ids.append(doc_ids[short])
+        pieces_grams.append(
+            pc.take(
+                batch.column("text").combine_chunks(),
+                pa.array(np.flatnonzero(short), type=pa.int64()),
+            )
+        )
+    if not pieces_ids:
+        return np.array([], dtype=np.int64), pa.array([], type=pa.string())
+    all_ids = np.concatenate(pieces_ids)
+    all_grams = pa.concat_arrays(
+        [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+         for g in pieces_grams]
+    )
+    distinct = (
+        pa.table(
+            {
+                "doc_id": pa.array(all_ids, type=pa.int64()),
+                "s": all_grams,
+            }
+        )
+        .group_by(["doc_id", "s"])
+        .aggregate([])
+    )
+    return (
+        distinct.column("doc_id").to_numpy(zero_copy_only=False),
+        distinct.column("s").combine_chunks(),
+    )

@@ -40,23 +40,49 @@ TOP_K = 50
 def _gram_count_batch(batch: pa.Table, n: int) -> pa.Table:
     """Block combiner: every full n-gram window occurrence, collapsed to
     (gram, n, g_key) with one vectorized group_by; g_key is computed
-    only per distinct-in-block gram."""
-    grams: list[str] = []
-    for text in batch.column("text").to_pylist():
-        toks = text.split(" ")
-        grams.extend(
-            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-        )
-    if not grams:
-        return pa.table(
-            {
-                "gram": pa.array([], type=pa.string()),
-                "n": pa.array([], type=pa.int64()),
-                "g_key": pa.array([], type=pa.int64()),
-            }
-        )
+    only per distinct-in-block gram.
+
+    Window construction is Arrow-native: the windows over the flattened
+    token stream are ``binary_join_element_wise`` of ``n`` shifted
+    slices, masked to positions whose whole window stays inside one
+    document — no per-window Python."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "gram": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "g_key": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    tok_lists = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    if isinstance(tok_lists, pa.ChunkedArray):
+        tok_lists = tok_lists.combine_chunks()
+    flat = tok_lists.values
+    if len(flat) < n:
+        return empty
+    offsets = np.asarray(tok_lists.offsets).astype(np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    total = len(flat)
+    # window start positions whose last token is still in the same doc
+    pos = np.arange(total - n + 1)
+    valid = parent[pos] == parent[pos + n - 1]
+    starts = pos[valid]
+    if len(starts) == 0:
+        return empty
+    parts = [
+        pc.take(flat, pa.array(starts + j, type=pa.int64()))
+        for j in range(n)
+    ]
+    gram_arr = parts[0] if n == 1 else pc.binary_join_element_wise(
+        *parts, " "
+    )
     local = (
-        pa.table({"gram": pa.array(grams, type=pa.string())})
+        pa.table({"gram": gram_arr})
         .group_by(["gram"])
         .aggregate([([], "count_all")])
     )
