@@ -338,21 +338,71 @@ def band_rows_batch(
     num_perm: int = NUM_PERM,
     band_rows: int = BAND_ROWS,
 ) -> pa.Table:
-    """documents → one row per (doc_id, band bucket key)."""
-    doc_ids: list[int] = []
-    buckets: list[str] = []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        sig = minhash_signature(text, num_perm)
-        for band in range(num_perm // band_rows):
-            key = ",".join(sig[band * band_rows : (band + 1) * band_rows])
-            doc_ids.append(doc_id)
-            buckets.append(f"{band}|{key}")
+    """documents → one row per (doc_id, band bucket key).
+
+    Vectorized: the md5 loop runs once per DISTINCT-in-block shingle per
+    permutation (dup-heavy blocks repeat shingles, which is the whole
+    premise of near-dedup), the per-doc signature minimum is one Arrow
+    grouped ``min`` over hex strings (same ASCII order as the SQL
+    oracle's ``min(md5(...))`` over VARCHAR), and band keys are
+    ``binary_join_element_wise`` concatenations — no per-doc Python."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.string()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    ids, grams = _doc_shingles_vec(batch)
+    if len(ids) == 0:
+        return empty
+    glist = grams.to_pylist()
+    uniq: dict[str, int] = {}
+    for s in glist:
+        if s not in uniq:
+            uniq[s] = len(uniq)
+    gidx = np.fromiter(
+        (uniq[s] for s in glist), dtype=np.int64, count=len(glist)
+    )
+    uniq_list = list(uniq)
+    cols: dict = {"doc_id": pa.array(ids, type=pa.int64())}
+    for i in range(num_perm):
+        perm_hex = np.array(
+            [
+                hashlib.md5(f"{i}:{s}".encode("utf-8")).hexdigest()
+                for s in uniq_list
+            ],
+            dtype=object,
+        )
+        cols[f"h{i}"] = pa.array(perm_hex[gidx].tolist(), type=pa.string())
+    mins = pa.table(cols).group_by(["doc_id"]).aggregate(
+        [(f"h{i}", "min") for i in range(num_perm)]
+    )
+    n = len(mins)
+    n_bands = num_perm // band_rows
+    id_parts: list[pa.Array] = []
+    bucket_parts: list[pa.Array] = []
+    doc_col = mins.column("doc_id").combine_chunks()
+    for band in range(n_bands):
+        sig_cols = [
+            mins.column(f"h{band * band_rows + j}_min").combine_chunks()
+            for j in range(band_rows)
+        ]
+        key = pc.binary_join_element_wise(*sig_cols, ",")
+        prefix = pa.array([f"{band}|"] * n, type=pa.string())
+        bucket_parts.append(pc.binary_join_element_wise(prefix, key, ""))
+        id_parts.append(doc_col)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "bucket": pa.array(buckets, type=pa.string()),
+            "doc_id": pa.concat_arrays(
+                [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                 for p in id_parts]
+            ),
+            "bucket": pa.concat_arrays(
+                [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                 for p in bucket_parts]
+            ),
         }
     )
 
