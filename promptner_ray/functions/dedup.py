@@ -441,14 +441,57 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """documents → (doc_id, simhash hex)."""
-    hashes = [
-        f"{simhash64(t):016x}" for t in batch.column("text").to_pylist()
-    ]
+    """documents → (doc_id, simhash hex).
+
+    Vectorized twin of :func:`simhash64` (kept as the scalar reference):
+    tokens dictionary-encode C-side so md5 runs once per
+    distinct-in-block token; the per-document bit votes are 64
+    ``bincount`` passes over the flattened token stream (weights = ±1
+    per token per bit) — no per-document Python and no dense
+    doc×vocabulary matrix."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "simhash": pa.array([], type=pa.string()),
+            }
+        )
+    tok_lists = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    if isinstance(tok_lists, pa.ChunkedArray):
+        tok_lists = tok_lists.combine_chunks()
+    offsets = np.asarray(tok_lists.offsets).astype(np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    dict_col = pc.dictionary_encode(tok_lists.values)
+    gidx = dict_col.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = dict_col.dictionary.to_pylist()
+    h = np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in uniq
+        ],
+        dtype=np.uint64,
+    )
+    n_docs = len(batch)
+    acc = np.empty((n_docs, 64), dtype=np.float64)
+    for b in range(64):
+        sign = (
+            ((h >> np.uint64(b)) & np.uint64(1)).astype(np.float64) * 2.0
+            - 1.0
+        )
+        acc[:, b] = np.bincount(
+            parent, weights=sign[gidx], minlength=n_docs
+        )
+    bits = (acc > 0).astype(np.uint64)
+    vals = (bits << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(hashes, type=pa.string()),
+            "simhash": pa.array(
+                [f"{int(v):016x}" for v in vals], type=pa.string()
+            ),
         }
     )
 
