@@ -138,18 +138,19 @@ def induce_triples_batch(batch: pa.Table) -> pa.Table:
     # gap token range per pair, in flat-token coordinates
     gap_lo = toff[pair_parent] + span_end[a_idx]
     gap_hi = toff[pair_parent] + span_start[b_idx]
-    first = np.searchsorted(elig_pos, gap_lo, side="left")
-    has_pred = (first < len(elig_pos)) & (
-        elig_pos[np.minimum(first, len(elig_pos) - 1)] < gap_hi
-    )
-    pred_tok_idx = np.where(
-        has_pred, elig_pos[np.minimum(first, len(elig_pos) - 1)], 0
-    )
-    preds = pc.if_else(
-        pa.array(has_pred),
-        pc.take(low, pa.array(pred_tok_idx, type=pa.int64())),
-        pa.scalar(CO_OCCURS),
-    )
+    if len(elig_pos) == 0:
+        # no eligible token anywhere in the batch
+        preds = pa.array([CO_OCCURS] * len(a_idx), type=pa.string())
+    else:
+        first = np.searchsorted(elig_pos, gap_lo, side="left")
+        clamped = np.minimum(first, len(elig_pos) - 1)
+        has_pred = (first < len(elig_pos)) & (elig_pos[clamped] < gap_hi)
+        pred_tok_idx = np.where(has_pred, elig_pos[clamped], 0)
+        preds = pc.if_else(
+            pa.array(has_pred),
+            pc.take(low, pa.array(pred_tok_idx, type=pa.int64())),
+            pa.scalar(CO_OCCURS),
+        )
 
     surfaces = flat.field("surface")
     mtypes = flat.field("mtype")

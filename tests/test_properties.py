@@ -137,3 +137,137 @@ def test_simhash_pigeonhole(hashes) -> None:
     )
     if hamming <= 3:
         assert shares
+
+
+# --- vectorized-vs-scalar twin properties (the vectorized batch kernels
+# must equal their per-row reference implementations on ANY input) ------
+
+_tok = st.text(
+    alphabet=st.characters(
+        blacklist_characters=" \n", blacklist_categories=("Cs",)
+    ),
+    max_size=6,
+)
+_sent_text = st.lists(_tok, min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(_sent_text, min_size=1, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_shingles_vectorized_equals_scalar(texts) -> None:
+    import pyarrow as pa
+
+    from promptner_ray.functions.dedup import _doc_shingles_vec, shingle_set
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    ids, grams = _doc_shingles_vec(batch)
+    got: dict[int, set] = {}
+    for d, g in zip(ids.tolist(), grams.to_pylist()):
+        got.setdefault(d, set()).add(g)
+    want = {i: shingle_set(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@given(st.lists(_sent_text, min_size=1, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_simhash_vectorized_equals_scalar(texts) -> None:
+    import pyarrow as pa
+
+    from promptner_ray.functions.dedup import simhash64, simhash_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = simhash_batch(batch).column("simhash").to_pylist()
+    assert got == [f"{simhash64(t):016x}" for t in texts]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(_tok, min_size=1, max_size=10),  # sentence tokens
+            st.lists(  # mention (start, length) seeds
+                st.tuples(st.integers(0, 9), st.integers(1, 3)),
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_induce_vectorized_equals_scalar(rows) -> None:
+    import pyarrow as pa
+
+    from promptner_ray.stages.induce import (
+        induce_triples_batch,
+        induce_triples_for_sentence,
+    )
+
+    urls, sids, texts, mlists = [], [], [], []
+    for i, (toks, seeds) in enumerate(rows):
+        ms = []
+        for s, ln in seeds:
+            start = s % len(toks)
+            end = min(start + ln, len(toks))
+            ms.append(
+                {
+                    "surface": " ".join(toks[start:end]),
+                    "mtype": "T",
+                    "span_start": start,
+                    "span_end": end,
+                }
+            )
+        urls.append(f"u{i % 2}")
+        sids.append(i)
+        texts.append(" ".join(toks))
+        mlists.append(ms)
+    batch = pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "sent_id": pa.array(sids, type=pa.int32()),
+            "text": pa.array(texts, type=pa.string()),
+            "mentions": pa.array(
+                mlists,
+                type=pa.list_(
+                    pa.struct(
+                        [
+                            ("surface", pa.string()),
+                            ("mtype", pa.string()),
+                            ("span_start", pa.int32()),
+                            ("span_end", pa.int32()),
+                        ]
+                    )
+                ),
+            ),
+        }
+    )
+    out = induce_triples_batch(batch)
+    got = list(
+        zip(
+            *[
+                out.column(c).to_pylist()
+                for c in [
+                    "url",
+                    "sent_id",
+                    "subj",
+                    "pred",
+                    "obj",
+                    "subj_type",
+                    "obj_type",
+                ]
+            ]
+        )
+    )
+    want = []
+    for u, sid, text, ms in zip(urls, sids, texts, mlists):
+        for t in induce_triples_for_sentence(text.split(" "), ms):
+            want.append((u, sid) + t)
+    assert got == want
