@@ -133,6 +133,12 @@ def _kg_degrees(sf_dir: str):
     return node_degrees(_kg_edges(sf_dir))
 
 
+def _kg_pagerank(sf_dir: str):
+    from promptner_ray.functions.graphops import pagerank
+
+    return pagerank(_kg_edges(sf_dir))
+
+
 def _kg_export(sf_dir: str) -> str:
     """Materialize the KG stage tables once (cached) for the SQL oracles."""
     from promptner_ray.pipelines.export import ensure_kg_export
@@ -558,6 +564,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_f1_counts": _kg_f1_counts,
         # per-node degree/weight totals — hub (hot-entity) profiling
         "kg_degrees": _kg_degrees,
+        # rows-only: float ranks are order-of-summation dependent across
+        # blocks; the value gate is the numpy reference (tests)
+        "kg_pagerank": _kg_pagerank,
         # rows-only: scalar metric summaries whose gate is the in-repo
         # single-process oracle (tests/test_pipeline_e2e.py)
         "kg_eval": _kg_eval,

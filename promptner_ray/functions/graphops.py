@@ -214,3 +214,169 @@ def node_degrees(edges, num_partitions: int | None = None):
         },
         num_partitions=num_partitions,
     )
+
+
+def pagerank(
+    edges,
+    iters: int = 8,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+):
+    """edges(subj_id, obj_id, weight, …) → (entity_id, rank): weighted
+    PageRank with uniform dangling-mass redistribution — the standard
+    entity-importance score over the constructed graph (hub ranking,
+    canonical-entity selection, crawl prioritization).
+
+    Fully distributed iterations: each round joins current ranks onto
+    the edge list by source (``shuffle.local_hash_join`` — the rank
+    table re-exchanges, the edge list's partitioning is reused by key),
+    emits ``rank · w/w_out`` contributions, and sums them per target
+    with a hash-partitioned grouped Sum.  Driver state per round is TWO
+    scalars (dangling mass, for nodes with no outgoing weight, and the
+    node count) — never a vector.  Ranks are floats; order-dependent
+    float summation across blocks makes the result deterministic only
+    up to addition order, so the oracle is the single-process numpy
+    reference (tests), not a value-hash.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..shuffle import hash_grouped, local_hash_join
+
+    deg = node_degrees(edges, num_partitions=num_partitions).materialize()
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_id": batch.column("entity_id"),
+                "rank": pa.array(
+                    np.full(len(batch), 1.0 / n_nodes), type=pa.float64()
+                ),
+                "w_out": batch.column("w_out"),
+            }
+        )
+
+    ranks = deg.map_batches(init_rank, batch_format="pyarrow").materialize()
+    edge_tbl = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("subj_id").cast(pa.int64()),
+                "dst": t.column("obj_id").cast(pa.int64()),
+                "w": t.column("weight").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    rank_schema = pa.schema(
+        [
+            ("entity_id", pa.int64()),
+            ("rank", pa.float64()),
+            ("w_out", pa.int64()),
+        ]
+    )
+    edge_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.int64())]
+    )
+
+    for _ in range(iters):
+        # constant-size driver reduce: rank mass stuck on dangling nodes
+        dangling = (
+            ranks.map_batches(
+                lambda t: pa.table(
+                    {
+                        "m": pa.array(
+                            [
+                                pc.sum(
+                                    pc.if_else(
+                                        pc.equal(t.column("w_out"), 0),
+                                        t.column("rank"),
+                                        pa.scalar(0.0),
+                                    )
+                                ).as_py()
+                                or 0.0
+                            ],
+                            type=pa.float64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sum("m")
+            or 0.0
+        )
+        joined = local_hash_join(
+            edge_tbl.map_batches(
+                lambda t: t.rename_columns(["entity_id", "dst", "w"]),
+                batch_format="pyarrow",
+            ),
+            ranks,
+            on=["entity_id"],
+            left_schema=pa.schema(
+                [("entity_id", pa.int64()), ("dst", pa.int64()),
+                 ("w", pa.int64())]
+            ),
+            right_schema=rank_schema,
+            num_partitions=num_partitions,
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            w = batch.column("w").to_numpy(zero_copy_only=False)
+            wout = batch.column("w_out").to_numpy(zero_copy_only=False)
+            r = batch.column("rank").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "entity_id": batch.column("dst"),
+                    "c": pa.array(
+                        r * (w / np.maximum(wout, 1)), type=pa.float64()
+                    ),
+                }
+            )
+
+        sums = hash_grouped(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            ["entity_id"],
+            [("c", "sum")],
+            rename={"c_sum": "c"},
+            num_partitions=num_partitions,
+        )
+        # every node gets base + damped dangling share; nodes with no
+        # in-edges are absent from sums, so rebuild from the degree table
+        filled = local_hash_join(
+            deg.map_batches(
+                lambda t: t.select(["entity_id", "w_out"]),
+                batch_format="pyarrow",
+            ),
+            sums,
+            on=["entity_id"],
+            left_schema=pa.schema(
+                [("entity_id", pa.int64()), ("w_out", pa.int64())]
+            ),
+            right_schema=pa.schema(
+                [("entity_id", pa.int64()), ("c", pa.float64())]
+            ),
+            how="left_outer",
+            num_partitions=num_partitions,
+        )
+        add = base + damping * dangling / n_nodes
+
+        def finish(batch: pa.Table) -> pa.Table:
+            c = pc.coalesce(batch.column("c"), pa.scalar(0.0))
+            rank = pc.add(
+                pc.multiply(c, pa.scalar(damping)), pa.scalar(add)
+            )
+            return pa.table(
+                {
+                    "entity_id": batch.column("entity_id"),
+                    "rank": rank,
+                    "w_out": batch.column("w_out"),
+                }
+            )
+
+        ranks = filled.map_batches(
+            finish, batch_format="pyarrow"
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda t: t.select(["entity_id", "rank"]), batch_format="pyarrow"
+    )
