@@ -702,22 +702,22 @@ WINNOW_MIN_SHARED = 40
 def winnow_fp_rows_batch(batch: pa.Table, k: int = 8, w: int = 6) -> pa.Table:
     """documents → one row per (doc_id, distinct winnowing fingerprint).
 
-    The fingerprints are the ones :func:`..textstats.winnow_fingerprints`
-    selects (mod 2^61−1, so they fit int64 natively)."""
-    from .textstats import winnow_fingerprints
+    Vectorized (``textstats._winnow_fps_vec``); fingerprints are
+    mod 2^61−1, so they fit int64 natively."""
+    from .textstats import _winnow_fps_vec
 
-    doc_ids: list[int] = []
-    hs: list[int] = []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        for fp in winnow_fingerprints(text, k=k, w=w):
-            doc_ids.append(doc_id)
-            hs.append(fp)
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "h": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+    ids, fps = _winnow_fps_vec(batch, k=k, w=w)
     return pa.table(
         {
-            "h": pa.array(hs, type=pa.int64()),
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "h": pa.array(fps.astype(np.int64), type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
         }
     )
 

@@ -130,17 +130,32 @@ def winnow_fingerprints(text: str, k: int = 8, w: int = 6) -> list[int]:
 
 
 def winnow_batch(batch: pa.Table, k: int = 8, w: int = 6) -> pa.Table:
-    """documents → (doc_id, n_fp, fp_min): winnowing fingerprint summary."""
-    n_fp, fp_min = [], []
-    for t in batch.column("text").to_pylist():
-        fps = winnow_fingerprints(t, k=k, w=w)
-        n_fp.append(len(fps))
-        fp_min.append(fps[0] if fps else 0)
+    """documents → (doc_id, n_fp, fp_min): winnowing fingerprint summary.
+
+    Vectorized (``_winnow_fps_vec``; the scalar
+    :func:`winnow_fingerprints` stays the reference).  Every doc yields
+    ≥ 1 fingerprint (short docs are padded), so the group pass covers
+    every input row."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_fp": pa.array([], type=pa.int64()),
+                "fp_min": pa.array([], type=pa.uint64()),
+            }
+        )
+    ids, fps = _winnow_fps_vec(batch, k=k, w=w)
+    # rows arrive grouped by doc (np.unique sorts by (doc, fp)): the
+    # first fp per run is the min, run lengths are the counts
+    change = np.ones(len(ids), dtype=bool)
+    change[1:] = ids[1:] != ids[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, len(ids)))
     return pa.table(
         {
-            "doc_id": batch.column("doc_id"),
-            "n_fp": pa.array(n_fp, type=pa.int64()),
-            "fp_min": pa.array(fp_min, type=pa.uint64()),
+            "doc_id": pa.array(ids[starts], type=pa.int64()),
+            "n_fp": pa.array(counts, type=pa.int64()),
+            "fp_min": pa.array(fps[starts], type=pa.uint64()),
         }
     )
 
@@ -373,3 +388,94 @@ def sql_blocklist() -> str:
                sum(CASE WHEN w IN ({lits}) THEN 1 ELSE 0 END) = 0 AS keep
         FROM tok GROUP BY doc_id
     """
+
+
+# --- vectorized winnowing ---------------------------------------------------
+# Per-position byte lookup tables: T[j][v] = v * 257^(k-1-j) mod (2^61-1),
+# each < 2^61, so sums of ≤4 terms stay inside uint64 and two staged
+# mod-reductions reproduce the scalar rolling hash bit-for-bit.
+def _winnow_tables(k: int = 8) -> "np.ndarray":
+    t = np.empty((k, 256), dtype=np.uint64)
+    for j in range(k):
+        p = pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD)
+        t[j] = (np.arange(256, dtype=np.uint64) * np.uint64(p)) % np.uint64(
+            _WINNOW_MOD
+        )
+    return t
+
+
+_WINNOW_T8 = _winnow_tables(8)
+
+
+def _winnow_fps_vec(
+    batch: pa.Table, k: int = 8, w: int = 6
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, fingerprint) rows — DISTINCT selected fingerprints per
+    doc, bit-identical to :func:`winnow_fingerprints` (which stays the
+    scalar reference), computed over the batch's concatenated bytes:
+
+    - k-gram hashes for every position via the byte lookup tables
+      (two staged mod-2^61−1 reductions keep everything in uint64);
+    - per-window minimum as ``np.minimum`` over ``w`` shifted slices;
+    - doc-boundary masking + per-doc ``\\x00``-padding for short docs,
+      mirroring the scalar kernel's convention;
+    - distinct (doc, fp) via ``np.unique`` on the packed pair.
+    """
+    tables = _WINNOW_T8 if k == 8 else _winnow_tables(k)
+    mod = np.uint64(_WINNOW_MOD)
+    texts = [
+        t.encode("utf-8") for t in batch.column("text").to_pylist()
+    ]
+    texts = [t + b"\x00" * (k - len(t)) if len(t) < k else t for t in texts]
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    data = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    total = int(lens.sum())
+    n_pos = total - k + 1
+    if n_pos <= 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    # staged sums: 4 terms (< 2^63), reduce, 4 terms, reduce, combine
+    acc1 = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(4):
+        acc1 += tables[j][data[j : j + n_pos]]
+    acc1 %= mod
+    acc2 = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(4, k):
+        acc2 += tables[j][data[j : j + n_pos]]
+    acc2 %= mod
+    hashes = (acc1 + acc2) % mod
+    # per-doc k-gram counts and position ownership
+    n_hashes = lens - k + 1  # ≥ 1 after padding
+    h_parent = np.repeat(np.arange(len(texts), dtype=np.int64), n_hashes)
+    valid_pos = np.concatenate(
+        [np.arange(s, s + c) for s, c in zip(starts, n_hashes)]
+    ) if len(texts) else np.array([], dtype=np.int64)
+    doc_hashes = hashes[valid_pos]
+    # window minimum over w consecutive k-gram hashes WITHIN each doc:
+    # scalar loops max(1, n-w+1) windows, so docs with fewer than w
+    # hashes take the min of what they have.  Compute by minimum over
+    # shifted slices, masking shifts that run past the doc's end.
+    m = len(doc_hashes)
+    doc_end = np.repeat(np.cumsum(n_hashes), n_hashes)  # exclusive, local
+    local_pos = np.arange(m) - np.repeat(
+        np.cumsum(n_hashes) - n_hashes, n_hashes
+    )
+    # number of windows per doc = max(1, n_hashes - w + 1); a position p
+    # starts a window iff p < n_windows
+    n_windows = np.maximum(n_hashes - w + 1, 1)
+    is_window = local_pos < np.repeat(n_windows, n_hashes)
+    sel = doc_hashes.copy()
+    glob_end = np.repeat(np.cumsum(n_hashes), n_hashes)
+    for j in range(1, w):
+        idx = np.arange(m) + j
+        ok = idx < glob_end  # stay inside the same doc
+        shifted = np.where(ok, doc_hashes[np.minimum(idx, m - 1)], sel)
+        sel = np.minimum(sel, shifted)
+    sel = sel[is_window]
+    sel_parent = h_parent[is_window]
+    pairs = np.stack(
+        [sel_parent.astype(np.uint64), sel], axis=1
+    )
+    uniq = np.unique(pairs, axis=0)
+    return doc_ids[uniq[:, 0].astype(np.int64)], uniq[:, 1]

@@ -271,3 +271,29 @@ def test_induce_vectorized_equals_scalar(rows) -> None:
         for t in induce_triples_for_sentence(text.split(" "), ms):
             want.append((u, sid) + t)
     assert got == want
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_winnow_vectorized_equals_scalar(texts) -> None:
+    import pyarrow as pa
+
+    from promptner_ray.functions.textstats import (
+        _winnow_fps_vec,
+        winnow_fingerprints,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    ids, fps = _winnow_fps_vec(batch)
+    got: dict[int, set] = {}
+    for d, f in zip(ids.tolist(), fps.tolist()):
+        got.setdefault(d, set()).add(int(f))
+    want = {
+        i: set(winnow_fingerprints(t)) for i, t in enumerate(texts)
+    }
+    assert got == want
