@@ -352,6 +352,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from promptner_ray.functions import (
+        bloom,
         dedup,
         hll,
         multimodal,
@@ -459,6 +460,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curate": _doc_curate,
         "doc_decontam": _doc_decontam,
         "doc_decontam_keep": _doc_decontam_keep,
+        # constant-size Bloom-bitset variant of the decontamination
+        # probe (FPs deterministic, reproduced exactly by the oracle)
+        "doc_bloom_decontam": lambda sf: bloom.bloom_decontam(_docs(sf)),
         "doc_ngram_counts": lambda sf: ngrams.ngram_counts(_docs(sf)),
         "doc_top_ngrams": lambda sf: ngrams.top_ngrams(_docs(sf)),
         # exact token counts via the DYNAMIC salted-shuffle plan
@@ -900,6 +904,12 @@ def _mixture_sql() -> str:
     return sql_mixture_resample()
 
 
+def _bloom_sql() -> str:
+    from promptner_ray.functions.bloom import sql_bloom_decontam
+
+    return sql_bloom_decontam()
+
+
 def _pii_redact_sql() -> str:
     from promptner_ray.functions.pii import sql_inject_expr, sql_redact_exprs
 
@@ -999,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_distinct_sketch": _hll_sql(),
         "dedup_winnow_pairs": _winnow_pairs_sql(),
         "doc_mixture": _mixture_sql(),
+        "doc_bloom_decontam": _bloom_sql(),
         "doc_repetition": """
             WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
                           FROM documents),

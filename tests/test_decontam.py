@@ -63,3 +63,21 @@ def test_decontaminate_keeps_clean_training_docs(ray_session):
     kept = decontaminate(_docs_ds(rows)).to_pandas()
     assert sorted(kept["doc_id"].tolist()) == [2, 8]
     assert list(kept.columns) == ["doc_id"]
+
+
+def test_bloom_flags_superset_of_exact(ray_session) -> None:
+    """Bloom has one-sided error: every exactly-contaminated doc must be
+    flagged; extras (false positives) are allowed but bounded."""
+    import ray
+
+    from promptner_ray.functions.bloom import bloom_decontam
+    from promptner_ray.functions.decontam import contaminated_docs
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = contaminated_docs(docs).to_pandas()
+    exact_flagged = set(exact[exact["n_hit"] > 0]["doc_id"])
+    bl = bloom_decontam(docs).to_pandas()
+    bloom_flagged = set(bl[bl["flagged"]]["doc_id"])
+    assert exact_flagged <= bloom_flagged
+    # 2^16 bits / K=4 against a few thousand grams: FP rate ~0 here
+    assert len(bloom_flagged - exact_flagged) <= 0.02 * len(bl)
