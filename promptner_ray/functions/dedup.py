@@ -616,33 +616,34 @@ def minhash_dedup(docs, num_perm: int = NUM_PERM, band_rows: int = BAND_ROWS):
     """
     import pyarrow.compute as pc
 
+    from ..shuffle import local_hash_join
     from .graphops import connected_components
 
     comps = connected_components(
         minhash_lsh_pairs(docs, num_perm=num_perm, band_rows=band_rows)
     )
+
     def to_losers(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t.column("doc_id"), t.column("component")))
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "is_loser": pa.array([True] * len(t), type=pa.bool_()),
-            }
-        )
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64())})
 
+    # anti join through local_hash_join, NOT Dataset.join: losers descends
+    # from map_groups, whose empty output blocks are zero-column (Ray
+    # 2.49) — a native-join partition containing only those has no doc_id
+    # field and the Acero join aborts.  Losers are also sparse by nature
+    # (a handful of rows across many partitions), which is exactly the
+    # shape that triggers it.
     losers = comps.map_batches(to_losers, batch_format="pyarrow")
-    joined = docs.select_columns(["doc_id"]).join(
+    id_schema = pa.schema([("doc_id", pa.int64())])
+    return local_hash_join(
+        docs.select_columns(["doc_id"]),
         losers,
-        join_type="left_outer",
+        on=["doc_id"],
+        left_schema=id_schema,
+        right_schema=id_schema,
+        how="anti",
         num_partitions=_pair_join_partitions(),
-        on=("doc_id",),
     )
-
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.is_null(batch.column("is_loser"))
-        return batch.filter(mask).select(["doc_id"])
-
-    return joined.map_batches(keep, batch_format="pyarrow")
 
 
 def first_occurrence(ds, value_col: str, order_cols: list[str],

@@ -12,12 +12,57 @@ rounds closes web-scale transitive chains).
 Each round is one hash-partitioned grouped Min (``shuffle.hash_grouped``)
 over the (directed-both-ways) edge list joined with current labels —
 no driver-side union-find, no whole-graph structure on any worker.
-Convergence is detected with a constant-size changed-row count per round.
+Convergence is detected with a constant-size order-independent label
+digest per round (labels are monotone non-increasing, so digest equality
+means a fixed point) — no join and no extra exchange on the check.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+
+
+def _label_digest(labels_ds) -> int:
+    """Order-independent digest of a (dst, label) dataset: XOR-fold of a
+    per-row 64-bit mix.  Rows are keyed by distinct ``dst``, so two label
+    tables digest equal iff (w.h.p.) every node's label is equal — the
+    convergence test for min-label propagation without any join or
+    shuffle.  One int per block reaches the driver."""
+    import numpy as np
+
+    M1 = np.uint64(0x9E3779B97F4A7C15)
+    M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    M3 = np.uint64(0x27D4EB2F165667C5)
+
+    def digest_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "dst" not in t.column_names:
+            return pa.table({"d": pa.array([0], type=pa.int64())})
+        d = (
+            t.column("dst")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        l = (
+            t.column("label")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            mixed = (d * M1 + M3) ^ ((l + M2) * M3)
+            mixed ^= mixed >> np.uint64(29)
+            mixed *= M1
+        folded = np.bitwise_xor.reduce(mixed)
+        return pa.table(
+            {"d": pa.array([int(folded.view(np.int64))], type=pa.int64())}
+        )
+
+    parts = labels_ds.map_batches(digest_block, batch_format="pyarrow").take_all()
+    out = 0
+    for row in parts:
+        out ^= int(row["d"]) & 0xFFFFFFFFFFFFFFFF
+    return out
 
 
 def _both_directions(pairs, a: str, b: str):
@@ -45,7 +90,7 @@ def connected_components(
 ):
     """(a, b) pair Dataset → (doc_id, component) with component = min id
     reachable; only nodes appearing in pairs are returned."""
-    from ..shuffle import hash_grouped
+    from ..shuffle import hash_grouped, local_hash_join
 
     if num_partitions is None:
         import ray
@@ -70,18 +115,30 @@ def connected_components(
         num_partitions=num_partitions,
     ).materialize()
 
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    label_schema = pa.schema([("src", pa.int64()), ("label", pa.int64())])
+    digest = _label_digest(labels)
     for _ in range(max_iters):
-        # neighbor labels: join edges on src, propagate src's label to dst
-        prop = edges.join(
+        # neighbor labels: join edges on src, propagate src's label to dst.
+        # local_hash_join, NOT Dataset.join: `labels` comes out of
+        # map_groups, whose empty output blocks are ZERO-COLUMN tables
+        # (Ray 2.49); a native-join partition fed only those loses the key
+        # field and Acero aborts.  local_hash_join pads every block to an
+        # explicit schema first, so sparse labels are safe at any
+        # partition count.
+        prop = local_hash_join(
+            edges,
             labels.map_batches(
                 lambda t: pa.table(
                     {"src": t.column("dst"), "label": t.column("label")}
                 ),
                 batch_format="pyarrow",
             ),
-            join_type="inner",
+            on=["src"],
+            left_schema=edge_schema,
+            right_schema=label_schema,
+            how="inner",
             num_partitions=num_partitions,
-            on=("src",),
         ).select_columns(["dst", "label"])
         new_labels = hash_grouped(
             prop.union(labels),
@@ -90,46 +147,18 @@ def connected_components(
             rename={"label_min": "label"},
             num_partitions=num_partitions,
         ).materialize()
-        # constant-size convergence check: any label decreased?
-        changed = (
-            new_labels.join(
-                labels.map_batches(
-                    lambda t: pa.table(
-                        {"dst": t.column("dst"), "old": t.column("label")}
-                    ),
-                    batch_format="pyarrow",
-                ),
-                join_type="inner",
-                num_partitions=num_partitions,
-                on=("dst",),
-            )
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "c": pa.array(
-                            [
-                                int(
-                                    (
-                                        t.column("label").to_numpy(
-                                            zero_copy_only=False
-                                        )
-                                        != t.column("old").to_numpy(
-                                            zero_copy_only=False
-                                        )
-                                    ).sum()
-                                )
-                            ],
-                            type=pa.int64(),
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .sum("c")
-        )
+        # Exchange-free convergence check: labels only ever decrease and
+        # the node set is fixed, so the rounds have converged exactly when
+        # the (dst, label) multiset is unchanged — compared via an
+        # order-independent 64-bit XOR digest (one map pass over the
+        # already-materialized labels, one tiny row per block to the
+        # driver; collision probability 2^-64 per round on non-adversarial
+        # ids).  Replaces a full labels⋈labels join per round.
+        new_digest = _label_digest(new_labels)
         labels = new_labels
-        if not changed:
+        if new_digest == digest:
             break
+        digest = new_digest
     return labels.map_batches(
         lambda t: pa.table(
             {

@@ -99,7 +99,7 @@ def doc_features_batch(batch: pa.Table) -> pa.Table:
 
 def clean_corpus(docs, lang: str = "en", num_partitions: int | None = None):
     """documents → surviving (doc_id, n_tokens, lang_pred) rows."""
-    from ..shuffle import hash_grouped
+    from ..shuffle import hash_grouped, local_hash_join
 
     feats = docs.map_batches(doc_features_batch, batch_format="pyarrow")
     keepers = hash_grouped(
@@ -109,19 +109,21 @@ def clean_corpus(docs, lang: str = "en", num_partitions: int | None = None):
         rename={"doc_id_min": "keeper_id"},
         num_partitions=num_partitions,
     )
-    if num_partitions is None:
-        import ray
-
-        num_partitions = (
-            max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-            if ray.is_initialized()
-            else 8
-        )
-    joined = feats.join(
+    # local_hash_join, NOT Dataset.join: keepers comes out of map_groups,
+    # whose empty output blocks are zero-column (Ray 2.49); when the
+    # distinct-fp count is small relative to the partition count, a
+    # native-join partition can consist only of those blocks and the
+    # Acero join aborts for lack of the key field.
+    joined = local_hash_join(
+        feats,
         keepers,
-        join_type="inner",
+        on=["fp_key"],
+        left_schema=pa.schema(list(_FEATURE_SCHEMA)),
+        right_schema=pa.schema(
+            [("fp_key", pa.int64()), ("keeper_id", pa.int64())]
+        ),
+        how="inner",
         num_partitions=num_partitions,
-        on=("fp_key",),
     )
 
     def keep(batch: pa.Table) -> pa.Table:
