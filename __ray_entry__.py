@@ -139,6 +139,19 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(_kg_edges(sf_dir))
 
 
+def _kg_edge_times(sf_dir: str):
+    from promptner_ray.pipelines import kg
+
+    return kg.edge_times(_kg_triples(sf_dir), _pages(sf_dir))
+
+
+def _kg_pmi(sf_dir: str):
+    from promptner_ray.functions.graphops import edge_pmi
+    from promptner_ray.pipelines import kg
+
+    return edge_pmi(kg.edges(_kg_triples(sf_dir)))
+
+
 def _kg_export(sf_dir: str) -> str:
     """Materialize the KG stage tables once (cached) for the SQL oracles."""
     from promptner_ray.pipelines.export import ensure_kg_export
@@ -568,6 +581,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_f1_counts": _kg_f1_counts,
         # per-node degree/weight totals — hub (hot-entity) profiling
         "kg_degrees": _kg_degrees,
+        # temporal edges: first/last crawl timestamp asserting each edge
+        "kg_edge_times": _kg_edge_times,
+        # PMI edge re-weighting vs the weighted-degree null model
+        "kg_pmi": _kg_pmi,
         # rows-only: float ranks are order-of-summation dependent across
         # blocks; the value gate is the numpy reference (tests)
         "kg_pagerank": _kg_pagerank,
@@ -1618,6 +1635,51 @@ def oracle_sql() -> dict[str, str]:
                    sum(w_out)::BIGINT AS w_out,
                    sum(w_in)::BIGINT AS w_in
             FROM ends GROUP BY entity_id
+        """,
+        # temporal edges: the triple induction re-derived in SQL over the
+        # exported triples, joined to the corpus pages for warc_ts; the
+        # Ray side carries epoch-µs int64 end to end, so min/max match
+        # exactly
+        "kg_edge_times": f"""
+            WITH tr AS (SELECT url, subj, pred, obj
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            pg AS (SELECT url, epoch_us(warc_ts)::BIGINT AS ts
+                   FROM read_parquet('{_CORPUS_GLOB}'))
+            SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+                   {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+                   min(pg.ts) AS first_seen, max(pg.ts) AS last_seen,
+                   count(*)::BIGINT AS weight
+            FROM tr JOIN pg USING (url)
+            GROUP BY 1, 2, 3
+        """,
+        # PMI: exact int64 products cast to DOUBLE, one division, ln —
+        # the identical op sequence the Ray scorer performs with libm
+        # math.log, so the doubles hash-match bit for bit
+        "kg_pmi": f"""
+            WITH tr AS (SELECT subj, pred, obj
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            edg AS (
+              SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+                     {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+                     count(*)::BIGINT AS weight
+              FROM tr GROUP BY 1, 2, 3),
+            ends AS (
+              SELECT subj_id AS entity_id, weight AS w_out, 0 AS w_in
+              FROM edg
+              UNION ALL
+              SELECT obj_id, 0, weight FROM edg),
+            degs AS (
+              SELECT entity_id, sum(w_out)::BIGINT AS w_out,
+                     sum(w_in)::BIGINT AS w_in
+              FROM ends GROUP BY entity_id),
+            tot AS (SELECT sum(weight)::BIGINT AS w FROM edg)
+            SELECT e.subj_id, e.pred, e.obj_id, e.weight,
+                   ln((e.weight * t.w)::DOUBLE /
+                      (s.w_out * o.w_in)::DOUBLE) AS pmi
+            FROM edg e
+            CROSS JOIN tot t
+            JOIN degs s ON e.subj_id = s.entity_id
+            JOIN degs o ON e.obj_id = o.entity_id
         """,
         # token-level confusion matrix: predicted BIO reconstructed in SQL
         # from mention spans, truth from the corpus gold table

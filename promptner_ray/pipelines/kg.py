@@ -42,6 +42,7 @@ from ..stages.link import (
     links_to_nodes,
     named_edges_join,
     partial_edge_counts,
+    partial_edge_url_counts,
     partial_link_counts,
 )
 from ..state import lineage
@@ -187,6 +188,81 @@ def edges(triples_ds):
         # partition on the numeric endpoints only — a function of the
         # group key, which is all correctness needs
         hash_cols=["subj_id", "obj_id"],
+    )
+
+
+def page_times(pages_ds):
+    """pages → (url_key, ts): per-page crawl timestamp keyed by the int64
+    url digest (epoch microseconds) — the narrow side of the temporal-edge
+    join.  The url STRING never keys an exchange."""
+    from ..kernels.cleaning import surface_hash64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = [surface_hash64(u) for u in batch.column("url").to_pylist()]
+        return pa.table(
+            {
+                "url_key": pa.array(keys, type=pa.int64()),
+                "ts": batch.column("warc_ts")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    return pages_ds.select_columns(["url", "warc_ts"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def edge_times(triples_ds, pages_ds, num_partitions: int | None = None):
+    """Temporal edge attributes: (subj_id, pred, obj_id, first_seen,
+    last_seen, weight) — the crawl-time span over which the corpus
+    asserts each edge (``warc_ts`` of the earliest and latest page whose
+    text yields the triple).  The temporal-KG face of the input table's
+    timestamp column.
+
+    Plan: map-side combine of triples to per-(page, edge) counts
+    (:func:`~..stages.link.partial_edge_url_counts` — a page re-asserting
+    an edge many times leaves the block as one row), one int64-keyed
+    ``local_hash_join`` against the (url_key, ts) page table (triples are
+    derived from pages, so the exchange is url-copartitioned by
+    construction), then a hash-partitioned grouped Min/Max/Sum on the
+    edge key.  Timestamps stay int64 epoch-µs end to end.
+    """
+    from ..shuffle import hash_grouped, local_hash_join
+
+    partials = triples_ds.map_batches(
+        partial_edge_url_counts, batch_format="pyarrow"
+    )
+    joined = local_hash_join(
+        partials,
+        page_times(pages_ds),
+        on=["url_key"],
+        left_schema=pa.schema(
+            [
+                ("url_key", pa.int64()),
+                ("subj_id", pa.int64()),
+                ("pred", pa.string()),
+                ("obj_id", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("url_key", pa.int64()), ("ts", pa.int64())]
+        ),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    return hash_grouped(
+        joined,
+        ["subj_id", "pred", "obj_id"],
+        [("ts", "min"), ("ts", "max"), ("n", "sum")],
+        rename={
+            "ts_min": "first_seen",
+            "ts_max": "last_seen",
+            "n_sum": "weight",
+        },
+        hash_cols=["subj_id", "obj_id"],
+        num_partitions=num_partitions,
     )
 
 

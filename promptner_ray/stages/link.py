@@ -207,6 +207,47 @@ def partial_edge_counts(batch: pa.Table) -> pa.Table:
     )
 
 
+def partial_edge_url_counts(batch: pa.Table) -> pa.Table:
+    """Map-side combine for TEMPORAL edges: triples → (url_key, subj_id,
+    pred, obj_id, n) partials — per-(page, edge) occurrence counts whose
+    ``url_key`` (int64 digest of the raw url; the string never keys an
+    exchange) joins against the page-timestamp table.  Vectorized like
+    :func:`partial_edge_counts`: the url digest runs once per DISTINCT
+    url in the block (triples cluster by page), ids via :func:`_hash_ids`,
+    combine via Arrow's C++ ``group_by``.
+    """
+    import pyarrow.compute as pc
+
+    urls = batch.column("url")
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    dict_urls = pc.dictionary_encode(urls)
+    uniq_keys = pa.array(
+        [surface_hash64(u) for u in dict_urls.dictionary.to_pylist()],
+        type=pa.int64(),
+    )
+    tbl = pa.table(
+        {
+            "url_key": pc.take(uniq_keys, dict_urls.indices),
+            "subj_id": _hash_ids(batch.column("subj")),
+            "pred": batch.column("pred"),
+            "obj_id": _hash_ids(batch.column("obj")),
+        }
+    )
+    out = tbl.group_by(["url_key", "subj_id", "pred", "obj_id"]).aggregate(
+        [([], "count_all")]
+    )
+    return pa.table(
+        {
+            "url_key": out.column("url_key"),
+            "subj_id": out.column("subj_id"),
+            "pred": out.column("pred"),
+            "obj_id": out.column("obj_id"),
+            "n": out.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # broadcast join: name edges from the (small) nodes table
 # ---------------------------------------------------------------------------

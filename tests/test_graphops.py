@@ -60,6 +60,59 @@ def test_pagerank_matches_numpy_reference(ray_session) -> None:
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_edge_pmi_hand_computed(ray_session) -> None:
+    import math
+
+    from promptner_ray.functions.graphops import edge_pmi
+
+    # W = 12; degrees: w_out(0)=8, w_out(2)=4, w_in(1)=10, w_in(0)=2
+    tbl = _edge_table([(0, 1, 8), (2, 1, 2), (2, 0, 2)])
+    got = (
+        edge_pmi(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .set_index(["subj_id", "obj_id"])["pmi"]
+        .to_dict()
+    )
+    W = 12
+    assert got[(0, 1)] == math.log(float(8 * W) / float(8 * 10))
+    assert got[(2, 1)] == math.log(float(2 * W) / float(4 * 10))
+    assert got[(2, 0)] == math.log(float(2 * W) / float(4 * 2))
+
+
+def test_edge_times_span(ray_session) -> None:
+    from promptner_ray.pipelines.kg import edge_times
+
+    # two pages assert A->B at t=100 and t=300 (twice); one page asserts
+    # C->A at t=200 only
+    triples = pa.table(
+        {
+            "url": pa.array(["u1", "u3", "u3", "u2"]),
+            "sent_id": pa.array([0, 0, 1, 0], type=pa.int64()),
+            "subj": pa.array(["A", "A", "A", "C"]),
+            "pred": pa.array(["p", "p", "p", "q"]),
+            "obj": pa.array(["B", "B", "B", "A"]),
+        }
+    )
+    pages = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u3"]),
+            "warc_ts": pa.array([100, 200, 300], type=pa.timestamp("us")),
+        }
+    )
+    got = (
+        edge_times(
+            ray.data.from_arrow(triples), ray.data.from_arrow(pages)
+        )
+        .to_pandas()
+        .set_index("pred")
+    )
+    assert got.loc["p", "first_seen"] == 100
+    assert got.loc["p", "last_seen"] == 300
+    assert got.loc["p", "weight"] == 3
+    assert got.loc["q", "first_seen"] == got.loc["q", "last_seen"] == 200
+    assert got.loc["q", "weight"] == 1
+
+
 def test_pagerank_weight_bias(ray_session) -> None:
     # 0 -> 1 (weight 9) and 0 -> 2 (weight 1): node 1 must outrank node 2
     edges = [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
