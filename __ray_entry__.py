@@ -152,6 +152,13 @@ def _kg_pmi(sf_dir: str):
     return edge_pmi(kg.edges(_kg_triples(sf_dir)))
 
 
+def _kg_triangles(sf_dir: str):
+    from promptner_ray.functions.graphops import triangle_counts
+    from promptner_ray.pipelines import kg
+
+    return triangle_counts(kg.edges(_kg_triples(sf_dir)))
+
+
 def _kg_export(sf_dir: str) -> str:
     """Materialize the KG stage tables once (cached) for the SQL oracles."""
     from promptner_ray.pipelines.export import ensure_kg_export
@@ -585,6 +592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_times": _kg_edge_times,
         # PMI edge re-weighting vs the weighted-degree null model
         "kg_pmi": _kg_pmi,
+        # per-node triangle counts (degree-ordered orientation)
+        "kg_triangles": _kg_triangles,
         # rows-only: float ranks are order-of-summation dependent across
         # blocks; the value gate is the numpy reference (tests)
         "kg_pagerank": _kg_pagerank,
@@ -1680,6 +1689,33 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot t
             JOIN degs s ON e.subj_id = s.entity_id
             JOIN degs o ON e.obj_id = o.entity_id
+        """,
+        # per-node triangle counts: the oracle enumerates id-ordered
+        # triangles with two straight self-joins — a formulation
+        # independent of the engine's degree-ordered orientation, which
+        # must count the identical triangle set
+        "kg_triangles": f"""
+            WITH tr AS (SELECT subj, pred, obj
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            edg AS (
+              SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                     {_sql_hash64(_sql_norm('obj'))} AS obj_id
+              FROM tr),
+            und AS (
+              SELECT DISTINCT least(subj_id, obj_id) AS a,
+                     greatest(subj_id, obj_id) AS b
+              FROM edg WHERE subj_id != obj_id),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+              JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (
+              SELECT x AS entity_id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+            SELECT entity_id, count(*)::BIGINT AS n_triangles
+            FROM corners GROUP BY entity_id
         """,
         # token-level confusion matrix: predicted BIO reconstructed in SQL
         # from mention spans, truth from the corpus gold table

@@ -113,6 +113,26 @@ def test_edge_times_span(ray_session) -> None:
     assert got.loc["q", "weight"] == 1
 
 
+def test_triangle_counts_hand_computed(ray_session) -> None:
+    from promptner_ray.functions.graphops import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles, 3 per node) plus a pendant 3->9 and a
+    # directed 2-cycle 5<->6 (no triangle); edge direction and duplicate
+    # assertions must not matter
+    edges = [
+        (0, 1, 1), (1, 0, 3),  # duplicate undirected edge, both ways
+        (0, 2, 1), (0, 3, 1), (1, 2, 1), (3, 1, 1), (2, 3, 1),
+        (3, 9, 2), (5, 6, 1), (6, 5, 1), (7, 7, 1),  # self-loop ignored
+    ]
+    got = (
+        triangle_counts(ray.data.from_arrow(_edge_table(edges)))
+        .to_pandas()
+        .set_index("entity_id")["n_triangles"]
+        .to_dict()
+    )
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
 def test_pagerank_weight_bias(ray_session) -> None:
     # 0 -> 1 (weight 9) and 0 -> 2 (weight 1): node 1 must outrank node 2
     edges = [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
