@@ -159,6 +159,18 @@ def _kg_triangles(sf_dir: str):
     return triangle_counts(kg.edges(_kg_triples(sf_dir)))
 
 
+def _cc_outlinks(sf_dir: str):
+    from promptner_ray.functions.urls import outlinks
+
+    return outlinks(_pages(sf_dir))
+
+
+def _cc_latest_snapshot(sf_dir: str):
+    from promptner_ray.functions.urls import latest_snapshot
+
+    return latest_snapshot(_pages(sf_dir))
+
+
 def _kg_export(sf_dir: str) -> str:
     """Materialize the KG stage tables once (cached) for the SQL oracles."""
     from promptner_ray.pipelines.export import ensure_kg_export
@@ -594,6 +606,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pmi": _kg_pmi,
         # per-node triangle counts (degree-ordered orientation)
         "kg_triangles": _kg_triangles,
+        # web-graph edge extraction from raw HTML anchors
+        "cc_outlinks": _cc_outlinks,
+        # keep-newest-crawl per URL over (injected) multi-snapshot pages
+        "cc_latest_snapshot": _cc_latest_snapshot,
         # rows-only: float ranks are order-of-summation dependent across
         # blocks; the value gate is the numpy reference (tests)
         "kg_pagerank": _kg_pagerank,
@@ -613,6 +629,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _ORACLE_SF_NAME = "sf0.01"
 _CORPUS_GLOB = f"/tmp/promptner_corpus/{_ORACLE_SF_NAME}/pages/part=*/*.parquet"
 _EXPORT = f"/tmp/promptner_kg/{_ORACLE_SF_NAME}"
+
+
+def _sql_outlinks() -> str:
+    from promptner_ray.functions.urls import sql_outlinks
+
+    return sql_outlinks(_CORPUS_GLOB)
+
+
+def _sql_latest_snapshot() -> str:
+    from promptner_ray.functions.urls import sql_latest_snapshot
+
+    return sql_latest_snapshot(_CORPUS_GLOB, _sql_hash64("url"))
 
 
 def _sql_punct() -> str:
@@ -1717,6 +1745,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_id, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY entity_id
         """,
+        # web-graph edges: anchor extraction + href resolution replayed
+        # with the identical RE2 pattern over the decoded corpus HTML
+        "cc_outlinks": _sql_outlinks(),
+        # keep-newest-crawl: the deterministic snapshot expansion (md5
+        # multiplicity) + a row_number window over the same rows
+        "cc_latest_snapshot": _sql_latest_snapshot(),
         # token-level confusion matrix: predicted BIO reconstructed in SQL
         # from mention spans, truth from the corpus gold table
         "kg_confusion": f"""

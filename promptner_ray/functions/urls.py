@@ -217,3 +217,228 @@ def sql_domain_cap(k: int = 5, column: str = "text") -> str:
           FROM d)
         WHERE rn <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# web-graph edge extraction: raw HTML → resolved outlink edges
+# ---------------------------------------------------------------------------
+
+# group 1 = the href value; non-greedy attribute scan, RE2-safe so the
+# DuckDB twin (regexp_extract_all(..., 1)) matches byte for byte
+HREF_PATTERN = "<a[^>]*?href=['\"]([^'\"]+)['\"]"
+_HREF_RE = re.compile(HREF_PATTERN)
+ORIGIN_PATTERN = r"^[a-z][a-z0-9+.-]*://[^/]+"
+_ORIGIN_RE = re.compile(ORIGIN_PATTERN)
+_ABS_RE = re.compile(r"^[a-z][a-z0-9+.-]*://")
+
+
+def outlink_rows_batch(batch: pa.Table) -> pa.Table:
+    """pages → one (src_url, target_url, n, src_key, tgt_key) row per
+    distinct-in-block edge: the web-graph construction pass over raw
+    Common-Crawl HTML.
+
+    Anchor hrefs resolve like a crawler's frontier: absolute URLs pass
+    through, root-relative paths join the page origin, and dir-relative
+    hrefs (rare in practice, absent from the corpus) are dropped —
+    documented, not silent: the DuckDB twin drops the identical set.
+    Regex work is per-document (bounded, stateless, streaming — the same
+    shape as text extraction); the block-local ``group_by`` combine means
+    a nav bar repeated on every page of a block leaves as one weighted
+    row, and the int64 digests are computed once per distinct edge.
+    """
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    src_out: list[str] = []
+    tgt_out: list[str] = []
+    for u, h in zip(urls, htmls):
+        text = (
+            h.decode("utf-8", "replace")
+            if isinstance(h, (bytes, bytearray))
+            else str(h)
+        )
+        m = _ORIGIN_RE.match(u)
+        origin = m.group(0) if m else ""
+        for href in _HREF_RE.findall(text):
+            if _ABS_RE.match(href):
+                tgt = href
+            elif href.startswith("/"):
+                tgt = origin + href
+            else:
+                continue
+            src_out.append(u)
+            tgt_out.append(tgt)
+    tbl = pa.table(
+        {
+            "src_url": pa.array(src_out, type=pa.string()),
+            "target_url": pa.array(tgt_out, type=pa.string()),
+        }
+    )
+    local = tbl.group_by(["src_url", "target_url"]).aggregate(
+        [([], "count_all")]
+    )
+
+    def keys(col: pa.ChunkedArray) -> pa.Array:
+        return pa.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        s.encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "big",
+                    signed=True,
+                )
+                for s in col.to_pylist()
+            ],
+            type=pa.int64(),
+        )
+
+    return pa.table(
+        {
+            "src_url": local.column("src_url"),
+            "target_url": local.column("target_url"),
+            "n": local.column("count_all").cast(pa.int64()),
+            "src_key": keys(local.column("src_url")),
+            "tgt_key": keys(local.column("target_url")),
+        }
+    )
+
+
+def outlinks(pages, num_partitions: int | None = None):
+    """pages → global (src_url, target_url, n) web-graph edge table.
+
+    Per-block combine (:func:`outlink_rows_batch`) then a
+    hash-partitioned Sum routed on the int64 URL digests — the strings
+    never key the exchange, and the boilerplate-link head (every page
+    linking "/") crosses it pre-combined, one row per block."""
+    from ..shuffle import hash_grouped
+
+    partial = pages.select_columns(["url", "html"]).map_batches(
+        outlink_rows_batch, batch_format="pyarrow"
+    )
+    return hash_grouped(
+        partial,
+        ["src_url", "target_url"],
+        [("n", "sum")],
+        rename={"n_sum": "n"},
+        hash_cols=["src_key", "tgt_key"],
+        num_partitions=num_partitions,
+    )
+
+
+def sql_outlinks(corpus_glob: str) -> str:
+    """DuckDB twin of :func:`outlinks` over the pages parquet."""
+    href_sql = HREF_PATTERN.replace("'", "''")
+    return f"""
+        WITH pg AS (
+          SELECT url, decode(html) AS h
+          FROM read_parquet('{corpus_glob}')),
+        hrefs AS (
+          SELECT url, unnest(regexp_extract_all(h, '{href_sql}', 1)) AS href
+          FROM pg),
+        res AS (
+          SELECT url AS src_url,
+            CASE
+              WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://') THEN href
+              WHEN href LIKE '/%' THEN
+                regexp_extract(url, '{ORIGIN_PATTERN}') || href
+              ELSE NULL
+            END AS target_url
+          FROM hrefs)
+        SELECT src_url, target_url, count(*)::BIGINT AS n
+        FROM res WHERE target_url IS NOT NULL
+        GROUP BY src_url, target_url
+    """
+
+
+# ---------------------------------------------------------------------------
+# snapshot collapse: keep the latest crawl of every URL
+# ---------------------------------------------------------------------------
+
+def expand_snapshots_batch(batch: pa.Table) -> pa.Table:
+    """pages → (url, ts, snap_id) multi-snapshot rows.
+
+    The sandbox corpus crawls every URL exactly once (a keep-latest over
+    it would be a trivial identity), so — like the PII and URL injections
+    — each page deterministically expands to ``1 + (hash64(url) mod 3)``
+    snapshots at hourly offsets, mirrored literally in the SQL twin.  The
+    md5-based :func:`~..kernels.cleaning.surface_hash64` is used (not
+    blake2b) because the multiplicity must be REPRODUCIBLE in DuckDB."""
+    import numpy as np
+
+    from ..kernels.cleaning import surface_hash64
+
+    urls = batch.column("url").to_pylist()
+    ts = (
+        batch.column("warc_ts")
+        .combine_chunks()
+        .cast(pa.timestamp("us"))
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    reps = np.array(
+        [1 + (surface_hash64(u) % 3 + 3) % 3 for u in urls], dtype=np.int64
+    )
+    idx = np.repeat(np.arange(len(urls)), reps)
+    snap = np.concatenate([np.arange(r) for r in reps]) if len(reps) else (
+        np.array([], dtype=np.int64)
+    )
+    return pa.table(
+        {
+            "url": pa.array([urls[i] for i in idx], type=pa.string()),
+            "ts": pa.array(
+                ts[idx] + snap * 3_600_000_000, type=pa.int64()
+            ),
+            "snap_id": pa.array(snap, type=pa.int64()),
+        }
+    )
+
+
+def latest_snapshot(pages, num_partitions: int | None = None):
+    """Multi-snapshot pages → one (url, ts, snap_id) row per URL: the
+    crawl-dedup pass that keeps only the NEWEST capture of every page
+    before any downstream processing (re-crawled URLs dominate multi-
+    segment Common-Crawl inputs).
+
+    Pure composition over :func:`..dedup.first_occurrence`: keep-latest
+    is first-occurrence under a negated timestamp order, so the whole
+    digest-exchange / per-partition-sort machinery (and its collision
+    safety) is shared rather than re-implemented."""
+    from .dedup import first_occurrence
+
+    snaps = pages.select_columns(["url", "warc_ts"]).map_batches(
+        expand_snapshots_batch, batch_format="pyarrow"
+    )
+
+    def neg(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.append_column(
+            "neg_ts", pc.negate(b.column("ts").combine_chunks())
+        )
+
+    kept = first_occurrence(
+        snaps.map_batches(neg, batch_format="pyarrow"),
+        "url",
+        ["neg_ts"],
+        num_partitions=num_partitions,
+    )
+    return kept.drop_columns(["neg_ts"])
+
+
+def sql_latest_snapshot(corpus_glob: str, hash64_url_expr: str) -> str:
+    """DuckDB twin of :func:`latest_snapshot`; ``hash64_url_expr`` is the
+    caller's md5-hash64 twin applied to the ``url`` column."""
+    return f"""
+        WITH pg AS (
+          SELECT url, epoch_us(warc_ts)::BIGINT AS ts
+          FROM read_parquet('{corpus_glob}')),
+        reps AS (
+          SELECT url, ts,
+            unnest(generate_series(
+              0, ((({hash64_url_expr}) % 3) + 3) % 3)) AS snap_id
+          FROM pg),
+        snaps AS (
+          SELECT url, ts + snap_id * 3600000000 AS ts, snap_id FROM reps)
+        SELECT url, ts, snap_id FROM snaps
+        QUALIFY row_number() OVER (PARTITION BY url ORDER BY ts DESC) = 1
+    """

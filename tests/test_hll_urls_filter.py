@@ -188,3 +188,61 @@ def test_domain_cap_limits_per_domain(ray_session) -> None:
     assert (counts <= 2).all()
     # site0.example.com has 3 candidates (0, 37, 74) → capped at 2
     assert counts["site0.example.com"] == 2
+
+
+def test_outlink_resolution_rules() -> None:
+    import pyarrow as pa
+
+    from promptner_ray.functions.urls import outlink_rows_batch
+
+    html = (
+        b'<a href="https://other.example/x">abs</a>'
+        b"<a class='l' href='/rooted'>root</a>"
+        b'<a href="relative/skip">rel</a>'
+        b'<a href="/">home</a><a href="/">home2</a>'
+    )
+    batch = pa.table(
+        {
+            "url": pa.array(["https://synth.test/part0/doc1"]),
+            "html": pa.array([html], type=pa.binary()),
+        }
+    )
+    out = outlink_rows_batch(batch).to_pydict()
+    got = dict(zip(out["target_url"], out["n"]))
+    # absolute passes through, root-relative joins the origin, the
+    # dir-relative href is dropped, duplicate edges pre-combine in-block
+    assert got == {
+        "https://other.example/x": 1,
+        "https://synth.test/rooted": 1,
+        "https://synth.test/": 2,
+    }
+    assert set(out["src_url"]) == {"https://synth.test/part0/doc1"}
+
+
+def test_latest_snapshot_keeps_newest(ray_session) -> None:
+    import pyarrow as pa
+    import ray as _ray
+
+    from promptner_ray.functions.urls import latest_snapshot
+    from promptner_ray.kernels.cleaning import surface_hash64
+
+    urls = [f"https://synth.test/u{i}" for i in range(20)]
+    base = 1_700_000_000_000_000
+    pages = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array(
+                [base + i for i in range(20)], type=pa.timestamp("us")
+            ),
+        }
+    )
+    got = (
+        latest_snapshot(_ray.data.from_arrow(pages))
+        .to_pandas()
+        .set_index("url")
+    )
+    assert len(got) == 20
+    for i, u in enumerate(urls):
+        reps = surface_hash64(u) % 3  # number of EXTRA snapshots
+        assert got.loc[u, "snap_id"] == reps
+        assert got.loc[u, "ts"] == base + i + reps * 3_600_000_000
