@@ -60,6 +60,14 @@ def _init_ray(num_cpus: int) -> None:
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_DropEmptySchemaNoise())
+    # Ray's own repartition() path touches its deprecated
+    # use_push_based_shuffle context property, warning once per call —
+    # internal-to-Ray noise, not actionable here
+    import warnings
+
+    warnings.filterwarnings(
+        "ignore", message=".*use_push_based_shuffle.*"
+    )
 
 
 def _ensure_bench_corpus(n_docs: int | None = None) -> pathlib.Path:
@@ -114,10 +122,17 @@ def _headline(corpus_root: pathlib.Path, passes: int = 2) -> dict:
     }
 
 
-def _graph_bench(corpus_root: pathlib.Path) -> float:
-    """Canonicalization + edge aggregation timing (triples → links/edges)."""
+def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
+    """Shuffle-stage timings over the full bench corpus: triples →
+    links/edges (``kg_graph``) plus the graph-analytics passes over the
+    bench-scale edge table (degrees, PMI, triangles)."""
     import ray
 
+    from promptner_ray.functions.graphops import (
+        edge_pmi,
+        node_degrees,
+        triangle_counts,
+    )
     from promptner_ray.pipelines import kg
     from promptner_ray.sources.corpus import read_pages
 
@@ -128,12 +143,34 @@ def _graph_bench(corpus_root: pathlib.Path) -> float:
     det = kg.detected(kg.sentences(kg.docs_text(pages, cfg), cfg), cfg)
     # materialize detection once so the timing isolates the shuffle stages
     det = det.materialize()
+    out: dict[str, float] = {}
     t0 = time.monotonic()
     links = kg.links(kg.mentions(det, cfg)).materialize()
     edges = kg.edges(kg.triples(det, cfg))
     nodes_df = links.select_columns(["entity_id", "canonical"]).to_pandas()
     names_ref = ray.put(dict(zip(nodes_df["entity_id"], nodes_df["canonical"])))
     kg.named_edges(edges, names_ref).count()
+    out["kg_graph"] = round(time.monotonic() - t0, 3)
+    edges_mat = edges.materialize()
+    for name, fn in (
+        ("kg_degrees", node_degrees),
+        ("kg_pmi", edge_pmi),
+        ("kg_triangles", triangle_counts),
+    ):
+        t0 = time.monotonic()
+        fn(edges_mat).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def _web_graph_bench(corpus_root: pathlib.Path) -> float:
+    """Outlink-extraction throughput over the full bench corpus HTML."""
+    from promptner_ray.functions.urls import outlinks
+    from promptner_ray.sources.corpus import read_pages
+
+    pages = read_pages(corpus_root, columns=["url", "html"])
+    t0 = time.monotonic()
+    outlinks(pages).count()
     return time.monotonic() - t0
 
 
@@ -184,7 +221,8 @@ def run_bench(headline_only: bool = False) -> dict:
     head = _headline(corpus_root)
     queries: dict[str, float] = {"kg_html_to_triples": round(head["sec"], 3)}
     if not headline_only:
-        queries["kg_graph"] = round(_graph_bench(corpus_root), 3)
+        queries.update(_graph_bench(corpus_root))
+        queries["cc_outlinks"] = round(_web_graph_bench(corpus_root), 3)
         queries.update(_operator_suite())
     return {
         "metric": "kg_html_to_triples_sec",

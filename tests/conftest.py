@@ -9,6 +9,17 @@ import pytest
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 
+def pytest_configure(config):
+    import warnings
+
+    # Ray's repartition() touches its own deprecated
+    # use_push_based_shuffle context property (one warning per call);
+    # internal-to-Ray noise, not actionable from this repo
+    warnings.filterwarnings(
+        "ignore", message=".*use_push_based_shuffle.*"
+    )
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     import ray
