@@ -159,6 +159,51 @@ def _kg_triangles(sf_dir: str):
     return triangle_counts(kg.edges(_kg_triples(sf_dir)))
 
 
+def _events_quantile_sketch(sf_dir: str):
+    from promptner_ray.functions.sketch import quantile_sketch
+
+    return quantile_sketch(_read(sf_dir, "events"))
+
+
+def _kg_edges_incremental(sf_dir: str):
+    """Two crawl waves (url-hash split) processed into edge tables
+    independently, then merged — must equal the batch ``edg`` table
+    exactly (the oracle IS the batch SQL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from promptner_ray.kernels.cleaning import surface_hash64
+    from promptner_ray.pipelines import kg
+
+    triples = _kg_triples(sf_dir)
+
+    def wave_filter(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            urls = batch.column("url")
+            if isinstance(urls, pa.ChunkedArray):
+                urls = urls.combine_chunks()
+            d = pc.dictionary_encode(urls)
+            par = pa.array(
+                [
+                    surface_hash64(u) % 2
+                    for u in d.dictionary.to_pylist()
+                ],
+                type=pa.int64(),
+            )
+            mask = pc.equal(pc.take(par, d.indices), parity)
+            return batch.filter(mask)
+
+        return fn
+
+    waves = [
+        kg.edges(
+            triples.map_batches(wave_filter(p), batch_format="pyarrow")
+        )
+        for p in (0, 1)
+    ]
+    return kg.merge_edge_tables(*waves)
+
+
 def _cc_outlinks(sf_dir: str):
     from promptner_ray.functions.urls import outlinks
 
@@ -576,6 +621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": lambda sf: relational.events_sessions(
             _read(sf, "events")
         ),
+        # mergeable bottom-k quantile sketch — constant memory per key;
+        # md5 ranks make the SKETCH itself oracle-checkable
+        "events_quantile_sketch": _events_quantile_sketch,
         # --- KG pipeline (synthetic pages corpus) --------------------
         # Value-checked against DuckDB SQL over the exported stage tables
         # (promptner_ray/pipelines/export.py); the export also runs from
@@ -606,6 +654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pmi": _kg_pmi,
         # per-node triangle counts (degree-ordered orientation)
         "kg_triangles": _kg_triangles,
+        # incremental-crawl wave merge must equal the batch edge table
+        "kg_edges_incremental": _kg_edges_incremental,
         # web-graph edge extraction from raw HTML anchors
         "cc_outlinks": _cc_outlinks,
         # keep-newest-crawl per URL over (injected) multi-snapshot pages
@@ -629,6 +679,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _ORACLE_SF_NAME = "sf0.01"
 _CORPUS_GLOB = f"/tmp/promptner_corpus/{_ORACLE_SF_NAME}/pages/part=*/*.parquet"
 _EXPORT = f"/tmp/promptner_kg/{_ORACLE_SF_NAME}"
+
+
+def _sql_quantile_sketch() -> str:
+    from promptner_ray.functions.sketch import sql_quantile_sketch
+
+    return sql_quantile_sketch()
 
 
 def _sql_outlinks() -> str:
@@ -1504,6 +1560,10 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.75) AS p75
             FROM events GROUP BY event_type
         """,
+        # the sketch's md5 bottom-k sample replayed as a row_number
+        # window; estimates match bit for bit because the sample AND the
+        # quantile_disc pick rule are both pure functions of the data
+        "events_quantile_sketch": _sql_quantile_sketch(),
         "events_sessions": """
             WITH marked AS (
               SELECT user_id, ts,
@@ -1744,6 +1804,16 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT z FROM tri)
             SELECT entity_id, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY entity_id
+        """,
+        # incremental merge: the oracle is the BATCH edge derivation —
+        # wave-split + re-merge must be observationally identical
+        "kg_edges_incremental": f"""
+            WITH tr AS (SELECT subj, pred, obj
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet'))
+            SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+                   {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+                   count(*)::BIGINT AS weight
+            FROM tr GROUP BY 1, 2, 3
         """,
         # web-graph edges: anchor extraction + href resolution replayed
         # with the identical RE2 pattern over the decoded corpus HTML

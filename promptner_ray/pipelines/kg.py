@@ -266,6 +266,33 @@ def edge_times(triples_ds, pages_ds, num_partitions: int | None = None):
     )
 
 
+def merge_edge_tables(*edge_tables, num_partitions: int | None = None):
+    """Incremental-crawl merge: edge tables built from separately
+    processed waves (monthly Common-Crawl segments, incremental
+    re-crawls) re-aggregate into the single global table.
+
+    Edge weights are counts — associative and commutative under sum — so
+    waves may be merged in any order and grouping and the result is
+    EXACTLY the single-batch table (the oracle for the incremental query
+    is the plain batch SQL).  One union + one hash-partitioned grouped
+    Sum; each wave's table is already per-wave-distinct, so the exchange
+    moves at most |waves| rows per distinct edge.
+    """
+    from ..shuffle import hash_grouped
+
+    ds = edge_tables[0]
+    for other in edge_tables[1:]:
+        ds = ds.union(other)
+    return hash_grouped(
+        ds,
+        ["subj_id", "pred", "obj_id"],
+        [("weight", "sum")],
+        rename={"weight_sum": "weight"},
+        hash_cols=["subj_id", "obj_id"],
+        num_partitions=num_partitions,
+    )
+
+
 def named_edges(edges_ds, nodes_by_id_ref):
     return edges_ds.map_batches(
         EdgeNamer,

@@ -198,3 +198,47 @@ def test_token_counts_salted_matches_plain(ray_session) -> None:
         .reset_index(drop=True)
     )
     assert salted.equals(plain)
+
+
+def test_quantile_sketch_accuracy_and_merge(ray_session) -> None:
+    """The bottom-k sample is a uniform sample, so sketch quantiles must
+    land near the exact ones (deterministic md5 ranks: this is a fixed
+    assertion, not a flaky statistical one), and blocking must not
+    matter (mergeability)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.functions.sketch import quantile_sketch
+
+    n = 20_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "event_type": pa.array(["a"] * (n // 2) + ["b"] * (n // 2)),
+            "value": pa.array(
+                np.concatenate(
+                    [np.arange(n // 2) / (n // 2), np.arange(n // 2) * 2.0]
+                ),
+                type=pa.float64(),
+            ),
+        }
+    )
+    got = (
+        quantile_sketch(ray.data.from_arrow(tbl), k=256)
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert list(got["n_sample"]) == [256, 256]
+    # type a is uniform on [0, 1): each quantile within ~5/sqrt(k)
+    for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        assert abs(got.loc["a", col] - q) < 0.32
+    # mergeability: 1 block vs 64 blocks give the IDENTICAL sketch
+    re64 = (
+        quantile_sketch(ray.data.from_arrow(tbl).repartition(64), k=256)
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert got.equals(re64)
