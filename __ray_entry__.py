@@ -165,6 +165,12 @@ def _events_quantile_sketch(sf_dir: str):
     return quantile_sketch(_read(sf_dir, "events"))
 
 
+def _events_user_sketch(sf_dir: str):
+    from promptner_ray.functions.hll import grouped_hll_registers
+
+    return grouped_hll_registers(_read(sf_dir, "events"))
+
+
 def _kg_edges_incremental(sf_dir: str):
     """Two crawl waves (url-hash split) processed into edge tables
     independently, then merged — must equal the batch ``edg`` table
@@ -624,6 +630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable bottom-k quantile sketch — constant memory per key;
         # md5 ranks make the SKETCH itself oracle-checkable
         "events_quantile_sketch": _events_quantile_sketch,
+        # per-key HLL: distinct users per event type, ≤2^p int rows per
+        # (key, block) cross the exchange
+        "events_user_sketch": _events_user_sketch,
         # --- KG pipeline (synthetic pages corpus) --------------------
         # Value-checked against DuckDB SQL over the exported stage tables
         # (promptner_ray/pipelines/export.py); the export also runs from
@@ -685,6 +694,12 @@ def _sql_quantile_sketch() -> str:
     from promptner_ray.functions.sketch import sql_quantile_sketch
 
     return sql_quantile_sketch()
+
+
+def _sql_grouped_hll() -> str:
+    from promptner_ray.functions.hll import sql_grouped_hll_registers
+
+    return sql_grouped_hll_registers()
 
 
 def _sql_outlinks() -> str:
@@ -1564,6 +1579,8 @@ def oracle_sql() -> dict[str, str]:
         # window; estimates match bit for bit because the sample AND the
         # quantile_disc pick rule are both pure functions of the data
         "events_quantile_sketch": _sql_quantile_sketch(),
+        # grouped HLL registers recomputed bit-exactly from the same md5
+        "events_user_sketch": _sql_grouped_hll(),
         "events_sessions": """
             WITH marked AS (
               SELECT user_id, ts,

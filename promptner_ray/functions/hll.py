@@ -133,3 +133,125 @@ def sql_hll_registers(source: str = "documents", column: str = "text") -> str:
         SELECT register, max(rnk)::BIGINT AS max_rank
         FROM rk GROUP BY register
     """
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL: per-key distinct counting (distinct users per event type,
+# distinct URLs per domain, distinct entities per predicate, …)
+# ---------------------------------------------------------------------------
+
+def grouped_hll_partial_batch(
+    batch: pa.Table, key: str, value: str, p: int = P
+) -> pa.Table:
+    """One block → (key, k_hash, register, max_rank) partials, ≤ 2^p rows
+    per distinct-in-block key — the per-key register vector is the
+    mergeable summary, so a key's exchange volume is CONSTANT regardless
+    of how many distinct values it has."""
+    w = 64 - p
+    kcol = batch.column(key).to_pylist()
+    vcol = batch.column(value).to_pylist()
+    regs: dict[tuple, int] = {}
+    for kk, vv in set(zip(kcol, vcol)):
+        hv = int.from_bytes(
+            hashlib.md5(str(vv).encode("utf-8")).digest()[:8], "big"
+        )
+        reg = hv >> w
+        rest = hv & ((1 << w) - 1)
+        rank = w - rest.bit_length() + 1
+        if rank > regs.get((kk, reg), 0):
+            regs[(kk, reg)] = rank
+    items = sorted(regs.items())
+    khash: dict = {}
+    for kk in {k for (k, _r) in regs}:
+        khash[kk] = int.from_bytes(
+            hashlib.md5(str(kk).encode("utf-8")).digest()[:8],
+            "big",
+            signed=True,
+        )
+    return pa.table(
+        {
+            key: pa.array([k for (k, _r), _ in items]),
+            "k_hash": pa.array(
+                [khash[k] for (k, _r), _ in items], type=pa.int64()
+            ),
+            "register": pa.array(
+                [r for (_k, r), _ in items], type=pa.int64()
+            ),
+            "max_rank": pa.array([v for _, v in items], type=pa.int64()),
+        }
+    )
+
+
+def grouped_hll_registers(
+    events,
+    key: str = "event_type",
+    value: str = "user_id",
+    p: int = P,
+    num_partitions: int | None = None,
+):
+    """events → (key, register, max_rank): merged per-key HLL register
+    tables.  The grouped face of :func:`hll_registers` — an exact
+    per-key ``COUNT(DISTINCT)`` shuffles every distinct (key, value)
+    pair, while this exchanges ≤ 2^p integer rows per (key, block) and
+    merges by grouped Max.  All-integer output, so the DuckDB twin
+    (:func:`sql_grouped_hll_registers`) hash-matches the SKETCH itself;
+    the float per-key estimate (:func:`grouped_hll_estimates`) is gated
+    by an accuracy unit test instead."""
+    from ..shuffle import hash_grouped
+
+    partial = events.map_batches(
+        grouped_hll_partial_batch,
+        fn_kwargs={"key": key, "value": value, "p": p},
+        batch_format="pyarrow",
+    )
+    return hash_grouped(
+        partial,
+        [key, "register"],
+        [("max_rank", "max")],
+        rename={"max_rank_max": "max_rank"},
+        hash_cols=["k_hash"],
+        num_partitions=num_partitions,
+    )
+
+
+def grouped_hll_estimates(registers: pa.Table, key: str, p: int = P) -> dict:
+    """(key, register, max_rank) table → {key: distinct estimate}
+    (driver-side; the table is ≤ |keys|·2^p rows by construction)."""
+    out: dict = {}
+    kvals = registers.column(key).to_pylist()
+    for kk in set(kvals):
+        import pyarrow.compute as pc
+
+        sub = registers.filter(pc.equal(registers.column(key), kk))
+        out[kk] = hll_estimate(sub, p=p)
+    return out
+
+
+def sql_grouped_hll_registers(
+    source: str = "events",
+    key: str = "event_type",
+    value: str = "user_id",
+    p: int = P,
+) -> str:
+    """DuckDB twin of :func:`grouped_hll_registers`."""
+    w = 64 - p
+    mask = (1 << w) - 1
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT {key} AS k, {value} AS v FROM {source}),
+        h AS (
+          SELECT k,
+                 ('0x' || substr(md5(v::VARCHAR), 1, 16))::UBIGINT AS hv
+          FROM pairs),
+        r AS (
+          SELECT k, (hv >> {w})::BIGINT AS register,
+                 (hv & {mask}::UBIGINT) AS rest
+          FROM h),
+        rk AS (
+          SELECT k, register,
+                 CASE WHEN rest = 0 THEN {w + 1}
+                      ELSE {w + 1} - length(bin(rest)) END AS rnk
+          FROM r)
+        SELECT k AS {key}, register, max(rnk)::BIGINT AS max_rank
+        FROM rk GROUP BY 1, 2
+    """

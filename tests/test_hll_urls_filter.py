@@ -246,3 +246,47 @@ def test_latest_snapshot_keeps_newest(ray_session) -> None:
         reps = surface_hash64(u) % 3  # number of EXTRA snapshots
         assert got.loc[u, "snap_id"] == reps
         assert got.loc[u, "ts"] == base + i + reps * 3_600_000_000
+
+
+def test_grouped_hll_estimate_accuracy(ray_session) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from promptner_ray.functions.hll import (
+        grouped_hll_estimates,
+        grouped_hll_registers,
+    )
+
+    # key "a": 1000 distinct users; key "b": 50 distinct users (repeated)
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a"] * 1000 + ["b"] * 500),
+            "user_id": pa.array(
+                list(range(1000)) + [10_000 + i % 50 for i in range(500)],
+                type=pa.int64(),
+            ),
+        }
+    )
+    regs = (
+        grouped_hll_registers(_ray.data.from_arrow(tbl), p=6)
+        .to_pandas()
+    )
+    est = grouped_hll_estimates(
+        pa.Table.from_pandas(regs), "event_type", p=6
+    )
+    # p=6 -> ~13% standard error; allow 3 sigma
+    assert abs(est["a"] - 1000) / 1000 < 0.4
+    assert abs(est["b"] - 50) / 50 < 0.4
+    # mergeability: blocking must not change the registers at all
+    re8 = (
+        grouped_hll_registers(
+            _ray.data.from_arrow(tbl).repartition(8), p=6
+        )
+        .to_pandas()
+    )
+    key = ["event_type", "register"]
+    assert (
+        regs.sort_values(key, ignore_index=True)
+        .equals(re8.sort_values(key, ignore_index=True))
+    )
