@@ -171,6 +171,13 @@ def _events_user_sketch(sf_dir: str):
     return grouped_hll_registers(_read(sf_dir, "events"))
 
 
+def _kg_kcore(sf_dir: str):
+    from promptner_ray.functions.graphops import k_core
+    from promptner_ray.pipelines import kg
+
+    return k_core(kg.edges(_kg_triples(sf_dir)), k=3)
+
+
 def _kg_edges_incremental(sf_dir: str):
     """Two crawl waves (url-hash split) processed into edge tables
     independently, then merged — must equal the batch ``edg`` table
@@ -663,6 +670,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pmi": _kg_pmi,
         # per-node triangle counts (degree-ordered orientation)
         "kg_triangles": _kg_triangles,
+        # rows-only: iterative peel is not single-query-SQL-expressible;
+        # value gate is the single-process peel reference (tests)
+        "kg_kcore": _kg_kcore,
         # incremental-crawl wave merge must equal the batch edge table
         "kg_edges_incremental": _kg_edges_incremental,
         # web-graph edge extraction from raw HTML anchors

@@ -454,6 +454,149 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
     )
 
 
+def k_core(edges_ds, k: int = 3, max_iters: int = 30,
+           num_partitions: int | None = None):
+    """Nodes of the k-core of the undirected entity graph — the maximal
+    subgraph where every node keeps ≥ k neighbors.  Output: (entity_id,
+    degree) with the degree INSIDE the core; the standard
+    dense-neighborhood filter for separating structurally-supported
+    entities from extraction noise.
+
+    Iterative peeling, each round entirely in Dataset operators:
+    undirected-distinct edges → per-node degree (hash-partitioned
+    grouped Sum) → survivors (degree ≥ k) → semi-join both edge
+    endpoints against the survivor set (padded ``local_hash_join``; a
+    removed node's edges vanish, lowering its neighbors' degrees next
+    round).  Converges when the constant-size survivor count stops
+    shrinking — ≤ |V| rounds in theory, a handful in practice on
+    power-law graphs.  Nothing graph-sized reaches the driver.
+    """
+    from ..shuffle import hash_grouped, local_hash_join
+
+    def to_und(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("subj_id").to_numpy(zero_copy_only=False)
+        o = t.column("obj_id").to_numpy(zero_copy_only=False)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        tb = pa.table(
+            {
+                "a": pa.array(np.minimum(s, o), type=pa.int64()),
+                "b": pa.array(np.maximum(s, o), type=pa.int64()),
+            }
+        )
+        return tb.group_by(["a", "b"]).aggregate([])
+
+    und = hash_grouped(
+        edges_ds.map_batches(to_und, batch_format="pyarrow"),
+        ["a", "b"],
+        [],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    id_schema = pa.schema([("node", pa.int64())])
+
+    def ends(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        nodes = pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        )
+        out = pa.table({"node": nodes}).group_by(["node"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "node": out.column("node"),
+                "c": out.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def degrees(pairs):
+        return hash_grouped(
+            pairs.map_batches(ends, batch_format="pyarrow"),
+            ["node"],
+            [("c", "sum")],
+            rename={"c_sum": "degree"},
+            num_partitions=num_partitions,
+        )
+
+    import pyarrow.compute as pc
+
+    prev_nodes = None
+    for _ in range(max_iters):
+        deg = degrees(und).materialize()
+        surv = deg.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node")
+                    .combine_chunks()
+                    .filter(
+                        pc.greater_equal(
+                            t.column("degree").combine_chunks(), k
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        n_nodes = surv.count()
+        if n_nodes == 0:
+            import ray
+
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "entity_id": pa.array([], type=pa.int64()),
+                        "degree": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+        if prev_nodes is not None and n_nodes == prev_nodes:
+            break
+        prev_nodes = n_nodes
+        half = local_hash_join(
+            und,
+            surv.map_batches(
+                lambda t: pa.table({"a": t.column("node")}),
+                batch_format="pyarrow",
+            ),
+            on=["a"],
+            left_schema=pair_schema,
+            right_schema=pa.schema([("a", pa.int64())]),
+            how="semi",
+            num_partitions=num_partitions,
+        )
+        und = local_hash_join(
+            half,
+            surv.map_batches(
+                lambda t: pa.table({"b": t.column("node")}),
+                batch_format="pyarrow",
+            ),
+            on=["b"],
+            left_schema=pair_schema,
+            right_schema=pa.schema([("b", pa.int64())]),
+            how="semi",
+            num_partitions=num_partitions,
+        ).materialize()
+    return degrees(und).map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t.column("node"),
+                "degree": t.column("degree"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def edge_pmi(edges_ds, num_partitions: int | None = None):
     """Edge association scoring: pointwise mutual information of every
     (subj → obj) edge under the weighted-degree null model,

@@ -142,3 +142,51 @@ def test_pagerank_weight_bias(ray_session) -> None:
         .set_index("entity_id")["rank"]
     )
     assert got[1] > got[2]
+
+
+def _peel_reference(edges, k):
+    """Single-process k-core peel: the value gate for the distributed op."""
+    und = {tuple(sorted((s, t))) for s, t, _ in edges if s != t}
+    while True:
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        und = {e for e in und if drop.isdisjoint(e)}
+        if not und:
+            return {}
+
+
+def test_k_core_matches_peel_reference(ray_session) -> None:
+    import numpy as np
+
+    from promptner_ray.functions.graphops import k_core
+
+    rng = np.random.default_rng(7)
+    edges = []
+    # K5 core on {0..4} + a long tail of pendant/low-degree nodes
+    for i in range(5):
+        for j in range(i + 1, 5):
+            edges.append((i, j, 1))
+    for x in range(5, 40):
+        edges.append((x, int(rng.integers(0, x)), 1))
+    got = (
+        k_core(ray.data.from_arrow(_edge_table(edges)), k=3)
+        .to_pandas()
+        .set_index("entity_id")["degree"]
+        .to_dict()
+    )
+    want = _peel_reference(edges, 3)
+    assert got == want
+    assert set(got) >= {0, 1, 2, 3, 4}
+
+
+def test_k_core_empty_when_over_threshold(ray_session) -> None:
+    from promptner_ray.functions.graphops import k_core
+
+    edges = [(0, 1, 1), (1, 2, 1), (2, 0, 1)]  # triangle: max core is 2
+    got = k_core(ray.data.from_arrow(_edge_table(edges)), k=3)
+    assert got.count() == 0
