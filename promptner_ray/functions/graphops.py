@@ -820,40 +820,47 @@ def pagerank(
                     "c": pa.array(
                         r * (w / np.maximum(wout, 1)), type=pa.float64()
                     ),
+                    # schema-aligned with the zero-contribution node rows
+                    # (w_out rides the same aggregate as a Max)
+                    "w_out": pa.array(
+                        np.zeros(len(batch), dtype=np.int64),
+                        type=pa.int64(),
+                    ),
                 }
             )
 
-        sums = hash_grouped(
-            joined.map_batches(contrib, batch_format="pyarrow"),
-            ["entity_id"],
-            [("c", "sum")],
-            rename={"c_sum": "c"},
-            num_partitions=num_partitions,
+        # Nodes with no in-edges would be absent from the contribution
+        # sum, so union a zero-contribution row per node (carrying its
+        # w_out) and fold the rebuild into the SAME grouped aggregate —
+        # one exchange instead of a sum plus a left-outer join per round
+        # (w_out is ≥ 0 and rides as a Max: contribution rows carry 0,
+        # the node row carries the true value).
+        zero_rows = deg.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity_id": t.column("entity_id"),
+                    "c": pa.array(
+                        np.zeros(len(t)), type=pa.float64()
+                    ),
+                    "w_out": t.column("w_out"),
+                }
+            ),
+            batch_format="pyarrow",
         )
-        # every node gets base + damped dangling share; nodes with no
-        # in-edges are absent from sums, so rebuild from the degree table
-        filled = local_hash_join(
-            deg.map_batches(
-                lambda t: t.select(["entity_id", "w_out"]),
-                batch_format="pyarrow",
-            ),
-            sums,
-            on=["entity_id"],
-            left_schema=pa.schema(
-                [("entity_id", pa.int64()), ("w_out", pa.int64())]
-            ),
-            right_schema=pa.schema(
-                [("entity_id", pa.int64()), ("c", pa.float64())]
-            ),
-            how="left_outer",
+        contribs = joined.map_batches(contrib, batch_format="pyarrow")
+        merged = hash_grouped(
+            contribs.union(zero_rows),
+            ["entity_id"],
+            [("c", "sum"), ("w_out", "max")],
+            rename={"c_sum": "c", "w_out_max": "w_out"},
             num_partitions=num_partitions,
         )
         add = base + damping * dangling / n_nodes
 
         def finish(batch: pa.Table) -> pa.Table:
-            c = pc.coalesce(batch.column("c"), pa.scalar(0.0))
             rank = pc.add(
-                pc.multiply(c, pa.scalar(damping)), pa.scalar(add)
+                pc.multiply(batch.column("c"), pa.scalar(damping)),
+                pa.scalar(add),
             )
             return pa.table(
                 {
@@ -863,7 +870,7 @@ def pagerank(
                 }
             )
 
-        ranks = filled.map_batches(
+        ranks = merged.map_batches(
             finish, batch_format="pyarrow"
         ).materialize()
 

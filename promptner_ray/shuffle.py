@@ -60,17 +60,23 @@ def hash_partitioned(
     under :func:`hash_grouped` and the canonicalization stage.
 
     ``compact`` (default on) merges the output into ``num_partitions``
-    clean blocks.  Ray's sort-based ``map_groups`` machinery emits many
-    EMPTY blocks alongside the real per-partition outputs, and empty
-    blocks are schema-less zero-column tables that no later ``map_batches``
-    can repair (Ray skips the UDF on empty blocks entirely) — every
-    downstream sort/exchange then takes a mixed-schema slow path
-    ("RefBundle with a different schema" warnings; measured 10.8 s →
-    0.6 s for an 11k-row join fed by a 200-block map_groups output) and
+    clean blocks via ``repartition(n)``.  Ray's sort-based ``map_groups``
+    machinery emits many EMPTY blocks alongside the real per-partition
+    outputs, and empty blocks are schema-less zero-column tables that no
+    later ``map_batches`` can repair (Ray skips the UDF on empty blocks
+    entirely) — every downstream sort/exchange then takes a mixed-schema
+    slow path ("RefBundle with a different schema" warnings; measured
+    10.8 s → 0.6 s for an 11k-row join fed by a 200-block map_groups
+    output, and a 446 s → 9 s chained graph pass at bench scale) and
     Ray's native join aborts outright when a join partition lands only
-    those.  One streaming split/merge pass (no shuffle) removes the
-    whole failure class; outputs here are post-combine, so the copy is
-    of the small side."""
+    those.  Compaction choice is deliberate: the barrier
+    ``repartition(n)`` costs ~1 s of fixed latency per exchange on tiny
+    inputs but stays PARALLEL at scale, whereas
+    ``repartition(target_num_rows_per_block=…)`` is cheap on tiny inputs
+    and serializes the merge at scale (measured: a full-corpus bench
+    that runs in minutes under barrier compaction did not finish in 10
+    under streaming).  A distributed engine takes the scale-correct
+    branch."""
     n_parts = num_partitions or default_partitions()
 
     def add_part(batch: pa.Table) -> pa.Table:
