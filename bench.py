@@ -131,6 +131,7 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
     from promptner_ray.functions.graphops import (
         edge_pmi,
         node_degrees,
+        pagerank,
         triangle_counts,
     )
     from promptner_ray.pipelines import kg
@@ -156,6 +157,7 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         ("kg_degrees", node_degrees),
         ("kg_pmi", edge_pmi),
         ("kg_triangles", triangle_counts),
+        ("kg_pagerank", lambda e: pagerank(e, iters=4)),
     ):
         t0 = time.monotonic()
         fn(edges_mat).count()
