@@ -159,6 +159,13 @@ def _kg_triangles(sf_dir: str):
     return triangle_counts(kg.edges(_kg_triples(sf_dir)))
 
 
+def _kg_node_jaccard(sf_dir: str):
+    from promptner_ray.functions.graphops import neighbor_jaccard
+    from promptner_ray.pipelines import kg
+
+    return neighbor_jaccard(kg.edges(_kg_triples(sf_dir)))
+
+
 def _events_quantile_sketch(sf_dir: str):
     from promptner_ray.functions.sketch import quantile_sketch
 
@@ -670,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pmi": _kg_pmi,
         # per-node triangle counts (degree-ordered orientation)
         "kg_triangles": _kg_triangles,
+        "kg_node_jaccard": _kg_node_jaccard,
         # rows-only: iterative peel is not single-query-SQL-expressible;
         # value gate is the single-process peel reference (tests)
         "kg_kcore": _kg_kcore,
@@ -1831,6 +1839,42 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT z FROM tri)
             SELECT entity_id, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY entity_id
+        """,
+        # neighbor-Jaccard entity-merge candidates: shared-neighbor pair
+        # generation with the identical degree-256 pivot cap; the single
+        # DOUBLE division on exact int64 operands hash-matches numpy
+        "kg_node_jaccard": f"""
+            WITH tr AS (SELECT subj, obj
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            edg AS (
+              SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                     {_sql_hash64(_sql_norm('obj'))} AS obj_id
+              FROM tr),
+            und AS (
+              SELECT DISTINCT least(subj_id, obj_id) AS a,
+                     greatest(subj_id, obj_id) AS b
+              FROM edg WHERE subj_id != obj_id),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS d
+              FROM (SELECT a AS node FROM und
+                    UNION ALL SELECT b FROM und)
+              GROUP BY node),
+            adj AS (SELECT a AS p, b AS n FROM und
+                    UNION ALL SELECT b, a FROM und),
+            cap AS (
+              SELECT adj.p, adj.n FROM adj
+              JOIN deg ON adj.p = deg.node WHERE deg.d <= 256),
+            pairs AS (
+              SELECT t1.n AS x, t2.n AS y, count(*)::BIGINT AS common
+              FROM cap t1 JOIN cap t2 ON t1.p = t2.p AND t1.n < t2.n
+              GROUP BY 1, 2)
+            SELECT x AS a, y AS b, common, da.d AS d_a, db.d AS d_b,
+                   common::DOUBLE / (da.d + db.d - common)::DOUBLE
+                     AS jaccard
+            FROM pairs
+            JOIN deg da ON x = da.node
+            JOIN deg db ON y = db.node
+            WHERE common >= 2
         """,
         # incremental merge: the oracle is the BATCH edge derivation —
         # wave-split + re-merge must be observationally identical

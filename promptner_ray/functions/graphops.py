@@ -877,3 +877,227 @@ def pagerank(
     return ranks.map_batches(
         lambda t: t.select(["entity_id", "rank"]), batch_format="pyarrow"
     )
+
+
+def neighbor_jaccard(
+    edges_ds,
+    max_pivot_degree: int = 256,
+    min_common: int = 2,
+    min_jaccard: float = 0.0,
+    num_partitions: int | None = None,
+):
+    """Structural entity-merge candidates: node pairs scored by the
+    Jaccard similarity of their undirected neighbor sets —
+    (a, b, common, d_a, d_b, jaccard) with a < b.  Two extraction
+    variants of one real-world entity ("NYC" / "New York City") rarely
+    co-occur in a sentence, so surface linking misses them — but they
+    attach to the same relational context, which this detects.  The
+    standard blocking step before entity resolution on the graph.
+
+    Pairs are generated through shared neighbors (the only scalable
+    route: a pair is a candidate iff some pivot node lists both as
+    neighbors), so the cost is Σ_p d_p² over pivots.  ``max_pivot_degree``
+    caps that blowup: hub pivots (a country, a stopword-like entity)
+    generate quadratically many pairs while carrying almost no
+    discriminative signal, so pivots with degree > cap are skipped —
+    their absence lowers ``common`` for pairs they'd vouch for, never
+    adds false pairs.  ``d_a``/``d_b`` stay FULL degrees, making the
+    score conservative (a documented, deterministic approximation that
+    the SQL oracle replicates exactly; with cap ≥ max degree the result
+    is the exact neighbor Jaccard).  All steps are hash-partitioned
+    grouped aggregates and padded int64 joins; nothing graph-sized
+    touches the driver.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..shuffle import hash_grouped, local_hash_join
+
+    def to_und(t: pa.Table) -> pa.Table:
+        s = t.column("subj_id").to_numpy(zero_copy_only=False)
+        o = t.column("obj_id").to_numpy(zero_copy_only=False)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        tb = pa.table(
+            {
+                "a": pa.array(np.minimum(s, o), type=pa.int64()),
+                "b": pa.array(np.maximum(s, o), type=pa.int64()),
+            }
+        )
+        return tb.group_by(["a", "b"]).aggregate([])
+
+    und = hash_grouped(
+        edges_ds.map_batches(to_und, batch_format="pyarrow"),
+        ["a", "b"],
+        [],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def und_ends(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        nodes = pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        )
+        out = pa.table({"node": nodes}).group_by(["node"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "node": out.column("node"),
+                "c": out.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    deg = hash_grouped(
+        und.map_batches(und_ends, batch_format="pyarrow"),
+        ["node"],
+        [("c", "sum")],
+        rename={"c_sum": "d"},
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def to_adj(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table(
+                {
+                    "p": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.table(
+            {
+                "p": pa.concat_arrays([a, b]),
+                "n": pa.concat_arrays([b, a]),
+            }
+        )
+
+    adj_schema = pa.schema([("p", pa.int64()), ("n", pa.int64())])
+    pivot_deg = deg.map_batches(
+        lambda t: pa.table({"p": t.column("node"), "dp": t.column("d")}),
+        batch_format="pyarrow",
+    )
+    adj = local_hash_join(
+        und.map_batches(to_adj, batch_format="pyarrow"),
+        pivot_deg,
+        on=["p"],
+        left_schema=adj_schema,
+        right_schema=pa.schema([("p", pa.int64()), ("dp", pa.int64())]),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def cap_pivots(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.less_equal(t.column("dp"), max_pivot_degree))
+        return kept.select(["p", "n"])
+
+    capped = adj.map_batches(
+        cap_pivots, batch_format="pyarrow"
+    ).materialize()
+
+    # shared-neighbor pair generation: self-join the capped adjacency on
+    # the pivot, keep each unordered pair once (x < y), count pivots
+    paired = local_hash_join(
+        capped,
+        capped.map_batches(
+            lambda t: pa.table({"p": t.column("p"), "m": t.column("n")}),
+            batch_format="pyarrow",
+        ),
+        on=["p"],
+        left_schema=adj_schema,
+        right_schema=pa.schema([("p", pa.int64()), ("m", pa.int64())]),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "n" not in t.column_names:
+            return pa.table(
+                {
+                    "x": pa.array([], type=pa.int64()),
+                    "y": pa.array([], type=pa.int64()),
+                    "common": pa.array([], type=pa.int64()),
+                }
+            )
+        kept = t.filter(pc.less(t.column("n"), t.column("m")))
+        out = (
+            pa.table({"x": kept.column("n"), "y": kept.column("m")})
+            .group_by(["x", "y"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "x": out.column("x"),
+                "y": out.column("y"),
+                "common": out.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    common = hash_grouped(
+        paired.map_batches(pair_counts, batch_format="pyarrow"),
+        ["x", "y"],
+        [("common", "sum")],
+        rename={"common_sum": "common"},
+        num_partitions=num_partitions,
+    )
+    pair_schema = pa.schema(
+        [("x", pa.int64()), ("y", pa.int64()), ("common", pa.int64())]
+    )
+    j1 = local_hash_join(
+        common,
+        deg.map_batches(
+            lambda t: pa.table({"x": t.column("node"), "d_a": t.column("d")}),
+            batch_format="pyarrow",
+        ),
+        on=["x"],
+        left_schema=pair_schema,
+        right_schema=pa.schema([("x", pa.int64()), ("d_a", pa.int64())]),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    j2 = local_hash_join(
+        j1,
+        deg.map_batches(
+            lambda t: pa.table({"y": t.column("node"), "d_b": t.column("d")}),
+            batch_format="pyarrow",
+        ),
+        on=["y"],
+        left_schema=pair_schema.append(pa.field("d_a", pa.int64())),
+        right_schema=pa.schema([("y", pa.int64()), ("d_b", pa.int64())]),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t.column("common").to_numpy(zero_copy_only=False)
+        da = t.column("d_a").to_numpy(zero_copy_only=False)
+        db = t.column("d_b").to_numpy(zero_copy_only=False)
+        # one IEEE division on exact int64 operands — bit-reproducible
+        # in any engine, which is what makes the SQL oracle hash-exact
+        jac = c.astype(np.float64) / (da + db - c).astype(np.float64)
+        keep = (c >= min_common) & (jac >= min_jaccard)
+        return pa.table(
+            {
+                "a": pa.array(
+                    t.column("x").to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "b": pa.array(
+                    t.column("y").to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "common": pa.array(c[keep], type=pa.int64()),
+                "d_a": pa.array(da[keep], type=pa.int64()),
+                "d_b": pa.array(db[keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")

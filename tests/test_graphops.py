@@ -190,3 +190,54 @@ def test_k_core_empty_when_over_threshold(ray_session) -> None:
     edges = [(0, 1, 1), (1, 2, 1), (2, 0, 1)]  # triangle: max core is 2
     got = k_core(ray.data.from_arrow(_edge_table(edges)), k=3)
     assert got.count() == 0
+
+
+def test_neighbor_jaccard_hand_computed(ray_session) -> None:
+    from promptner_ray.functions.graphops import neighbor_jaccard
+
+    # K4 on {0,1,2,3} plus pendant 3-9: N(0)={1,2,3} N(1)={0,2,3}
+    # N(2)={0,1,3} N(3)={0,1,2,9} N(9)={3}.  Within the clique every
+    # pair shares the other two members; pairs involving 9 share at most
+    # one neighbor and fall below min_common=2.
+    edges = [
+        (0, 1, 1), (1, 0, 3),  # duplicate undirected edge, both ways
+        (0, 2, 1), (0, 3, 1), (1, 2, 1), (3, 1, 1), (2, 3, 1),
+        (3, 9, 2), (7, 7, 1),  # self-loop ignored
+    ]
+    got = (
+        neighbor_jaccard(ray.data.from_arrow(_edge_table(edges)))
+        .to_pandas()
+        .set_index(["a", "b"])
+    )
+    expect = {
+        (0, 1): 2 / 4, (0, 2): 2 / 4, (1, 2): 2 / 4,
+        (0, 3): 2 / 5, (1, 3): 2 / 5, (2, 3): 2 / 5,
+    }
+    assert {
+        k: v for k, v in got["jaccard"].to_dict().items()
+    } == expect
+    assert (got["common"] == 2).all()
+
+
+def test_neighbor_jaccard_pivot_cap(ray_session) -> None:
+    from promptner_ray.functions.graphops import neighbor_jaccard
+
+    # Same graph, cap=3: node 3 (degree 4) no longer pivots, so clique
+    # pairs NOT containing 3 lose one shared witness (common drops to 1,
+    # below min_common) while pairs containing 3 keep both low-degree
+    # witnesses; d_a/d_b stay FULL degrees.
+    edges = [
+        (0, 1, 1), (0, 2, 1), (0, 3, 1), (1, 2, 1), (1, 3, 1),
+        (2, 3, 1), (3, 9, 2),
+    ]
+    got = (
+        neighbor_jaccard(
+            ray.data.from_arrow(_edge_table(edges)), max_pivot_degree=3
+        )
+        .to_pandas()
+        .set_index(["a", "b"])
+    )
+    assert got["jaccard"].to_dict() == {
+        (0, 3): 2 / 5, (1, 3): 2 / 5, (2, 3): 2 / 5,
+    }
+    assert got.loc[(0, 3), "d_b"] == 4
