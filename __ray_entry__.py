@@ -34,6 +34,7 @@ KNN_QUERIES = 10
 KNN_K = 10
 COSINE_THRESHOLD = 0.4
 JACCARD_THRESHOLD = 0.6
+ENTITY_MERGE_JACCARD = 0.5
 
 
 def _read(sf_dir: str, table: str):
@@ -164,6 +165,35 @@ def _kg_node_jaccard(sf_dir: str):
     from promptner_ray.pipelines import kg
 
     return neighbor_jaccard(kg.edges(_kg_triples(sf_dir)))
+
+
+def _kg_entity_merge(sf_dir: str):
+    """Second-stage (structural) entity resolution: surface linking can't
+    merge aliases that never share a sentence, so candidates come from
+    neighbor-Jaccard ≥ threshold and are closed into merge clusters by
+    the distributed connected-components pass — (entity_id, merged_id),
+    merged_id = min entity id of the cluster."""
+    import pyarrow as pa
+
+    from promptner_ray.functions.graphops import (
+        connected_components,
+        neighbor_jaccard,
+    )
+    from promptner_ray.pipelines import kg
+
+    pairs = neighbor_jaccard(
+        kg.edges(_kg_triples(sf_dir)), min_jaccard=ENTITY_MERGE_JACCARD
+    )
+    cc = connected_components(pairs, a="a", b="b")
+    return cc.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t.column("doc_id"),
+                "merged_id": t.column("component"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _events_quantile_sketch(sf_dir: str):
@@ -678,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-node triangle counts (degree-ordered orientation)
         "kg_triangles": _kg_triangles,
         "kg_node_jaccard": _kg_node_jaccard,
+        "kg_entity_merge": _kg_entity_merge,
         # rows-only: iterative peel is not single-query-SQL-expressible;
         # value gate is the single-process peel reference (tests)
         "kg_kcore": _kg_kcore,
@@ -1099,6 +1130,39 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
           FROM toks, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS g(i)
         )"""
+    node_jaccard_sql = f"""
+            WITH tr AS (SELECT subj, obj
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            edg AS (
+              SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                     {_sql_hash64(_sql_norm('obj'))} AS obj_id
+              FROM tr),
+            und AS (
+              SELECT DISTINCT least(subj_id, obj_id) AS a,
+                     greatest(subj_id, obj_id) AS b
+              FROM edg WHERE subj_id != obj_id),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS d
+              FROM (SELECT a AS node FROM und
+                    UNION ALL SELECT b FROM und)
+              GROUP BY node),
+            adj AS (SELECT a AS p, b AS n FROM und
+                    UNION ALL SELECT b, a FROM und),
+            cap AS (
+              SELECT adj.p, adj.n FROM adj
+              JOIN deg ON adj.p = deg.node WHERE deg.d <= 256),
+            pairs AS (
+              SELECT t1.n AS x, t2.n AS y, count(*)::BIGINT AS common
+              FROM cap t1 JOIN cap t2 ON t1.p = t2.p AND t1.n < t2.n
+              GROUP BY 1, 2)
+            SELECT x AS a, y AS b, common, da.d AS d_a, db.d AS d_b,
+                   common::DOUBLE / (da.d + db.d - common)::DOUBLE
+                     AS jaccard
+            FROM pairs
+            JOIN deg da ON x = da.node
+            JOIN deg db ON y = db.node
+            WHERE common >= 2
+        """
     minhash_pairs_sql = f"""
             WITH {shingles},
             mh AS (
@@ -1843,38 +1907,25 @@ def oracle_sql() -> dict[str, str]:
         # neighbor-Jaccard entity-merge candidates: shared-neighbor pair
         # generation with the identical degree-256 pivot cap; the single
         # DOUBLE division on exact int64 operands hash-matches numpy
-        "kg_node_jaccard": f"""
-            WITH tr AS (SELECT subj, obj
-                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
-            edg AS (
-              SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
-                     {_sql_hash64(_sql_norm('obj'))} AS obj_id
-              FROM tr),
-            und AS (
-              SELECT DISTINCT least(subj_id, obj_id) AS a,
-                     greatest(subj_id, obj_id) AS b
-              FROM edg WHERE subj_id != obj_id),
-            deg AS (
-              SELECT node, count(*)::BIGINT AS d
-              FROM (SELECT a AS node FROM und
-                    UNION ALL SELECT b FROM und)
-              GROUP BY node),
-            adj AS (SELECT a AS p, b AS n FROM und
-                    UNION ALL SELECT b, a FROM und),
-            cap AS (
-              SELECT adj.p, adj.n FROM adj
-              JOIN deg ON adj.p = deg.node WHERE deg.d <= 256),
-            pairs AS (
-              SELECT t1.n AS x, t2.n AS y, count(*)::BIGINT AS common
-              FROM cap t1 JOIN cap t2 ON t1.p = t2.p AND t1.n < t2.n
-              GROUP BY 1, 2)
-            SELECT x AS a, y AS b, common, da.d AS d_a, db.d AS d_b,
-                   common::DOUBLE / (da.d + db.d - common)::DOUBLE
-                     AS jaccard
-            FROM pairs
-            JOIN deg da ON x = da.node
-            JOIN deg db ON y = db.node
-            WHERE common >= 2
+        "kg_node_jaccard": node_jaccard_sql,
+        # structural entity merge: candidates ≥ 0.5 closed into clusters
+        # by the recursive min-reachable-id CTE — the independent ground
+        # truth for neighbor_jaccard → connected_components composition
+        "kg_entity_merge": f"""
+            WITH RECURSIVE prs AS (
+              SELECT a, b FROM ({node_jaccard_sql})
+              WHERE jaccard >= {ENTITY_MERGE_JACCARD}),
+            medges AS (
+              SELECT a AS src, b AS dst FROM prs
+              UNION
+              SELECT b AS src, a AS dst FROM prs),
+            reach AS (
+              SELECT src AS v, src AS u FROM medges
+              UNION
+              SELECT r.v, e.dst AS u FROM reach r JOIN medges e
+                ON r.u = e.src)
+            SELECT v AS entity_id, min(u)::BIGINT AS merged_id
+            FROM reach GROUP BY v
         """,
         # incremental merge: the oracle is the BATCH edge derivation —
         # wave-split + re-merge must be observationally identical
