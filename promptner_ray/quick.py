@@ -1,90 +1,89 @@
-"""One-sentence interactive helpers — the reference's ``Quick`` class
-(reference ``main.py:9-73``: ``Quick.example_span`` runs the full
-prompt → model → parse → span-align loop on a single paragraph with
-verbose prints; ``Quick.conll(i)`` etc. do the same for row *i* of a
-loaded dataset and score it).
+"""Interactive one-liner helpers (reference ``main.py`` ``Quick`` parity).
 
-These are deliberately single-process: the interactive path is one
-sentence, so spinning a Ray session would be pure overhead.  They call
-the SAME kernels the distributed stages use (``stages.detect``'s
-single-text path, the shared BIO/span kernels), so what you see here is
-byte-for-byte what ``MentionDetector`` does per batch row.
+The reference's ``Quick`` class (``main.py:9-73``) wraps two workflows for
+console use: ``example_span`` (one paragraph → detected entity spans,
+``main.py:10-17``) and ``dataset`` (the i-th sentence of a split → a
+generated CoT annotation exemplar, ``main.py:19-33``).  The engine
+versions take any IOB2 split file instead of the reference's hard-coded
+HF loaders, and any ``model_kind`` from :func:`promptner_ray.model
+.make_model` (the deterministic stub by default in-sandbox; point
+``model_kind="openai"`` + ``model_kwargs`` at a served model for real
+runs).  Pure library calls — no Ray session required or created.
 """
 
 from __future__ import annotations
 
 from .configs import make_task_spec
 from .model import make_model
-from .stages.detect import detect_mentions_in_text
 
 
 def example_span(
     para: str,
     task: str = "conll",
     model_kind: str = "stub",
-    exemplar: bool = True,
-    coT: bool = True,
-    tf: bool = True,
+    model_kwargs: dict | None = None,
     chat: bool = False,
     verbose: bool = True,
-    **model_kwargs,
 ) -> list[dict]:
-    """Reference ``Quick.example_span`` (main.py:10-17): run the full
-    detection loop on one paragraph and return the aligned mentions
-    (surface, mtype, span_start, span_end dicts)."""
-    spec = make_task_spec(task=task, exemplar=exemplar, coT=coT, tf=tf)
-    if model_kind == "stub" and "vocab" not in model_kwargs:
+    """One paragraph → mention dicts (surface, mtype, span_start, span_end).
+
+    Reference ``Quick.example_span`` (``main.py:10-17``): exemplar+CoT+TF
+    prompt, span alignment, per-entity verification — the same fused path
+    the distributed detector runs per batch.
+    """
+    from .stages.detect import detect_mentions_in_text
+
+    spec = make_task_spec(task=task)
+    kwargs = dict(model_kwargs or {})
+    if model_kind == "stub" and "vocab" not in kwargs:
         from .synth import TASK_VOCABS
 
-        model_kwargs["vocab"] = TASK_VOCABS.get(task)
-    model = make_model(model_kind, **model_kwargs)
-    if verbose:
-        print(f"Paragraph: {para}")
+        kwargs["vocab"] = TASK_VOCABS.get(task)
+    model = make_model(model_kind, **kwargs)
     mentions = detect_mentions_in_text(para, model, spec, chat=chat)
     if verbose:
+        print(f"Paragraph: {para}")
         for m in mentions:
             print(
-                f"  {m['surface']!r} -> {m['mtype']}"
-                f" [{m['span_start']}:{m['span_end']}]"
+                f"  {m['surface']} ({m['mtype']}) "
+                f"[{m['span_start']}:{m['span_end']}]"
             )
     return mentions
 
 
 def dataset(
     i: int,
-    path: str,
+    iob2_path: str,
     task: str = "conll",
     model_kind: str = "stub",
+    model_kwargs: dict | None = None,
     verbose: bool = True,
-    **kwargs,
-) -> dict:
-    """Reference ``Quick.dataset``/``Quick.conll`` (main.py:19-72): run
-    sentence *i* of an IOB2 file through detection and score it against
-    the file's gold tags (sentence-level span F1).  Works on any IOB2
-    file — the reference's dataset loaders are HF downloads this sandbox
-    can't reach, so the file path is explicit."""
-    import pathlib
+) -> str:
+    """i-th sentence of an IOB2 split → generated CoT annotation exemplar.
 
-    from .kernels.bio import bio_entities
+    Reference ``Quick.dataset`` (``main.py:19-33``, which calls
+    ``generate_annotations`` over the gold tags): renders the annotation
+    prompt per token and asks the model for the explanations, returning
+    the assembled exemplar block.
+    """
+    from .kernels.autogen import generate_exemplar
     from .sources.iob2 import parse_iob2_text
 
     rows = parse_iob2_text(
-        pathlib.Path(path).read_text(encoding="utf-8")
+        open(iob2_path, encoding="utf-8").read()
     )
     row = rows[i]
-    para = " ".join(row["tokens"])
-    mentions = example_span(
-        para, task=task, model_kind=model_kind, verbose=verbose, **kwargs
+    spec = make_task_spec(task=task)
+    kwargs = dict(model_kwargs or {})
+    if model_kind == "stub" and "vocab" not in kwargs:
+        from .synth import TASK_VOCABS
+
+        kwargs["vocab"] = TASK_VOCABS.get(task)
+    model = make_model(model_kind, **kwargs)
+    exemplar = generate_exemplar(
+        model, spec.prompt.defn, row["text"], row["tokens"], row["bio"]
     )
-    gold = {(s, e, t) for t, s, e in bio_entities(row["bio"])}
-    pred = {
-        (m["span_start"], m["span_end"], m["mtype"]) for m in mentions
-    }
-    tp = len(gold & pred)
-    p = tp / len(pred) if pred else 0.0
-    r = tp / len(gold) if gold else 0.0
-    f1 = 2 * p * r / (p + r) if p + r else 0.0
     if verbose:
-        print(f"True spans: {sorted(gold)}")
-        print(f"F1: {f1:.3f}")
-    return {"mentions": mentions, "gold": sorted(gold), "f1": f1}
+        print(f"Paragraph: {row['text']}")
+        print(exemplar)
+    return exemplar

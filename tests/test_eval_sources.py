@@ -509,33 +509,3 @@ def test_range_join_kernel_boundaries():
     assert pa.Table.from_pandas(out.reset_index()).column(
         "first_order_ts"
     ).null_count == 1
-
-
-def test_quick_helpers(tmp_path, capsys):
-    """Reference Quick.example_span / Quick.dataset (main.py:9-72): the
-    single-process interactive path runs the same kernels as the
-    distributed detector and scores against IOB2 gold."""
-    from promptner_ray import quick
-    from promptner_ray.sources.iob2 import write_iob2
-
-    ms = quick.example_span(
-        "John Smith visited England on behalf of United Nations .",
-        verbose=True,
-    )
-    got = {(m["surface"], m["mtype"]) for m in ms}
-    assert ("John Smith", "PER") in got
-    assert ("England", "LOC") in got
-    assert "Paragraph:" in capsys.readouterr().out
-
-    write_iob2(
-        [
-            {
-                "tokens": "John Smith visited England .".split(),
-                "bio": ["B-PER", "I-PER", "O", "B-LOC", "O"],
-            }
-        ],
-        tmp_path / "mini.iob2",
-    )
-    res = quick.dataset(0, str(tmp_path / "mini.iob2"), verbose=False)
-    assert res["f1"] == 1.0
-    assert res["gold"] == [(0, 2, "PER"), (3, 4, "LOC")]
