@@ -130,6 +130,7 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
 
     from promptner_ray.functions.graphops import (
         edge_pmi,
+        neighbor_jaccard,
         node_degrees,
         pagerank,
         triangle_counts,
@@ -158,6 +159,7 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         ("kg_pmi", edge_pmi),
         ("kg_triangles", triangle_counts),
         ("kg_pagerank", lambda e: pagerank(e, iters=4)),
+        ("kg_node_jaccard", neighbor_jaccard),
     ):
         t0 = time.monotonic()
         fn(edges_mat).count()
