@@ -160,6 +160,13 @@ def _kg_triangles(sf_dir: str):
     return triangle_counts(kg.edges(_kg_triples(sf_dir)))
 
 
+def _kg_clustering(sf_dir: str):
+    from promptner_ray.functions.graphops import clustering_coefficient
+    from promptner_ray.pipelines import kg
+
+    return clustering_coefficient(kg.edges(_kg_triples(sf_dir)))
+
+
 def _kg_node_jaccard(sf_dir: str):
     from promptner_ray.functions.graphops import neighbor_jaccard
     from promptner_ray.pipelines import kg
@@ -709,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _kg_triangles,
         "kg_node_jaccard": _kg_node_jaccard,
         "kg_entity_merge": _kg_entity_merge,
+        "kg_clustering": _kg_clustering,
         # rows-only: iterative peel is not single-query-SQL-expressible;
         # value gate is the single-process peel reference (tests)
         "kg_kcore": _kg_kcore,
@@ -1903,6 +1911,43 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT z FROM tri)
             SELECT entity_id, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY entity_id
+        """,
+        # local clustering coefficient: triangle enumeration + degree
+        # left-join replayed in SQL; 2.0·T and d·(d−1) are exact int64s,
+        # so the single DOUBLE division hash-matches numpy
+        "kg_clustering": f"""
+            WITH tr AS (SELECT subj, obj
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            edg AS (
+              SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                     {_sql_hash64(_sql_norm('obj'))} AS obj_id
+              FROM tr),
+            und AS (
+              SELECT DISTINCT least(subj_id, obj_id) AS a,
+                     greatest(subj_id, obj_id) AS b
+              FROM edg WHERE subj_id != obj_id),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS d
+              FROM (SELECT a AS node FROM und
+                    UNION ALL SELECT b FROM und)
+              GROUP BY node),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+              JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (
+              SELECT x AS entity_id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri),
+            tcnt AS (SELECT entity_id, count(*)::BIGINT AS n_triangles
+                     FROM corners GROUP BY entity_id)
+            SELECT deg.node AS entity_id, deg.d,
+                   coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+                   (2.0 * coalesce(t.n_triangles, 0)) /
+                     (deg.d * (deg.d - 1))::DOUBLE AS coefficient
+            FROM deg LEFT JOIN tcnt t ON deg.node = t.entity_id
+            WHERE deg.d >= 2
         """,
         # neighbor-Jaccard entity-merge candidates: shared-neighbor pair
         # generation with the identical degree-256 pivot cap; the single

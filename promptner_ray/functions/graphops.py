@@ -245,26 +245,15 @@ def node_degrees(edges, num_partitions: int | None = None):
     )
 
 
-def triangle_counts(edges_ds, num_partitions: int | None = None):
-    """Per-node triangle counts over the undirected entity graph —
-    (entity_id, n_triangles), the local clustering signal that separates
-    entities embedded in dense relational neighborhoods from star-hub
-    artifacts.
-
-    Degree-ordered orientation (Schank–Wagner / compact-forward): every
-    undirected edge is directed from its lower-(degree, id) endpoint to
-    the higher, wedges are generated by a self-join on the SOURCE — so a
-    hub of degree d pivots only the wedges among its few lower-ranked
-    neighbors instead of d²/2 — and a wedge (v, w) closes iff the
-    oriented edge v→w exists.  Each triangle is emitted exactly once
-    (its lowest-ranked vertex is the pivot).  All joins are padded
-    int64-keyed ``local_hash_join``s; nothing graph-sized touches the
-    driver.
-    """
+def _und_and_degrees(edges_ds, num_partitions: int | None = None):
+    """Shared first stage of the undirected-graph passes: distinct
+    undirected (a, b) pairs (self-loops dropped, a < b) and per-node
+    undirected degree (node, d).  Both materialized — each feeds
+    multiple consumers downstream, so pin them to the (spillable)
+    object store and execute the lineage once."""
     import numpy as np
-    import pyarrow.compute as pc
 
-    from ..shuffle import hash_grouped, local_hash_join
+    from ..shuffle import hash_grouped
 
     def to_und(t: pa.Table) -> pa.Table:
         s = t.column("subj_id").to_numpy(zero_copy_only=False)
@@ -279,9 +268,6 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
         )
         return tb.group_by(["a", "b"]).aggregate([])
 
-    # und and oriented each feed multiple consumers below; pin them to
-    # the (spillable) object store so the shared lineage executes once
-    # instead of once per consumer
     und = hash_grouped(
         edges_ds.map_batches(to_und, batch_format="pyarrow"),
         ["a", "b"],
@@ -316,7 +302,37 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
         [("c", "sum")],
         rename={"c_sum": "d"},
         num_partitions=num_partitions,
-    )
+    ).materialize()
+    return und, deg
+
+
+def triangle_counts(edges_ds, num_partitions: int | None = None):
+    """Per-node triangle counts over the undirected entity graph —
+    (entity_id, n_triangles), the local clustering signal that separates
+    entities embedded in dense relational neighborhoods from star-hub
+    artifacts.
+
+    Degree-ordered orientation (Schank–Wagner / compact-forward): every
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher, wedges are generated by a self-join on the SOURCE — so a
+    hub of degree d pivots only the wedges among its few lower-ranked
+    neighbors instead of d²/2 — and a wedge (v, w) closes iff the
+    oriented edge v→w exists.  Each triangle is emitted exactly once
+    (its lowest-ranked vertex is the pivot).  All joins are padded
+    int64-keyed ``local_hash_join``s; nothing graph-sized touches the
+    driver.
+    """
+    und, deg = _und_and_degrees(edges_ds, num_partitions)
+    return _per_node_triangles(und, deg, num_partitions)
+
+
+def _per_node_triangles(und, deg, num_partitions: int | None = None):
+    """Degree-ordered triangle enumeration over a prepared (und, deg)
+    pair — see :func:`triangle_counts` for the algorithm."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..shuffle import hash_grouped, local_hash_join
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     j1 = local_hash_join(
@@ -913,54 +929,7 @@ def neighbor_jaccard(
 
     from ..shuffle import hash_grouped, local_hash_join
 
-    def to_und(t: pa.Table) -> pa.Table:
-        s = t.column("subj_id").to_numpy(zero_copy_only=False)
-        o = t.column("obj_id").to_numpy(zero_copy_only=False)
-        keep = s != o
-        s, o = s[keep], o[keep]
-        tb = pa.table(
-            {
-                "a": pa.array(np.minimum(s, o), type=pa.int64()),
-                "b": pa.array(np.maximum(s, o), type=pa.int64()),
-            }
-        )
-        return tb.group_by(["a", "b"]).aggregate([])
-
-    und = hash_grouped(
-        edges_ds.map_batches(to_und, batch_format="pyarrow"),
-        ["a", "b"],
-        [],
-        num_partitions=num_partitions,
-    ).materialize()
-
-    def und_ends(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "a" not in t.column_names:
-            return pa.table(
-                {
-                    "node": pa.array([], type=pa.int64()),
-                    "c": pa.array([], type=pa.int64()),
-                }
-            )
-        nodes = pa.concat_arrays(
-            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
-        )
-        out = pa.table({"node": nodes}).group_by(["node"]).aggregate(
-            [([], "count_all")]
-        )
-        return pa.table(
-            {
-                "node": out.column("node"),
-                "c": out.column("count_all").cast(pa.int64()),
-            }
-        )
-
-    deg = hash_grouped(
-        und.map_batches(und_ends, batch_format="pyarrow"),
-        ["node"],
-        [("c", "sum")],
-        rename={"c_sum": "d"},
-        num_partitions=num_partitions,
-    ).materialize()
+    und, deg = _und_and_degrees(edges_ds, num_partitions)
 
     def to_adj(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "a" not in t.column_names:
@@ -1101,3 +1070,66 @@ def neighbor_jaccard(
         )
 
     return j2.map_batches(score, batch_format="pyarrow")
+
+
+def clustering_coefficient(edges_ds, num_partitions: int | None = None):
+    """Local clustering coefficient per node — (entity_id, d,
+    n_triangles, coefficient) with coefficient = 2T / (d·(d−1)) over the
+    undirected entity graph, for every node of degree ≥ 2 (T = 0 when
+    the node closes no triangle).  The normalized form of
+    :func:`triangle_counts`: a head entity with thousands of neighbors
+    and few closures scores ≈0 (star-hub artifact), a genuine
+    community member scores near 1 — the standard graph-quality feature
+    for entity filtering.
+
+    Shares the prepared (und, deg) stage and the degree-ordered triangle
+    pass, then one padded left-outer join (degrees ⟕ triangle counts)
+    and a stateless scorer.  The single DOUBLE division on exact int64
+    operands is bit-reproducible, so the SQL oracle hash-matches.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..shuffle import local_hash_join
+
+    und, deg = _und_and_degrees(edges_ds, num_partitions)
+    tri = _per_node_triangles(und, deg, num_partitions)
+
+    def eligible(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t.column("d"), 2))
+        return pa.table(
+            {
+                "entity_id": kept.column("node"),
+                "d": kept.column("d"),
+            }
+        )
+
+    joined = local_hash_join(
+        deg.map_batches(eligible, batch_format="pyarrow"),
+        tri,
+        on=["entity_id"],
+        left_schema=pa.schema(
+            [("entity_id", pa.int64()), ("d", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("entity_id", pa.int64()), ("n_triangles", pa.int64())]
+        ),
+        how="left_outer",
+        num_partitions=num_partitions,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        tcol = t.column("n_triangles").to_numpy(zero_copy_only=False)
+        tri_n = np.nan_to_num(tcol.astype(np.float64)).astype(np.int64)
+        coeff = (2.0 * tri_n) / (d * (d - 1)).astype(np.float64)
+        return pa.table(
+            {
+                "entity_id": t.column("entity_id"),
+                "d": t.column("d"),
+                "n_triangles": pa.array(tri_n, type=pa.int64()),
+                "coefficient": pa.array(coeff, type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")

@@ -241,3 +241,22 @@ def test_neighbor_jaccard_pivot_cap(ray_session) -> None:
         (0, 3): 2 / 5, (1, 3): 2 / 5, (2, 3): 2 / 5,
     }
     assert got.loc[(0, 3), "d_b"] == 4
+
+
+def test_clustering_coefficient_hand_computed(ray_session) -> None:
+    from promptner_ray.functions.graphops import clustering_coefficient
+
+    # K4 {0,1,2,3} + pendant 3-9 + isolated 2-path 5-6: clique members
+    # 0,1,2 close every wedge (coefficient 1), node 3's pendant opens
+    # wedges (3 triangles over d=4 → 0.5), degree-1 nodes are excluded.
+    edges = [
+        (0, 1, 1), (0, 2, 1), (0, 3, 1), (1, 2, 1), (1, 3, 1),
+        (2, 3, 1), (3, 9, 2), (5, 6, 1),
+    ]
+    got = (
+        clustering_coefficient(ray.data.from_arrow(_edge_table(edges)))
+        .to_pandas()
+        .set_index("entity_id")
+    )
+    assert got["coefficient"].to_dict() == {0: 1.0, 1: 1.0, 2: 1.0, 3: 0.5}
+    assert got.loc[3, "n_triangles"] == 3 and got.loc[3, "d"] == 4
