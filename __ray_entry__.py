@@ -222,6 +222,16 @@ def _kg_kcore(sf_dir: str):
     return k_core(kg.edges(_kg_triples(sf_dir)), k=3)
 
 
+def _kg_communities(sf_dir: str):
+    """Rows-only (iterative synchronous voting isn't one SQL query); the
+    deterministic two-clique convergence is pinned in
+    tests/test_graphops.py."""
+    from promptner_ray.functions.graphops import label_propagation
+    from promptner_ray.pipelines import kg
+
+    return label_propagation(kg.edges(_kg_triples(sf_dir)))
+
+
 def _kg_edges_incremental(sf_dir: str):
     """Two crawl waves (url-hash split) processed into edge tables
     independently, then merged — must equal the batch ``edg`` table
@@ -720,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: iterative peel is not single-query-SQL-expressible;
         # value gate is the single-process peel reference (tests)
         "kg_kcore": _kg_kcore,
+        "kg_communities": _kg_communities,
         # incremental-crawl wave merge must equal the batch edge table
         "kg_edges_incremental": _kg_edges_incremental,
         # web-graph edge extraction from raw HTML anchors

@@ -260,3 +260,34 @@ def test_clustering_coefficient_hand_computed(ray_session) -> None:
     )
     assert got["coefficient"].to_dict() == {0: 1.0, 1: 1.0, 2: 1.0, 3: 0.5}
     assert got.loc[3, "n_triangles"] == 3 and got.loc[3, "d"] == 4
+
+
+def test_label_propagation_two_cliques(ray_session) -> None:
+    from promptner_ray.functions.graphops import (
+        connected_components,
+        label_propagation,
+    )
+
+    # Two K4 cliques bridged by a single edge 3-10: ONE component but
+    # TWO communities — each clique converges to its minimum id.
+    edges = []
+    for clique in ((0, 1, 2, 3), (10, 11, 12, 13)):
+        for i, x in enumerate(clique):
+            for y in clique[i + 1:]:
+                edges.append((x, y, 1))
+    edges.append((3, 10, 1))
+    ds = ray.data.from_arrow(_edge_table(edges))
+    comm = (
+        label_propagation(ds)
+        .to_pandas()
+        .set_index("entity_id")["community"]
+        .to_dict()
+    )
+    assert comm == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10}
+    # sanity: CC sees a single component over the same pairs
+    und = {(min(a, b), max(a, b)) for a, b, _ in edges}
+    pairs = ray.data.from_items(
+        [{"doc_a": a, "doc_b": b} for a, b in sorted(und)]
+    )
+    cc = connected_components(pairs).to_pandas()["component"].unique()
+    assert list(cc) == [0]
