@@ -223,8 +223,9 @@ def _kg_kcore(sf_dir: str):
 
 
 def _kg_communities(sf_dir: str):
-    """Rows-only (iterative synchronous voting isn't one SQL query); the
-    deterministic two-clique convergence is pinned in
+    """Synchronous label propagation — deterministic at any parallelism
+    (min tie-break), so the recursive-CTE replay in ``_labelprop_sql``
+    value-checks it; the two-clique convergence is also pinned in
     tests/test_graphops.py."""
     from promptner_ray.functions.graphops import label_propagation
     from promptner_ray.pipelines import kg
@@ -727,9 +728,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_jaccard": _kg_node_jaccard,
         "kg_entity_merge": _kg_entity_merge,
         "kg_clustering": _kg_clustering,
-        # rows-only: iterative peel is not single-query-SQL-expressible;
-        # value gate is the single-process peel reference (tests)
+        # oracle: recursive-CTE peel replay (plus the single-process
+        # peel reference in tests)
         "kg_kcore": _kg_kcore,
+        # oracle: deterministic synchronous voting replayed as a
+        # recursive CTE (see _labelprop_sql)
         "kg_communities": _kg_communities,
         # incremental-crawl wave merge must equal the batch edge table
         "kg_edges_incremental": _kg_edges_incremental,
@@ -737,8 +740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_outlinks": _cc_outlinks,
         # keep-newest-crawl per URL over (injected) multi-snapshot pages
         "cc_latest_snapshot": _cc_latest_snapshot,
-        # rows-only: float ranks are order-of-summation dependent across
-        # blocks; the value gate is the numpy reference (tests)
+        # oracle: int64 fixed-point mass makes the distributed result
+        # order-independent, so the unrolled SQL replay hash-matches
         "kg_pagerank": _kg_pagerank,
         # rows-only: scalar metric summaries whose gate is the in-repo
         # single-process oracle (tests/test_pipeline_e2e.py)
@@ -852,6 +855,153 @@ def _sql_edges_cte() -> str:
              coalesce(o.canonical, '') AS obj_canonical
       FROM edg LEFT JOIN lnk s ON edg.subj_id = s.entity_id
                LEFT JOIN lnk o ON edg.obj_id = o.entity_id)"""
+
+
+def _pagerank_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Exact SQL twin of :func:`graphops.pagerank` — possible because the
+    Ray op carries rank mass as int64 fixed-point (2⁻⁴² units): integer
+    sums commute, so the distributed result is bit-reproducible and each
+    iteration unrolls to one dangling-sum + contribution-join +
+    rebuild-CTE triple replaying the identical integer ops
+    (``(fp * w) // w_out``, ``(dnum * mass) // 1000``)."""
+    from promptner_ray.functions.graphops import PR_SCALE
+
+    dnum = round(damping * 1000)
+    # every per-round CTE is referenced twice downstream; AS MATERIALIZED
+    # stops DuckDB's inliner from re-expanding the whole chain per
+    # reference (exponential 2^iters blowup measured without it)
+    parts = [
+        f"""tr AS (SELECT subj, pred, obj
+           FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+    edg AS MATERIALIZED (
+      SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+             {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+             count(*)::BIGINT AS weight
+      FROM tr GROUP BY 1, 2, 3),
+    ends AS (SELECT subj_id AS entity_id, weight AS w_out FROM edg
+             UNION ALL SELECT obj_id, 0 FROM edg),
+    nodes AS MATERIALIZED (SELECT entity_id, sum(w_out)::BIGINT AS w_out
+              FROM ends GROUP BY entity_id),
+    nn AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM nodes),
+    r0 AS MATERIALIZED (
+           SELECT entity_id, {PR_SCALE} // (SELECT c FROM nn) AS fp, w_out
+           FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+           SELECT coalesce(sum(fp), 0)::BIGINT AS m
+           FROM r{i} WHERE w_out = 0),
+    c{i} AS MATERIALIZED (
+             SELECT e.obj_id AS entity_id,
+                    sum((r.fp * e.weight) // r.w_out)::BIGINT AS s
+             FROM edg e JOIN r{i} r ON r.entity_id = e.subj_id
+             GROUP BY 1),
+    r{i + 1} AS MATERIALIZED (
+           SELECT nd.entity_id,
+               (({1000 - dnum} * {PR_SCALE})
+                  // (1000 * (SELECT c FROM nn)))
+             + ({dnum} * (coalesce(c.s, 0)
+                  + (SELECT m FROM d{i}) // (SELECT c FROM nn))) // 1000
+               AS fp,
+               nd.w_out
+           FROM nodes nd LEFT JOIN c{i} c ON c.entity_id = nd.entity_id)"""
+        )
+        # power-of-two divisor: BIGINT / DOUBLE division is exact
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT entity_id, fp / {float(PR_SCALE)} AS rank FROM r{iters}"""
+    )
+
+
+def _kcore_sql(k: int = 3, max_iters: int = 30) -> str:
+    """SQL twin of :func:`graphops.k_core`: iterative peeling as one
+    recursive CTE carrying the surviving EDGE set per round (it, a, b) —
+    degrees recomputed per round from the carried edges, nodes below
+    ``k`` dropped by semi-joining both endpoints against the survivor
+    set, capped at ``max_iters`` rounds (matching the Ray op); once the
+    peel converges the fixpoint set re-emits unchanged every round, so
+    the ``it = max_iters`` slice IS the k-core (and is empty exactly
+    when the core is empty — matching the Ray op's empty result)."""
+    surv = f"""(SELECT it, node FROM (
+              SELECT it, node, count(*) AS c
+              FROM (SELECT it, a AS node FROM peel
+                    UNION ALL SELECT it, b FROM peel)
+              GROUP BY it, node)
+            WHERE c >= {k})"""
+    return f"""
+        WITH RECURSIVE tr AS (SELECT subj, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        edg AS (
+          SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                 {_sql_hash64(_sql_norm('obj'))} AS obj_id
+          FROM tr),
+        und AS (
+          SELECT DISTINCT least(subj_id, obj_id) AS a,
+                 greatest(subj_id, obj_id) AS b
+          FROM edg WHERE subj_id != obj_id),
+        peel(it, a, b) AS (
+          SELECT 0, a, b FROM und
+          UNION
+          SELECT p.it + 1, p.a, p.b
+          FROM peel p
+          JOIN {surv} sa ON sa.it = p.it AND sa.node = p.a
+          JOIN {surv} sb ON sb.it = p.it AND sb.node = p.b
+          WHERE p.it < {max_iters}
+        ),
+        core AS (SELECT a, b FROM peel WHERE it = {max_iters})
+        SELECT node AS entity_id, count(*)::BIGINT AS degree
+        FROM (SELECT a AS node FROM core UNION ALL SELECT b FROM core)
+        GROUP BY node
+    """
+
+
+def _labelprop_sql(max_iters: int = 10) -> str:
+    """SQL twin of :func:`graphops.label_propagation`: synchronous
+    min-tie-break voting is deterministic at any parallelism, so the
+    recursive CTE carrying (it, node, label) and replaying the identical
+    vote (count desc, label asc over neighbor labels + self-vote) for
+    exactly ``max_iters`` rounds reproduces the distributed result — an
+    early-converged run re-emits its fixpoint unchanged every remaining
+    round, so the ``it = max_iters`` slice matches both the converged
+    and the iteration-capped case."""
+    votes = """(SELECT v.it, v.dst, v.label, count(*) AS c
+          FROM (SELECT l.it, a.dst, l.label
+                FROM adj a JOIN lp l ON l.node = a.src
+                UNION ALL
+                SELECT it, node, label FROM lp) v
+          GROUP BY v.it, v.dst, v.label)"""
+    return f"""
+        WITH RECURSIVE tr AS (SELECT subj, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        edg AS (
+          SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                 {_sql_hash64(_sql_norm('obj'))} AS obj_id
+          FROM tr),
+        und AS (
+          SELECT DISTINCT least(subj_id, obj_id) AS a,
+                 greatest(subj_id, obj_id) AS b
+          FROM edg WHERE subj_id != obj_id),
+        adj AS (SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b, a FROM und),
+        nodes AS (SELECT DISTINCT src AS node FROM adj),
+        lp(it, node, label) AS (
+          SELECT 0, node, node FROM nodes
+          UNION
+          SELECT it + 1, dst, label FROM (
+            SELECT c.it, c.dst, min(c.label) AS label
+            FROM {votes} c
+            JOIN (SELECT it, dst, max(c) AS m FROM {votes} mm
+                  GROUP BY it, dst) mx
+              ON mx.it = c.it AND mx.dst = c.dst AND c.c = mx.m
+            GROUP BY c.it, c.dst
+          ) WHERE it < {max_iters}
+        )
+        SELECT node AS entity_id, label AS community
+        FROM lp WHERE it = {max_iters}
+    """
 
 
 def _sql_simhash_cte() -> str:
@@ -1900,6 +2050,13 @@ def oracle_sql() -> dict[str, str]:
         # triangles with two straight self-joins — a formulation
         # independent of the engine's degree-ordered orientation, which
         # must count the identical triangle set
+        # fixed-point PageRank: integer mass commutes, so the unrolled
+        # integer-op replay hash-matches the distributed result exactly
+        "kg_pagerank": _pagerank_sql(),
+        # k-core peel as a recursive CTE carrying the surviving edge set
+        "kg_kcore": _kcore_sql(),
+        # synchronous label prop: deterministic voting unrolls exactly
+        "kg_communities": _labelprop_sql(),
         "kg_triangles": f"""
             WITH tr AS (SELECT subj, pred, obj
                         FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),

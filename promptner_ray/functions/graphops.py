@@ -613,6 +613,121 @@ def k_core(edges_ds, k: int = 3, max_iters: int = 30,
     )
 
 
+def bfs_hops(
+    edges_ds,
+    source: int,
+    max_hops: int = 15,
+    num_partitions: int | None = None,
+):
+    """Directed single-source shortest-hop distances over the entity
+    graph — (entity_id, hop) for every node reachable from ``source``
+    within ``max_hops`` edges.  The KG reachability primitive: "what can
+    this entity influence in ≤ k steps" (impact analysis, crawl
+    frontier prioritization, subgraph extraction around a seed).
+
+    Distributed frontier expansion: per round ONE padded int64 join of
+    the (static, materialized-once) distinct edge list against the
+    current frontier, a distinct pass over the discovered targets, and
+    an anti-join against the visited set — all
+    ``shuffle.local_hash_join`` / ``hash_grouped`` exchanges keyed on
+    int64 ids.  Driver state per round is one scalar (new-frontier
+    count); the frontier/visited tables never leave the object store.
+    Rounds are bounded by ``max_hops`` (the oracle cap) and stop early
+    when the frontier empties — ≤ graph diameter rounds in practice.
+    """
+    import numpy as np
+
+    from ..shuffle import hash_grouped, local_hash_join
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("subj_id").cast(pa.int64()),
+                "dst": t.column("obj_id").cast(pa.int64()),
+            }
+        )
+
+    edg = hash_grouped(
+        edges_ds.map_batches(to_pairs, batch_format="pyarrow"),
+        ["src", "dst"],
+        [],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    import ray
+
+    def seed_tbl(hop: int) -> pa.Table:
+        return pa.table(
+            {
+                "entity_id": pa.array([source], type=pa.int64()),
+                "hop": pa.array([hop], type=pa.int64()),
+            }
+        )
+
+    visited = ray.data.from_arrow(seed_tbl(0)).materialize()
+    frontier = visited
+    id_schema = pa.schema([("entity_id", pa.int64())])
+    vis_schema = pa.schema([("entity_id", pa.int64()), ("hop", pa.int64())])
+
+    for hop in range(1, max_hops + 1):
+        reached = local_hash_join(
+            edg.map_batches(
+                lambda t: pa.table(
+                    {"entity_id": t.column("src"), "dst": t.column("dst")}
+                ),
+                batch_format="pyarrow",
+            ),
+            frontier.map_batches(
+                lambda t: pa.table({"entity_id": t.column("entity_id")}),
+                batch_format="pyarrow",
+            ),
+            on=["entity_id"],
+            left_schema=pa.schema(
+                [("entity_id", pa.int64()), ("dst", pa.int64())]
+            ),
+            right_schema=id_schema,
+            how="semi",
+            num_partitions=num_partitions,
+        )
+        candidates = hash_grouped(
+            reached.map_batches(
+                lambda t: pa.table({"entity_id": t.column("dst")}),
+                batch_format="pyarrow",
+            ),
+            ["entity_id"],
+            [],
+            num_partitions=num_partitions,
+        )
+        fresh = local_hash_join(
+            candidates,
+            visited,
+            on=["entity_id"],
+            left_schema=id_schema,
+            right_schema=vis_schema,
+            how="anti",
+            num_partitions=num_partitions,
+        )
+
+        def add_hop(t: pa.Table, h: int = hop) -> pa.Table:
+            return pa.table(
+                {
+                    "entity_id": t.column("entity_id"),
+                    "hop": pa.array(
+                        np.full(len(t), h, dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        frontier = fresh.map_batches(
+            add_hop, batch_format="pyarrow"
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+
+    return visited
+
+
 def edge_pmi(edges_ds, num_partitions: int | None = None):
     """Edge association scoring: pointwise mutual information of every
     (subj → obj) edge under the weighted-degree null model,
@@ -722,6 +837,14 @@ def edge_pmi(edges_ds, num_partitions: int | None = None):
     return o_joined.map_batches(score, batch_format="pyarrow")
 
 
+#: Fixed-point scale for :func:`pagerank` rank mass — 2**42.  A power of
+#: two so the final ``rank_fp / PR_SCALE`` float64 conversion is EXACT
+#: (both in numpy and in the DuckDB oracle), fine enough (quantum
+#: ≈ 2.3e-13) that the quantized result tracks true float PageRank to
+#: well under any useful tolerance.
+PR_SCALE = 1 << 42
+
+
 def pagerank(
     edges,
     iters: int = 8,
@@ -739,26 +862,38 @@ def pagerank(
     emits ``rank · w/w_out`` contributions, and sums them per target
     with a hash-partitioned grouped Sum.  Driver state per round is TWO
     scalars (dangling mass, for nodes with no outgoing weight, and the
-    node count) — never a vector.  Ranks are floats; order-dependent
-    float summation across blocks makes the result deterministic only
-    up to addition order, so the oracle is the single-process numpy
-    reference (tests), not a value-hash.
+    node count) — never a vector.
+
+    **Deterministic fixed-point arithmetic**: rank mass is carried as
+    int64 units of ``1/PR_SCALE`` (2⁻⁴²).  Float summation across blocks
+    is order-dependent, so a float implementation gives a different
+    last-bit answer on every cluster size / block arrival order; integer
+    addition commutes exactly, so this result is bit-reproducible on any
+    topology AND value-checkable by an independent SQL engine (the
+    ``kg_pagerank`` DuckDB oracle replays the identical integer ops).
+    Per-edge contribution is ``(rank_fp * w) // w_out`` (exact int64
+    product, floor divide); ``damping`` is quantized to 1/1000ths
+    (0.85 → 850/1000) and applied as ``(dnum * mass) // 1000``.  Each
+    floor op loses < 1 unit (2.3e-13) of mass per row per round —
+    far below float noise for any real tolerance.
     """
     import numpy as np
-    import pyarrow.compute as pc
 
     from ..shuffle import hash_grouped, local_hash_join
 
+    dnum = round(damping * 1000)
     deg = node_degrees(edges, num_partitions=num_partitions).materialize()
     n_nodes = deg.count()
-    base = (1.0 - damping) / n_nodes
+    init_fp = PR_SCALE // n_nodes
+    base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_nodes)
 
     def init_rank(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "entity_id": batch.column("entity_id"),
-                "rank": pa.array(
-                    np.full(len(batch), 1.0 / n_nodes), type=pa.float64()
+                "rank_fp": pa.array(
+                    np.full(len(batch), init_fp, dtype=np.int64),
+                    type=pa.int64(),
                 ),
                 "w_out": batch.column("w_out"),
             }
@@ -778,7 +913,7 @@ def pagerank(
     rank_schema = pa.schema(
         [
             ("entity_id", pa.int64()),
-            ("rank", pa.float64()),
+            ("rank_fp", pa.int64()),
             ("w_out", pa.int64()),
         ]
     )
@@ -788,7 +923,9 @@ def pagerank(
 
     for _ in range(iters):
         # constant-size driver reduce: rank mass stuck on dangling nodes
-        dangling = (
+        import pyarrow.compute as pc
+
+        dangling = int(
             ranks.map_batches(
                 lambda t: pa.table(
                     {
@@ -797,19 +934,19 @@ def pagerank(
                                 pc.sum(
                                     pc.if_else(
                                         pc.equal(t.column("w_out"), 0),
-                                        t.column("rank"),
-                                        pa.scalar(0.0),
+                                        t.column("rank_fp"),
+                                        pa.scalar(0, type=pa.int64()),
                                     )
                                 ).as_py()
-                                or 0.0
+                                or 0
                             ],
-                            type=pa.float64(),
+                            type=pa.int64(),
                         )
                     }
                 ),
                 batch_format="pyarrow",
             ).sum("m")
-            or 0.0
+            or 0
         )
         joined = local_hash_join(
             edge_tbl.map_batches(
@@ -829,12 +966,22 @@ def pagerank(
         def contrib(batch: pa.Table) -> pa.Table:
             w = batch.column("w").to_numpy(zero_copy_only=False)
             wout = batch.column("w_out").to_numpy(zero_copy_only=False)
-            r = batch.column("rank").to_numpy(zero_copy_only=False)
+            r = batch.column("rank_fp").to_numpy(zero_copy_only=False)
+            if len(batch) and int(r.max()) * int(w.max()) >= 2**62:
+                # exact int64 product is the determinism guarantee; a
+                # graph hot enough to overflow it needs a bigger
+                # weight-normalization upstream, not silent wraparound
+                raise OverflowError(
+                    "pagerank fixed-point product would overflow int64; "
+                    "normalize edge weights first"
+                )
             return pa.table(
                 {
                     "entity_id": batch.column("dst"),
+                    # exact int64 product then floor divide — the op
+                    # sequence the SQL oracle replays verbatim
                     "c": pa.array(
-                        r * (w / np.maximum(wout, 1)), type=pa.float64()
+                        (r * w) // np.maximum(wout, 1), type=pa.int64()
                     ),
                     # schema-aligned with the zero-contribution node rows
                     # (w_out rides the same aggregate as a Max)
@@ -856,7 +1003,7 @@ def pagerank(
                 {
                     "entity_id": t.column("entity_id"),
                     "c": pa.array(
-                        np.zeros(len(t)), type=pa.float64()
+                        np.zeros(len(t), dtype=np.int64), type=pa.int64()
                     ),
                     "w_out": t.column("w_out"),
                 }
@@ -871,17 +1018,15 @@ def pagerank(
             rename={"c_sum": "c", "w_out_max": "w_out"},
             num_partitions=num_partitions,
         )
-        add = base + damping * dangling / n_nodes
+        dang_share = dangling // n_nodes
 
         def finish(batch: pa.Table) -> pa.Table:
-            rank = pc.add(
-                pc.multiply(batch.column("c"), pa.scalar(damping)),
-                pa.scalar(add),
-            )
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            fp = base_fp + (dnum * (c + dang_share)) // 1000
             return pa.table(
                 {
                     "entity_id": batch.column("entity_id"),
-                    "rank": rank,
+                    "rank_fp": pa.array(fp, type=pa.int64()),
                     "w_out": batch.column("w_out"),
                 }
             )
@@ -891,7 +1036,24 @@ def pagerank(
         ).materialize()
 
     return ranks.map_batches(
-        lambda t: t.select(["entity_id", "rank"]), batch_format="pyarrow"
+        lambda t: pa.table(
+            {
+                "entity_id": t.column("entity_id"),
+                # power-of-two divisor: the float64 conversion is exact
+                "rank": pc_divide_exact(t.column("rank_fp")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pc_divide_exact(rank_fp: "pa.ChunkedArray | pa.Array"):
+    """rank_fp / PR_SCALE as float64 — exact because PR_SCALE is 2**42
+    and every rank_fp < 2**53 (total mass ≤ PR_SCALE)."""
+    import pyarrow.compute as pc
+
+    return pc.divide(
+        rank_fp.cast(pa.float64()), pa.scalar(float(PR_SCALE))
     )
 
 

@@ -55,9 +55,14 @@ def test_pagerank_matches_numpy_reference(ray_session) -> None:
     )
     want = _numpy_pagerank(edges)
     assert set(got) == set(want)
-    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+    # the distributed op carries mass in 2**-42 fixed-point units
+    # (bit-reproducible across cluster sizes, SQL-oracle-checkable);
+    # each floor op loses < 2.3e-13 of mass, so vs the float reference
+    # the tolerance is the accumulated quantization, not float noise
+    assert all(abs(got[k] - want[k]) < 1e-8 for k in want)
     # rank is a probability distribution: dangling mass is conserved
-    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # (up to the same quantization losses)
+    assert abs(sum(got.values()) - 1.0) < 1e-8
 
 
 def test_edge_pmi_hand_computed(ray_session) -> None:
