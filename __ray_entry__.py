@@ -140,6 +140,47 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(_kg_edges(sf_dir))
 
 
+def _kg_reachability(sf_dir: str):
+    """Directed BFS hop distances from the top hub (max out-weight,
+    min-id tie-break): the "what does the busiest entity influence in
+    ≤ k steps" reachability query.  Seed selection is a per-block
+    argmax partial + constant-size driver reduce — the graph itself
+    never leaves the object store."""
+    import numpy as np
+    import pyarrow as pa
+
+    from promptner_ray.functions.graphops import bfs_hops, node_degrees
+    from promptner_ray.pipelines import kg
+
+    edges = kg.edges(_kg_triples(sf_dir)).materialize()
+
+    def best_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "entity_id": pa.array([], type=pa.int64()),
+                    "w_out": pa.array([], type=pa.int64()),
+                }
+            )
+        e = t.column("entity_id").to_numpy(zero_copy_only=False)
+        w = t.column("w_out").to_numpy(zero_copy_only=False)
+        i = np.lexsort((e, -w))[0]
+        return pa.table(
+            {
+                "entity_id": pa.array([e[i]], type=pa.int64()),
+                "w_out": pa.array([w[i]], type=pa.int64()),
+            }
+        )
+
+    partials = (
+        node_degrees(edges)
+        .map_batches(best_block, batch_format="pyarrow")
+        .take_all()  # one candidate row per block — constant-size
+    )
+    seed = min(partials, key=lambda r: (-r["w_out"], r["entity_id"]))
+    return bfs_hops(edges, source=int(seed["entity_id"]))
+
+
 def _kg_edge_times(sf_dir: str):
     from promptner_ray.pipelines import kg
 
@@ -731,6 +772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: recursive-CTE peel replay (plus the single-process
         # peel reference in tests)
         "kg_kcore": _kg_kcore,
+        # oracle: recursive-CTE BFS (min hop per node, capped depth)
+        "kg_reachability": _kg_reachability,
         # oracle: deterministic synchronous voting replayed as a
         # recursive CTE (see _labelprop_sql)
         "kg_communities": _kg_communities,
@@ -1001,6 +1044,39 @@ def _labelprop_sql(max_iters: int = 10) -> str:
         )
         SELECT node AS entity_id, label AS community
         FROM lp WHERE it = {max_iters}
+    """
+
+
+def _bfs_sql(max_hops: int = 15) -> str:
+    """SQL twin of ``_kg_reachability``: seed = argmax out-weight (min
+    id tie-break), then a recursive CTE enumerating (node, hop) pairs up
+    to the shared depth cap; ``min(hop)`` per node equals BFS distance
+    for every node whose distance is within the cap — exactly the set
+    the frontier expansion emits."""
+    return f"""
+        WITH RECURSIVE tr AS (SELECT subj, pred, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        edg AS MATERIALIZED (
+          SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+                 {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+                 count(*)::BIGINT AS weight
+          FROM tr GROUP BY 1, 2, 3),
+        ends AS (SELECT subj_id AS entity_id, weight AS w_out FROM edg
+                 UNION ALL SELECT obj_id, 0 FROM edg),
+        nodes AS (SELECT entity_id, sum(w_out)::BIGINT AS w_out
+                  FROM ends GROUP BY entity_id),
+        seed AS (SELECT entity_id FROM nodes
+                 ORDER BY w_out DESC, entity_id ASC LIMIT 1),
+        e2 AS MATERIALIZED (SELECT DISTINCT subj_id, obj_id FROM edg),
+        bfs(node, hop) AS (
+          SELECT entity_id, 0 FROM seed
+          UNION
+          SELECT e.obj_id, b.hop + 1
+          FROM bfs b JOIN e2 e ON e.subj_id = b.node
+          WHERE b.hop < {max_hops}
+        )
+        SELECT node AS entity_id, min(hop)::BIGINT AS hop
+        FROM bfs GROUP BY node
     """
 
 
@@ -2055,6 +2131,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(),
         # k-core peel as a recursive CTE carrying the surviving edge set
         "kg_kcore": _kcore_sql(),
+        # BFS min-hop from the top hub, shared depth cap
+        "kg_reachability": _bfs_sql(),
         # synchronous label prop: deterministic voting unrolls exactly
         "kg_communities": _labelprop_sql(),
         "kg_triangles": f"""

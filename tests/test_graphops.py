@@ -149,6 +149,40 @@ def test_pagerank_weight_bias(ray_session) -> None:
     assert got[1] > got[2]
 
 
+def test_bfs_hops_hand_computed(ray_session) -> None:
+    from promptner_ray.functions.graphops import bfs_hops
+
+    # 0→1→2→3 chain with shortcut 0→2, a back-edge 3→0 (cycle must not
+    # loop), an unreachable pair 8→9, and an in-edge-only node 7→0
+    # (direction matters: 7 is NOT reachable from 0)
+    edges = [
+        (0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 2, 5),
+        (3, 0, 1), (8, 9, 1), (7, 0, 2),
+    ]
+    got = (
+        bfs_hops(ray.data.from_arrow(_edge_table(edges)), source=0)
+        .to_pandas()
+        .set_index("entity_id")["hop"]
+        .to_dict()
+    )
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_hops_depth_cap(ray_session) -> None:
+    from promptner_ray.functions.graphops import bfs_hops
+
+    chain = [(i, i + 1, 1) for i in range(6)]
+    got = (
+        bfs_hops(
+            ray.data.from_arrow(_edge_table(chain)), source=0, max_hops=3
+        )
+        .to_pandas()
+        .set_index("entity_id")["hop"]
+        .to_dict()
+    )
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
 def _peel_reference(edges, k):
     """Single-process k-core peel: the value gate for the distributed op."""
     und = {tuple(sorted((s, t))) for s, t, _ in edges if s != t}
