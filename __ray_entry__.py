@@ -181,6 +181,17 @@ def _kg_reachability(sf_dir: str):
     return bfs_hops(edges, source=int(seed["entity_id"]))
 
 
+def _kg_random_walks(sf_dir: str):
+    """Deterministic DeepWalk-style corpus: 2 walks × ≤8 steps from
+    every entity, neighbor choice a pure hash of (node, step, walk,
+    seed) — bit-identical at any parallelism, replayed exactly by the
+    recursive-CTE oracle."""
+    from promptner_ray.functions.graphops import random_walks
+    from promptner_ray.pipelines import kg
+
+    return random_walks(kg.edges(_kg_triples(sf_dir)))
+
+
 def _kg_edge_times(sf_dir: str):
     from promptner_ray.pipelines import kg
 
@@ -774,6 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _kg_kcore,
         # oracle: recursive-CTE BFS (min hop per node, capped depth)
         "kg_reachability": _kg_reachability,
+        # oracle: hash-driven walk replay (deterministic neighbor pick)
+        "kg_random_walks": _kg_random_walks,
         # oracle: deterministic synchronous voting replayed as a
         # recursive CTE (see _labelprop_sql)
         "kg_communities": _kg_communities,
@@ -1077,6 +1090,60 @@ def _bfs_sql(max_hops: int = 15) -> str:
         )
         SELECT node AS entity_id, min(hop)::BIGINT AS hop
         FROM bfs GROUP BY node
+    """
+
+
+def _walks_sql(walk_len: int = 8, k_walks: int = 2, seed: int = 42) -> str:
+    """SQL twin of ``_kg_random_walks``: neighbor choice is a pure
+    wrapping-int64 mix of (node, step, walk identity, seed) reduced mod
+    out-degree, replayed here in HUGEINT arithmetic (operands kept
+    < 2⁹⁷ by the < 2³² multipliers, wrap = explicit ``% 2⁶⁴``); the
+    recursive CTE advances every live walk one step per round, walks
+    dying at sinks exactly like the Ray frontier."""
+    from promptner_ray.functions.graphops import RW_M1, RW_M2, RW_M3
+
+    T = "18446744073709551616"  # 2**64
+
+    def u(x: str) -> str:
+        return f"((({x})::HUGEINT % {T}) + {T}) % {T}"
+
+    h = (
+        f"(({u('w.cur')}) * {RW_M1} "
+        f"+ (w.step + 1) * {RW_M2} "
+        f"+ ((({u('w.start_node')}) * {k_walks} + w.walk_no) % {T}) "
+        f"* {RW_M3} + {seed}) % {T}"
+    )
+    return f"""
+        WITH RECURSIVE tr AS (SELECT subj, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        edg AS MATERIALIZED (
+          SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS src,
+                 {_sql_hash64(_sql_norm('obj'))} AS dst
+          FROM tr),
+        adjr AS MATERIALIZED (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                   AS rk
+          FROM edg),
+        degs AS MATERIALIZED (
+          SELECT src, count(*)::BIGINT AS d FROM edg GROUP BY src),
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM edg UNION ALL SELECT dst FROM edg)),
+        walks(start_node, walk_no, step, cur) AS (
+          SELECT node, wno, 0, node
+          FROM nodes,
+               (SELECT unnest(generate_series(0, {k_walks - 1})) AS wno)
+          UNION ALL
+          SELECT w.start_node, w.walk_no, w.step + 1, a.dst
+          FROM walks w
+          JOIN degs dg ON dg.src = w.cur
+          JOIN adjr a ON a.src = w.cur
+                     AND a.rk = CAST(({h}) % dg.d::HUGEINT AS BIGINT)
+          WHERE w.step < {walk_len}
+        )
+        SELECT start_node, walk_no, step::BIGINT AS step,
+               cur AS entity_id
+        FROM walks
     """
 
 
@@ -2133,6 +2200,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _kcore_sql(),
         # BFS min-hop from the top hub, shared depth cap
         "kg_reachability": _bfs_sql(),
+        # deterministic random walks: HUGEINT replay of the int64 mix
+        "kg_random_walks": _walks_sql(),
         # synchronous label prop: deterministic voting unrolls exactly
         "kg_communities": _labelprop_sql(),
         "kg_triangles": f"""

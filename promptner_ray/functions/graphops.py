@@ -728,6 +728,228 @@ def bfs_hops(
     return visited
 
 
+#: Mix multipliers for :func:`random_walks` neighbor selection — all
+#: < 2**32 so the SQL oracle's HUGEINT replay of the wrapping int64
+#: products stays inside int128 (see ``__ray_entry__._walks_sql``).
+RW_M1 = 2654435761
+RW_M2 = 40503
+RW_M3 = 2246822519
+
+
+def random_walks(
+    edges_ds,
+    walk_len: int = 8,
+    walks_per_node: int = 2,
+    seed: int = 42,
+    num_partitions: int | None = None,
+):
+    """Deterministic random-walk corpus over the directed entity graph —
+    (start_node, walk_no, step, entity_id): ``walks_per_node`` walks of
+    up to ``walk_len`` steps from every node, the DeepWalk/node2vec
+    training-sequence generator for graph-embedding pipelines.
+
+    "Random" is a pure function of (current node, step, walk identity,
+    seed): the next neighbor's index is a wrapping-int64 linear mix
+    reduced mod out-degree, and neighbors are ranked by ascending id —
+    so the corpus is bit-identical at any parallelism/cluster size (no
+    RNG state to ship or synchronize) and an independent SQL engine can
+    replay it (the ``kg_random_walks`` oracle).  Walks stop early at
+    sinks (no out-edges), matching the classic dangling-walk semantics.
+
+    Distributed plan: the adjacency is ranked ONCE per src partition
+    (vectorized lexsort kernel inside ``hash_partitioned``); each step
+    is two padded int64 joins — walk states pick up their node's
+    out-degree, compute the neighbor rank, and join (src, rank) against
+    the ranked adjacency.  Driver state per step is one scalar (live
+    walk count); states and adjacency stay in the object store.
+    """
+    import numpy as np
+
+    from ..shuffle import hash_grouped, hash_partitioned, local_hash_join
+
+    K = walks_per_node
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("subj_id").cast(pa.int64()),
+                "dst": t.column("obj_id").cast(pa.int64()),
+            }
+        )
+
+    e2 = hash_grouped(
+        edges_ds.map_batches(to_pairs, batch_format="pyarrow"),
+        ["src", "dst"],
+        [],
+        num_partitions=num_partitions,
+    )
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "src" not in t.column_names:
+            return pa.table(
+                {
+                    "src": pa.array([], type=pa.int64()),
+                    "rk": pa.array([], type=pa.int64()),
+                    "dst": pa.array([], type=pa.int64()),
+                }
+            )
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        n = len(src)
+        starts = np.zeros(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = src[1:] != src[:-1]
+        starts[new] = np.arange(n)[new]
+        starts = np.maximum.accumulate(starts)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "rk": pa.array(np.arange(n) - starts, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    adjr = hash_partitioned(
+        e2, ["src"], rank_block, num_partitions=num_partitions
+    ).materialize()
+    degs = hash_grouped(
+        e2.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(len(t), dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["src"],
+        [("one", "sum")],
+        rename={"one_sum": "d"},
+        num_partitions=num_partitions,
+    ).materialize()
+
+    # start set: every node, K walks each
+    def starts_block(t: pa.Table) -> pa.Table:
+        e = t.column("entity_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "start_node": pa.array(np.repeat(e, K), type=pa.int64()),
+                "walk_no": pa.array(
+                    np.tile(np.arange(K, dtype=np.int64), len(e)),
+                    type=pa.int64(),
+                ),
+                "cur": pa.array(np.repeat(e, K), type=pa.int64()),
+            }
+        )
+
+    state = (
+        node_degrees(edges_ds, num_partitions=num_partitions)
+        .map_batches(starts_block, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def emit(step: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "start_node": t.column("start_node"),
+                    "walk_no": t.column("walk_no"),
+                    "step": pa.array(
+                        np.full(len(t), step, dtype=np.int64),
+                        type=pa.int64(),
+                    ),
+                    "entity_id": t.column("cur"),
+                }
+            )
+
+        return fn
+
+    out = state.map_batches(emit(0), batch_format="pyarrow")
+    state_schema = pa.schema(
+        [
+            ("src", pa.int64()),
+            ("start_node", pa.int64()),
+            ("walk_no", pa.int64()),
+        ]
+    )
+
+    for t_step in range(1, walk_len + 1):
+        with_deg = local_hash_join(
+            state.map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": t.column("cur"),
+                        "start_node": t.column("start_node"),
+                        "walk_no": t.column("walk_no"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            degs,
+            on=["src"],
+            left_schema=state_schema,
+            right_schema=pa.schema([("src", pa.int64()), ("d", pa.int64())]),
+            how="inner",  # sink nodes have no degs row: their walks end
+            num_partitions=num_partitions,
+        )
+
+        def pick(t: pa.Table, ts: int = t_step) -> pa.Table:
+            cur = t.column("src").to_numpy(zero_copy_only=False)
+            st = t.column("start_node").to_numpy(zero_copy_only=False)
+            wn = t.column("walk_no").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                uw = st * np.int64(K) + wn
+                h = (
+                    cur * np.int64(RW_M1)
+                    + np.int64(ts) * np.int64(RW_M2)
+                    + uw * np.int64(RW_M3)
+                    + np.int64(seed)
+                )
+            rk = (h.view(np.uint64) % d.astype(np.uint64)).astype(np.int64)
+            return pa.table(
+                {
+                    "src": t.column("src"),
+                    "rk": pa.array(rk, type=pa.int64()),
+                    "start_node": t.column("start_node"),
+                    "walk_no": t.column("walk_no"),
+                }
+            )
+
+        stepped = local_hash_join(
+            with_deg.map_batches(pick, batch_format="pyarrow"),
+            adjr,
+            on=["src", "rk"],
+            left_schema=pa.schema(
+                [
+                    ("src", pa.int64()),
+                    ("rk", pa.int64()),
+                    ("start_node", pa.int64()),
+                    ("walk_no", pa.int64()),
+                ]
+            ),
+            right_schema=pa.schema(
+                [("src", pa.int64()), ("rk", pa.int64()), ("dst", pa.int64())]
+            ),
+            how="inner",
+            num_partitions=num_partitions,
+        )
+        state = stepped.map_batches(
+            lambda t: pa.table(
+                {
+                    "start_node": t.column("start_node"),
+                    "walk_no": t.column("walk_no"),
+                    "cur": t.column("dst"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if state.count() == 0:
+            break
+        out = out.union(state.map_batches(emit(t_step), batch_format="pyarrow"))
+
+    return out
+
+
 def edge_pmi(edges_ds, num_partitions: int | None = None):
     """Edge association scoring: pointwise mutual information of every
     (subj → obj) edge under the weighted-degree null model,

@@ -183,6 +183,61 @@ def test_bfs_hops_depth_cap(ray_session) -> None:
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def _walks_reference(edges, walk_len, k_walks, seed):
+    """Single-process replay of the deterministic walk semantics."""
+    import numpy as np
+
+    from promptner_ray.functions.graphops import RW_M1, RW_M2, RW_M3
+
+    adj = {}
+    for s, t, _ in edges:
+        adj.setdefault(s, set()).add(t)
+    adj = {s: sorted(ds) for s, ds in adj.items()}
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    rows = set()
+    for n in nodes:
+        for w in range(k_walks):
+            cur = n
+            rows.add((n, w, 0, cur))
+            for step in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                with np.errstate(over="ignore"):
+                    uw = np.int64(n) * np.int64(k_walks) + np.int64(w)
+                    h = (
+                        np.int64(cur) * np.int64(RW_M1)
+                        + np.int64(step) * np.int64(RW_M2)
+                        + uw * np.int64(RW_M3)
+                        + np.int64(seed)
+                    )
+                cur = nbrs[int(h.view(np.uint64)) % len(nbrs)]
+                rows.add((n, w, step, cur))
+    return rows
+
+
+def test_random_walks_match_reference(ray_session) -> None:
+    from promptner_ray.functions.graphops import random_walks
+
+    rng = np.random.default_rng(11)
+    edges = []
+    for _ in range(50):
+        s, t = rng.integers(0, 12, 2)
+        if s != t:
+            edges.append((int(s), int(t), 1))
+    edges.append((5, 30, 1))  # 30 is a sink: walks through it must stop
+    got = {
+        (r["start_node"], r["walk_no"], r["step"], r["entity_id"])
+        for r in random_walks(
+            ray.data.from_arrow(_edge_table(edges)),
+            walk_len=5,
+            walks_per_node=2,
+            seed=7,
+        ).take_all()
+    }
+    assert got == _walks_reference(edges, 5, 2, 7)
+
+
 def _peel_reference(edges, k):
     """Single-process k-core peel: the value gate for the distributed op."""
     und = {tuple(sorted((s, t))) for s, t, _ in edges if s != t}
