@@ -130,9 +130,12 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
 
     from promptner_ray.functions.graphops import (
         edge_pmi,
+        k_core,
+        label_propagation,
         neighbor_jaccard,
         node_degrees,
         pagerank,
+        random_walks,
         triangle_counts,
     )
     from promptner_ray.pipelines import kg
@@ -160,6 +163,9 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         ("kg_triangles", triangle_counts),
         ("kg_pagerank", lambda e: pagerank(e, iters=4)),
         ("kg_node_jaccard", neighbor_jaccard),
+        ("kg_kcore", lambda e: k_core(e, k=3)),
+        ("kg_communities", label_propagation),
+        ("kg_random_walks", random_walks),
     ):
         t0 = time.monotonic()
         fn(edges_mat).count()
