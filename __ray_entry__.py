@@ -181,6 +181,25 @@ def _kg_reachability(sf_dir: str):
     return bfs_hops(edges, source=int(seed["entity_id"]))
 
 
+def _kg_alias_pairs(sf_dir: str):
+    """Near-miss surface pairs (Levenshtein ≤ 1) via deletion-
+    neighborhood blocking — the edit-distance stage of entity
+    resolution.  The synthetic corpus is typo-free, so a hash-selected
+    quarter of surfaces gets a deterministically planted variant first
+    (disclosed injection, same idiom as the PII/URL queries); the
+    oracle replays the injection and verifies with DuckDB's own
+    ``levenshtein`` over a brute-force cross join."""
+    import pyarrow as pa
+
+    from promptner_ray.functions.editsim import alias_pairs, with_typo_variants
+
+    surfaces = _kg_links(sf_dir).map_batches(
+        lambda t: pa.table({"surface": t.column("surface_norm")}),
+        batch_format="pyarrow",
+    )
+    return alias_pairs(with_typo_variants(surfaces))
+
+
 def _kg_random_walks(sf_dir: str):
     """Deterministic DeepWalk-style corpus: 2 walks × ≤8 steps from
     every entity, neighbor choice a pure hash of (node, step, walk,
@@ -787,6 +806,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reachability": _kg_reachability,
         # oracle: hash-driven walk replay (deterministic neighbor pick)
         "kg_random_walks": _kg_random_walks,
+        # oracle: brute-force levenshtein cross join (independent of the
+        # engine's deletion-neighborhood blocking)
+        "kg_alias_pairs": _kg_alias_pairs,
         # oracle: deterministic synchronous voting replayed as a
         # recursive CTE (see _labelprop_sql)
         "kg_communities": _kg_communities,
@@ -1144,6 +1166,49 @@ def _walks_sql(walk_len: int = 8, k_walks: int = 2, seed: int = 42) -> str:
         SELECT start_node, walk_no, step::BIGINT AS step,
                cur AS entity_id
         FROM walks
+    """
+
+
+def _alias_pairs_sql() -> str:
+    """SQL twin of ``_kg_alias_pairs``: replay the deterministic typo
+    injection with string surgery (selection and edit position are md5
+    mod-functions of the surface, wrapped to Python's non-negative mod),
+    then find Levenshtein ≤ 1 pairs with a brute-force cross join —
+    an algorithm independent of the engine's deletion-neighborhood
+    blocking, which must produce the identical pair set."""
+    from promptner_ray.functions.editsim import (
+        PAIR_MIN_LEN,
+        TYPO_MIN_LEN,
+        TYPO_RATE_MOD,
+    )
+
+    hs = _sql_hash64("s")
+    hts = _sql_hash64("'typo:' || s")
+    p0 = f"((({hts}) % length(s)) + length(s)) % length(s)"
+    return f"""
+        WITH {_sql_links_cte()},
+        base AS (SELECT DISTINCT surface_norm AS s FROM lnk),
+        inj AS (
+          SELECT substr(s, 1, {p0}) || substr(s, {p0} + 2) AS s
+          FROM base
+          WHERE length(s) >= {TYPO_MIN_LEN}
+            AND ((({hs}) % {TYPO_RATE_MOD}) + {TYPO_RATE_MOD})
+                  % {TYPO_RATE_MOD} = 0),
+        surf AS (
+          SELECT DISTINCT s FROM (
+            SELECT s FROM base UNION ALL SELECT s FROM inj)
+          WHERE length(s) >= {PAIR_MIN_LEN}),
+        pairsq AS (
+          SELECT {_sql_hash64('a.s')} AS ha, a.s AS sa,
+                 {_sql_hash64('b.s')} AS hb, b.s AS sb
+          FROM surf a JOIN surf b ON a.s < b.s
+          WHERE abs(length(a.s) - length(b.s)) <= 1
+            AND levenshtein(a.s, b.s) <= 1)
+        SELECT CASE WHEN ha < hb THEN ha ELSE hb END AS entity_a,
+               CASE WHEN ha < hb THEN hb ELSE ha END AS entity_b,
+               CASE WHEN ha < hb THEN sa ELSE sb END AS surface_a,
+               CASE WHEN ha < hb THEN sb ELSE sa END AS surface_b
+        FROM pairsq
     """
 
 
@@ -2202,6 +2267,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_reachability": _bfs_sql(),
         # deterministic random walks: HUGEINT replay of the int64 mix
         "kg_random_walks": _walks_sql(),
+        # edit-distance alias pairs: injection replay + levenshtein scan
+        "kg_alias_pairs": _alias_pairs_sql(),
         # synchronous label prop: deterministic voting unrolls exactly
         "kg_communities": _labelprop_sql(),
         "kg_triangles": f"""
