@@ -757,15 +757,17 @@ def random_walks(
     sinks (no out-edges), matching the classic dangling-walk semantics.
 
     Distributed plan: the adjacency is ranked ONCE per src partition
-    (vectorized lexsort kernel inside ``hash_partitioned``); each step
-    is two padded int64 joins — walk states pick up their node's
-    out-degree, compute the neighbor rank, and join (src, rank) against
-    the ranked adjacency.  Driver state per step is one scalar (live
-    walk count); states and adjacency stay in the object store.
+    (vectorized lexsort kernel inside ``hash_partitioned``) and each
+    adjacency row also carries its DESTINATION's out-degree (one
+    build-time left-outer join) — so a walker always knows the degree
+    of the node it just arrived at and each step costs exactly ONE
+    padded (src, rank) join, not a degree join plus a pick join.
+    Driver state per step is one scalar (live walk count); states and
+    adjacency stay in the object store.
     """
     import numpy as np
 
-    from ..shuffle import hash_grouped, hash_partitioned, local_hash_join
+    from ..shuffle import hash_partitioned, local_hash_join
 
     K = walks_per_node
 
@@ -777,24 +779,21 @@ def random_walks(
             }
         )
 
-    e2 = hash_grouped(
-        edges_ds.map_batches(to_pairs, batch_format="pyarrow"),
-        ["src", "dst"],
-        [],
-        num_partitions=num_partitions,
-    )
-
     def rank_block(t: pa.Table) -> pa.Table:
+        # distinct + rank + per-src degree in ONE vectorized kernel:
+        # the partition holds every row of its src keys
         if len(t) == 0 or "src" not in t.column_names:
             return pa.table(
                 {
                     "src": pa.array([], type=pa.int64()),
                     "rk": pa.array([], type=pa.int64()),
                     "dst": pa.array([], type=pa.int64()),
+                    "d": pa.array([], type=pa.int64()),
                 }
             )
-        src = t.column("src").to_numpy(zero_copy_only=False)
-        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        dd = t.group_by(["src", "dst"]).aggregate([])
+        src = dd.column("src").to_numpy(zero_copy_only=False)
+        dst = dd.column("dst").to_numpy(zero_copy_only=False)
         order = np.lexsort((dst, src))
         src, dst = src[order], dst[order]
         n = len(src)
@@ -803,49 +802,118 @@ def random_walks(
         new[1:] = src[1:] != src[:-1]
         starts[new] = np.arange(n)[new]
         starts = np.maximum.accumulate(starts)
+        idx = np.flatnonzero(new)
+        counts = np.diff(np.append(idx, n))
         return pa.table(
             {
                 "src": pa.array(src, type=pa.int64()),
                 "rk": pa.array(np.arange(n) - starts, type=pa.int64()),
                 "dst": pa.array(dst, type=pa.int64()),
+                "d": pa.array(np.repeat(counts, counts), type=pa.int64()),
             }
         )
 
     adjr = hash_partitioned(
-        e2, ["src"], rank_block, num_partitions=num_partitions
+        edges_ds.map_batches(to_pairs, batch_format="pyarrow"),
+        ["src"],
+        rank_block,
+        num_partitions=num_partitions,
     ).materialize()
-    degs = hash_grouped(
-        e2.map_batches(
-            lambda t: t.append_column(
-                "one", pa.array(np.ones(len(t), dtype=np.int64))
+    def first_ranks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("rk"), 0)).select(["src", "d"])
+
+    # (src, d) per node WITH out-edges — a filter over adjr, no exchange
+    degs = adjr.map_batches(first_ranks, batch_format="pyarrow")
+    # fold the DESTINATION's out-degree onto each adjacency row (sinks
+    # get 0), so stepping needs no separate degree join
+    adjr = local_hash_join(
+        adjr.map_batches(
+            lambda t: pa.table(
+                {
+                    "dst": t.column("dst"),
+                    "src": t.column("src"),
+                    "rk": t.column("rk"),
+                    "d": t.column("d"),
+                }
             ),
             batch_format="pyarrow",
         ),
-        ["src"],
-        [("one", "sum")],
-        rename={"one_sum": "d"},
+        degs.map_batches(
+            lambda t: pa.table(
+                {"dst": t.column("src"), "d_dst": t.column("d")}
+            ),
+            batch_format="pyarrow",
+        ),
+        on=["dst"],
+        left_schema=pa.schema(
+            [
+                ("dst", pa.int64()),
+                ("src", pa.int64()),
+                ("rk", pa.int64()),
+                ("d", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("dst", pa.int64()), ("d_dst", pa.int64())]),
+        how="left_outer",
         num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "rk": t.column("rk"),
+                "dst": t.column("dst"),
+                "d_dst": t.column("d_dst").fill_null(0),
+            }
+        ),
+        batch_format="pyarrow",
     ).materialize()
 
-    # start set: every node, K walks each
+    # start set: every node, K walks each; seed walkers with their
+    # node's out-degree via ONE left-outer join (sinks get d=0 and die
+    # before step 1, after emitting their step-0 row)
     def starts_block(t: pa.Table) -> pa.Table:
         e = t.column("entity_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
+                "src": pa.array(np.repeat(e, K), type=pa.int64()),
                 "start_node": pa.array(np.repeat(e, K), type=pa.int64()),
                 "walk_no": pa.array(
                     np.tile(np.arange(K, dtype=np.int64), len(e)),
                     type=pa.int64(),
                 ),
-                "cur": pa.array(np.repeat(e, K), type=pa.int64()),
             }
         )
 
-    state = (
-        node_degrees(edges_ds, num_partitions=num_partitions)
-        .map_batches(starts_block, batch_format="pyarrow")
-        .materialize()
-    )
+    starts = node_degrees(
+        edges_ds, num_partitions=num_partitions
+    ).map_batches(starts_block, batch_format="pyarrow")
+    state = local_hash_join(
+        starts,
+        degs,
+        on=["src"],
+        left_schema=pa.schema(
+            [
+                ("src", pa.int64()),
+                ("start_node", pa.int64()),
+                ("walk_no", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("src", pa.int64()), ("d", pa.int64())]),
+        how="left_outer",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "start_node": t.column("start_node"),
+                "walk_no": t.column("walk_no"),
+                "cur": t.column("src"),
+                "d": t.column("d").fill_null(0),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
     def emit(step: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -864,36 +932,14 @@ def random_walks(
         return fn
 
     out = state.map_batches(emit(0), batch_format="pyarrow")
-    state_schema = pa.schema(
-        [
-            ("src", pa.int64()),
-            ("start_node", pa.int64()),
-            ("walk_no", pa.int64()),
-        ]
-    )
 
     for t_step in range(1, walk_len + 1):
-        with_deg = local_hash_join(
-            state.map_batches(
-                lambda t: pa.table(
-                    {
-                        "src": t.column("cur"),
-                        "start_node": t.column("start_node"),
-                        "walk_no": t.column("walk_no"),
-                    }
-                ),
-                batch_format="pyarrow",
-            ),
-            degs,
-            on=["src"],
-            left_schema=state_schema,
-            right_schema=pa.schema([("src", pa.int64()), ("d", pa.int64())]),
-            how="inner",  # sink nodes have no degs row: their walks end
-            num_partitions=num_partitions,
-        )
 
         def pick(t: pa.Table, ts: int = t_step) -> pa.Table:
-            cur = t.column("src").to_numpy(zero_copy_only=False)
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.greater(t.column("d"), 0))  # sinks: walk over
+            cur = t.column("cur").to_numpy(zero_copy_only=False)
             st = t.column("start_node").to_numpy(zero_copy_only=False)
             wn = t.column("walk_no").to_numpy(zero_copy_only=False)
             d = t.column("d").to_numpy(zero_copy_only=False)
@@ -905,10 +951,14 @@ def random_walks(
                     + uw * np.int64(RW_M3)
                     + np.int64(seed)
                 )
-            rk = (h.view(np.uint64) % d.astype(np.uint64)).astype(np.int64)
+            rk = np.zeros(len(t), dtype=np.int64)
+            if len(t):
+                rk = (
+                    h.view(np.uint64) % d.astype(np.uint64)
+                ).astype(np.int64)
             return pa.table(
                 {
-                    "src": t.column("src"),
+                    "src": t.column("cur"),
                     "rk": pa.array(rk, type=pa.int64()),
                     "start_node": t.column("start_node"),
                     "walk_no": t.column("walk_no"),
@@ -916,7 +966,7 @@ def random_walks(
             )
 
         stepped = local_hash_join(
-            with_deg.map_batches(pick, batch_format="pyarrow"),
+            state.map_batches(pick, batch_format="pyarrow"),
             adjr,
             on=["src", "rk"],
             left_schema=pa.schema(
@@ -928,7 +978,12 @@ def random_walks(
                 ]
             ),
             right_schema=pa.schema(
-                [("src", pa.int64()), ("rk", pa.int64()), ("dst", pa.int64())]
+                [
+                    ("src", pa.int64()),
+                    ("rk", pa.int64()),
+                    ("dst", pa.int64()),
+                    ("d_dst", pa.int64()),
+                ]
             ),
             how="inner",
             num_partitions=num_partitions,
@@ -939,6 +994,7 @@ def random_walks(
                     "start_node": t.column("start_node"),
                     "walk_no": t.column("walk_no"),
                     "cur": t.column("dst"),
+                    "d": t.column("d_dst"),
                 }
             ),
             batch_format="pyarrow",
