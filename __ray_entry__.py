@@ -200,6 +200,34 @@ def _kg_alias_pairs(sf_dir: str):
     return alias_pairs(with_typo_variants(surfaces))
 
 
+def _kg_alias_clusters(sf_dir: str):
+    """Edit-distance pairs closed into alias clusters by the distributed
+    connected-components pass — (entity_id, alias_id), alias_id = min
+    entity id of the cluster (the same compose shape as
+    ``kg_entity_merge``, with edit-distance candidates instead of
+    structural ones)."""
+    import pyarrow as pa
+
+    from promptner_ray.functions.editsim import alias_pairs, with_typo_variants
+    from promptner_ray.functions.graphops import connected_components
+
+    surfaces = _kg_links(sf_dir).map_batches(
+        lambda t: pa.table({"surface": t.column("surface_norm")}),
+        batch_format="pyarrow",
+    )
+    pairs = alias_pairs(with_typo_variants(surfaces))
+    cc = connected_components(pairs, a="entity_a", b="entity_b")
+    return cc.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t.column("doc_id"),
+                "alias_id": t.column("component"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _kg_random_walks(sf_dir: str):
     """Deterministic DeepWalk-style corpus: 2 walks × ≤8 steps from
     every entity, neighbor choice a pure hash of (node, step, walk,
@@ -809,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: brute-force levenshtein cross join (independent of the
         # engine's deletion-neighborhood blocking)
         "kg_alias_pairs": _kg_alias_pairs,
+        # oracle: the pair SQL closed by a recursive reachability CTE
+        "kg_alias_clusters": _kg_alias_clusters,
         # oracle: deterministic synchronous voting replayed as a
         # recursive CTE (see _labelprop_sql)
         "kg_communities": _kg_communities,
@@ -2269,6 +2299,24 @@ def oracle_sql() -> dict[str, str]:
         "kg_random_walks": _walks_sql(),
         # edit-distance alias pairs: injection replay + levenshtein scan
         "kg_alias_pairs": _alias_pairs_sql(),
+        # alias clusters: the pair SQL closed by reachability (the same
+        # recursive-CTE CC replay as kg_entity_merge)
+        "kg_alias_clusters": f"""
+            WITH RECURSIVE prs AS (
+              SELECT entity_a AS a, entity_b AS b
+              FROM ({_alias_pairs_sql()})),
+            medges AS (
+              SELECT a AS src, b AS dst FROM prs
+              UNION
+              SELECT b AS src, a AS dst FROM prs),
+            reach AS (
+              SELECT src AS v, src AS u FROM medges
+              UNION
+              SELECT r.v, e.dst AS u FROM reach r JOIN medges e
+                ON r.u = e.src)
+            SELECT v AS entity_id, min(u)::BIGINT AS alias_id
+            FROM reach GROUP BY v
+        """,
         # synchronous label prop: deterministic voting unrolls exactly
         "kg_communities": _labelprop_sql(),
         "kg_triangles": f"""
