@@ -353,6 +353,107 @@ class OpenAIClient:
             return list(pool.map(self._one, prompts))
 
 
+#: Reference ``models.py:72-86``: the manual 4-way layer split for a
+#: 24-block T5-XL — blocks 0-5 / 6-11 / 12-17 / 18-23, one GPU each.
+#: Expressed in the modern ``device_map`` form (the reference's
+#: ``model.parallelize(device_map)`` API is the deprecated spelling of
+#: the same placement).
+SHARDED_DEVICE_MAP: dict[int, list[int]] = {
+    gpu: list(range(gpu * 6, (gpu + 1) * 6)) for gpu in range(4)
+}
+
+
+def _default_hf_factory(
+    model_name: str, max_new_tokens: int, device_map
+):
+    """Build the real transformers generate callable (import-gated: the
+    sandbox ships no torch/transformers, so reaching this without the
+    libraries raises an actionable ``NotImplementedError`` — pass
+    ``factory=`` to inject a substitute, or use kind ``stub``/``openai``)."""
+    try:
+        from transformers import (  # type: ignore[import-not-found]
+            AutoModelForSeq2SeqLM,
+            AutoTokenizer,
+        )
+    except ImportError as ex:  # pragma: no cover — no torch in sandbox
+        raise NotImplementedError(
+            "HFLocalModel needs the transformers/torch stack, which this "
+            "environment does not ship; inject factory=... (tests do) or "
+            "use model kind 'stub' / 'openai'"
+        ) from ex
+    tok = AutoTokenizer.from_pretrained(model_name)
+    if device_map is not None:
+        model = AutoModelForSeq2SeqLM.from_pretrained(
+            model_name, device_map=device_map
+        )
+    else:
+        model = AutoModelForSeq2SeqLM.from_pretrained(model_name)
+    model.eval()
+
+    def generate_texts(texts: list[str]) -> list[str]:
+        enc = tok(texts, return_tensors="pt", padding=True, truncation=True)
+        ids = model.generate(
+            **enc, max_new_tokens=max_new_tokens, do_sample=False
+        )
+        return tok.batch_decode(ids, skip_special_tokens=True)
+
+    return generate_texts
+
+
+class HFLocalModel:
+    """Local HuggingFace seq2seq client (reference ``models.py:55-68``;
+    the 4-GPU sharded variant mirrors ``models.py:71-105`` via
+    ``SHARDED_DEVICE_MAP`` and the reference's 600-token cap).
+
+    The actor-pool contract is the point: the (expensive) tokenizer +
+    model build happens ONCE per detection actor in ``__init__`` via
+    ``factory``, and ``generate`` only batches — chunks of
+    ``batch_size`` prompts go through one forward pass each, prompts
+    materialized at request time (lazy ``CompletionPrompt`` via
+    ``.text``; chat transcripts flattened to role-tagged lines, the
+    text-only spelling a seq2seq LM can consume).  ``factory`` is also
+    the test seam: the sandbox has no torch, so tests inject a fake
+    returning a ``generate_texts(list[str]) -> list[str]`` callable and
+    pin the batching/materialization plumbing end to end
+    (tests/test_hf_model.py); the default factory builds the real
+    transformers stack.
+    """
+
+    def __init__(
+        self,
+        model_name: str = "google/flan-t5-base",
+        max_new_tokens: int = 200,  # reference models.py:58
+        batch_size: int = 16,
+        device_map=None,
+        factory=None,
+    ) -> None:
+        self.model_name = model_name
+        self.max_new_tokens = max_new_tokens
+        self.batch_size = max(1, int(batch_size))
+        self.device_map = device_map
+        self._generate_texts = (factory or _default_hf_factory)(
+            model_name=model_name,
+            max_new_tokens=max_new_tokens,
+            device_map=device_map,
+        )
+
+    @staticmethod
+    def _materialize(prompt) -> str:
+        text = getattr(prompt, "text", None)  # lazy CompletionPrompt
+        if text is not None:
+            return text
+        if isinstance(prompt, str):
+            return prompt
+        return "\n".join(f"{role}: {content}" for content, role in prompt)
+
+    def generate(self, prompts: list) -> list[str]:
+        texts = [self._materialize(p) for p in prompts]
+        out: list[str] = []
+        for i in range(0, len(texts), self.batch_size):
+            out.extend(self._generate_texts(texts[i : i + self.batch_size]))
+        return out
+
+
 def make_model(kind: str = "stub", **kwargs) -> ModelClient:
     """Model factory used by the detection stage's actor ``__init__``."""
     if kind == "stub":
@@ -362,4 +463,12 @@ def make_model(kind: str = "stub", **kwargs) -> ModelClient:
         return VocabStubModel(vocab, **kwargs)
     if kind == "openai":
         return OpenAIClient(**kwargs)
+    if kind == "hf":
+        return HFLocalModel(**kwargs)
+    if kind == "hf_sharded":
+        # reference models.py:88: the sharded checkpoints generate up to
+        # 600 new tokens; placement defaults to the 4-way layer split
+        kwargs.setdefault("max_new_tokens", 600)
+        kwargs.setdefault("device_map", SHARDED_DEVICE_MAP)
+        return HFLocalModel(**kwargs)
     raise ValueError(f"unknown model kind {kind!r}")
