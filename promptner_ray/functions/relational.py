@@ -179,14 +179,30 @@ def _window_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def _window_out(t):
+    """Pin the window column to timestamp[us] on the way out: Ray's
+    native aggregate can hand back a coarser temporal resolution, and
+    the oracle comparison hashes dtypes as seen by pandas — emit exactly
+    what the SQL twin (date_trunc → timestamp[us]) produces."""
+    return pa.table(
+        {
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "window_start": t.column("window_start").cast(
+                pa.timestamp("us")
+            ),
+            "n_events": t.column("n_events").cast(pa.int64()),
+        }
+    )
+
+
 def events_tumbling(events):
     """events → per (user_id, 1-hour tumbling window) event counts."""
     from ray.data.aggregate import Sum
 
     partials = events.map_batches(_window_partial, batch_format="pyarrow")
     merged = partials.groupby(["user_id", "window_start"]).aggregate(Sum("n"))
-    return merged.rename_columns({"sum(n)": "n_events"}).select_columns(
-        ["user_id", "window_start", "n_events"]
+    return merged.rename_columns({"sum(n)": "n_events"}).map_batches(
+        _window_out, batch_format="pyarrow"
     )
 
 
@@ -325,8 +341,8 @@ def events_hopping(events):
 
     partials = events.map_batches(_hopping_partial, batch_format="pyarrow")
     merged = partials.groupby(["user_id", "window_start"]).aggregate(Sum("n"))
-    return merged.rename_columns({"sum(n)": "n_events"}).select_columns(
-        ["user_id", "window_start", "n_events"]
+    return merged.rename_columns({"sum(n)": "n_events"}).map_batches(
+        _window_out, batch_format="pyarrow"
     )
 
 
