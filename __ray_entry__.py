@@ -273,6 +273,16 @@ def _kg_node_jaccard(sf_dir: str):
     return neighbor_jaccard(kg.edges(_kg_triples(sf_dir)))
 
 
+def _kg_adamic_adar(sf_dir: str):
+    """Inverse-log-weighted shared-neighbor scores (Adamic–Adar): the
+    link-prediction refinement of neighbor-Jaccard, hash-exact because
+    pivot weights ride as 2⁻⁴⁰ fixed-point int64."""
+    from promptner_ray.functions.graphops import adamic_adar
+    from promptner_ray.pipelines import kg
+
+    return adamic_adar(kg.edges(_kg_triples(sf_dir)))
+
+
 def _kg_entity_merge(sf_dir: str):
     """Second-stage (structural) entity resolution: surface linking can't
     merge aliases that never share a sentence, so candidates come from
@@ -825,6 +835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-node triangle counts (degree-ordered orientation)
         "kg_triangles": _kg_triangles,
         "kg_node_jaccard": _kg_node_jaccard,
+        # oracle: same pair CTE with the inverse-log fixed-point weight
+        "kg_adamic_adar": _kg_adamic_adar,
         "kg_entity_merge": _kg_entity_merge,
         "kg_clustering": _kg_clustering,
         # oracle: recursive-CTE peel replay (plus the single-process
@@ -1239,6 +1251,49 @@ def _alias_pairs_sql() -> str:
                CASE WHEN ha < hb THEN sa ELSE sb END AS surface_a,
                CASE WHEN ha < hb THEN sb ELSE sa END AS surface_b
         FROM pairsq
+    """
+
+
+def _adamic_adar_sql() -> str:
+    """SQL twin of :func:`graphops.adamic_adar`: identical pair CTE to
+    the neighbor-Jaccard oracle, with each pivot contributing
+    ``floor(2⁴⁰ / ln(d_p))`` as BIGINT — ln is libm on both engines and
+    the division operands are exact, so the per-pivot weight is
+    bit-identical and the integer sum commutes; the final /2⁴⁰ float
+    division is exact (power-of-two divisor)."""
+    from promptner_ray.functions.graphops import AA_SCALE
+
+    return f"""
+        WITH tr AS (SELECT subj, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        edg AS (
+          SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                 {_sql_hash64(_sql_norm('obj'))} AS obj_id
+          FROM tr),
+        und AS (
+          SELECT DISTINCT least(subj_id, obj_id) AS a,
+                 greatest(subj_id, obj_id) AS b
+          FROM edg WHERE subj_id != obj_id),
+        deg AS (
+          SELECT node, count(*)::BIGINT AS d
+          FROM (SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und)
+          GROUP BY node),
+        adj AS (SELECT a AS p, b AS n FROM und
+                UNION ALL SELECT b, a FROM und),
+        cap AS (
+          SELECT adj.p, adj.n, deg.d AS dp FROM adj
+          JOIN deg ON adj.p = deg.node
+          WHERE deg.d <= 256 AND deg.d >= 2),
+        pairs AS (
+          SELECT t1.n AS x, t2.n AS y, count(*)::BIGINT AS common,
+                 sum(CAST(floor({float(AA_SCALE)} / ln(t1.dp))
+                          AS BIGINT))::BIGINT AS aa_fp
+          FROM cap t1 JOIN cap t2 ON t1.p = t2.p AND t1.n < t2.n
+          GROUP BY 1, 2)
+        SELECT x AS a, y AS b, common, aa_fp,
+               aa_fp / {float(AA_SCALE)} AS adamic_adar
+        FROM pairs WHERE common >= 2
     """
 
 
@@ -2297,6 +2352,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_reachability": _bfs_sql(),
         # deterministic random walks: HUGEINT replay of the int64 mix
         "kg_random_walks": _walks_sql(),
+        # Adamic-Adar: pair CTE + inverse-log fixed-point pivot weights
+        "kg_adamic_adar": _adamic_adar_sql(),
         # edit-distance alias pairs: injection replay + levenshtein scan
         "kg_alias_pairs": _alias_pairs_sql(),
         # alias clusters: the pair SQL closed by reachability (the same

@@ -1512,6 +1512,191 @@ def neighbor_jaccard(
     return j2.map_batches(score, batch_format="pyarrow")
 
 
+#: Fixed-point scale for :func:`adamic_adar` pivot weights — 2**40, a
+#: power of two so ``aa_fp / AA_SCALE`` is an exact float64 both in
+#: numpy and in the DuckDB oracle.
+AA_SCALE = 1 << 40
+
+
+def adamic_adar(
+    edges_ds,
+    max_pivot_degree: int = 256,
+    min_common: int = 2,
+    num_partitions: int | None = None,
+):
+    """Adamic–Adar link-prediction scores over the undirected entity
+    graph — (a, b, common, aa_fp, adamic_adar) with a < b:
+
+        AA(a, b) = Σ over shared neighbors p of 1 / ln(deg(p))
+
+    (Adamic & Adar 2003).  The refinement over :func:`neighbor_jaccard`:
+    a rare shared neighbor is strong evidence two entities are the same
+    or related, a hub shared neighbor is weak evidence — the inverse-log
+    weight encodes that directly, the standard similarity for KG alias
+    suggestion and missing-edge prediction.
+
+    Same shared-neighbor pair generation (and the same documented
+    ``max_pivot_degree`` cap / conservative-approximation argument) as
+    :func:`neighbor_jaccard`.  Each pivot's weight is carried as an
+    int64 in units of 2⁻⁴⁰ — ``floor(AA_SCALE / ln(d_p))``, one IEEE
+    division on exact operands, then an integer sum per pair: float
+    summation across blocks is order-dependent, integer addition
+    commutes, so the score is bit-reproducible at any parallelism and
+    the DuckDB oracle hash-matches it exactly (``ln`` is libm on both
+    sides; ``math.log``, never SIMD ``np.log``).  Pivots need degree
+    ≥ 2 to generate a pair, so ln's domain is safe by construction.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..shuffle import hash_grouped, local_hash_join
+
+    und, deg = _und_and_degrees(edges_ds, num_partitions)
+
+    def to_adj(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table(
+                {
+                    "p": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.table(
+            {
+                "p": pa.concat_arrays([a, b]),
+                "n": pa.concat_arrays([b, a]),
+            }
+        )
+
+    adj_schema = pa.schema([("p", pa.int64()), ("n", pa.int64())])
+    adj = local_hash_join(
+        und.map_batches(to_adj, batch_format="pyarrow"),
+        deg.map_batches(
+            lambda t: pa.table({"p": t.column("node"), "dp": t.column("d")}),
+            batch_format="pyarrow",
+        ),
+        on=["p"],
+        left_schema=adj_schema,
+        right_schema=pa.schema([("p", pa.int64()), ("dp", pa.int64())]),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def cap_and_weight(t: pa.Table) -> pa.Table:
+        kept = t.filter(
+            pc.and_(
+                pc.less_equal(t.column("dp"), max_pivot_degree),
+                pc.greater_equal(t.column("dp"), 2),
+            )
+        )
+        dp = kept.column("dp").to_numpy(zero_copy_only=False)
+        # floor(SCALE / ln(dp)) per DISTINCT degree — libm log so the
+        # DuckDB ln twin is bit-identical, exact int64 thereafter
+        cache: dict[int, int] = {}
+        w = np.empty(len(dp), dtype=np.int64)
+        for i, d in enumerate(dp):
+            v = cache.get(int(d))
+            if v is None:
+                v = int(math.floor(AA_SCALE / math.log(int(d))))
+                cache[int(d)] = v
+            w[i] = v
+        return pa.table(
+            {
+                "p": kept.column("p"),
+                "n": kept.column("n"),
+                "w": pa.array(w, type=pa.int64()),
+            }
+        )
+
+    capped = adj.map_batches(
+        cap_and_weight, batch_format="pyarrow"
+    ).materialize()
+
+    paired = local_hash_join(
+        capped.select_columns(["p", "n", "w"]),
+        capped.map_batches(
+            lambda t: pa.table({"p": t.column("p"), "m": t.column("n")}),
+            batch_format="pyarrow",
+        ),
+        on=["p"],
+        left_schema=pa.schema(
+            [("p", pa.int64()), ("n", pa.int64()), ("w", pa.int64())]
+        ),
+        right_schema=pa.schema([("p", pa.int64()), ("m", pa.int64())]),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "n" not in t.column_names:
+            return pa.table(
+                {
+                    "x": pa.array([], type=pa.int64()),
+                    "y": pa.array([], type=pa.int64()),
+                    "common": pa.array([], type=pa.int64()),
+                    "aa_fp": pa.array([], type=pa.int64()),
+                }
+            )
+        kept = t.filter(pc.less(t.column("n"), t.column("m")))
+        out = (
+            pa.table(
+                {
+                    "x": kept.column("n"),
+                    "y": kept.column("m"),
+                    "aa_fp": kept.column("w"),
+                }
+            )
+            .group_by(["x", "y"])
+            .aggregate([([], "count_all"), ("aa_fp", "sum")])
+        )
+        return pa.table(
+            {
+                "x": out.column("x"),
+                "y": out.column("y"),
+                "common": out.column("count_all").cast(pa.int64()),
+                "aa_fp": out.column("aa_fp_sum").cast(pa.int64()),
+            }
+        )
+
+    summed = hash_grouped(
+        paired.map_batches(pair_partials, batch_format="pyarrow"),
+        ["x", "y"],
+        [("common", "sum"), ("aa_fp", "sum")],
+        rename={"common_sum": "common", "aa_fp_sum": "aa_fp"},
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t.column("common").to_numpy(zero_copy_only=False)
+        fp = t.column("aa_fp").to_numpy(zero_copy_only=False)
+        keep = c >= min_common
+        return pa.table(
+            {
+                "a": pa.array(
+                    t.column("x").to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "b": pa.array(
+                    t.column("y").to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "common": pa.array(c[keep], type=pa.int64()),
+                "aa_fp": pa.array(fp[keep], type=pa.int64()),
+                # power-of-two divisor: exact in both engines
+                "adamic_adar": pa.array(
+                    fp[keep].astype(np.float64) / float(AA_SCALE),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def clustering_coefficient(edges_ds, num_partitions: int | None = None):
     """Local clustering coefficient per node — (entity_id, d,
     n_triangles, coefficient) with coefficient = 2T / (d·(d−1)) over the

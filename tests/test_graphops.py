@@ -183,6 +183,34 @@ def test_bfs_hops_depth_cap(ray_session) -> None:
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_adamic_adar_hand_computed(ray_session) -> None:
+    import math
+
+    from promptner_ray.functions.graphops import AA_SCALE, adamic_adar
+
+    # und graph: 10-{1,2,3}, 11-{1,2}; duplicate/reversed assertions must
+    # collapse.  deg: 10→3, 11→2, 1→2, 2→2, 3→1 (3 can't pivot: deg 1)
+    edges = [
+        (10, 1, 1), (1, 10, 2), (10, 2, 1), (10, 3, 1),
+        (11, 1, 1), (2, 11, 1),
+    ]
+    got = {
+        (r["a"], r["b"]): r
+        for r in adamic_adar(
+            ray.data.from_arrow(_edge_table(edges))
+        ).take_all()
+    }
+    w2 = int(math.floor(AA_SCALE / math.log(2)))
+    w3 = int(math.floor(AA_SCALE / math.log(3)))
+    # (1,2) share pivots 10 (deg 3) and 11 (deg 2); (10,11) share pivots
+    # 1 and 2 (deg 2 each); all other pairs have common=1 → filtered
+    assert set(got) == {(1, 2), (10, 11)}
+    assert got[(1, 2)]["common"] == 2
+    assert got[(1, 2)]["aa_fp"] == w3 + w2
+    assert got[(1, 2)]["adamic_adar"] == (w3 + w2) / AA_SCALE
+    assert got[(10, 11)]["aa_fp"] == 2 * w2
+
+
 def _walks_reference(edges, walk_len, k_walks, seed):
     """Single-process replay of the deterministic walk semantics."""
     import numpy as np
