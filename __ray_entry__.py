@@ -181,6 +181,15 @@ def _kg_reachability(sf_dir: str):
     return bfs_hops(edges, source=int(seed["entity_id"]))
 
 
+def _kg_walk_pairs(sf_dir: str):
+    """Skip-gram (center, context, n) pairs from the deterministic walk
+    corpus — the embedding-trainer input stream."""
+    from promptner_ray.functions.graphops import random_walks, walk_pairs
+    from promptner_ray.pipelines import kg
+
+    return walk_pairs(random_walks(kg.edges(_kg_triples(sf_dir))))
+
+
 def _kg_alias_pairs(sf_dir: str):
     """Near-miss surface pairs (Levenshtein ≤ 1) via deletion-
     neighborhood blocking — the edit-distance stage of entity
@@ -846,6 +855,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reachability": _kg_reachability,
         # oracle: hash-driven walk replay (deterministic neighbor pick)
         "kg_random_walks": _kg_random_walks,
+        # oracle: walk-replay self-join within the skip-gram window
+        "kg_walk_pairs": _kg_walk_pairs,
         # oracle: brute-force levenshtein cross join (independent of the
         # engine's deletion-neighborhood blocking)
         "kg_alias_pairs": _kg_alias_pairs,
@@ -2352,6 +2363,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_reachability": _bfs_sql(),
         # deterministic random walks: HUGEINT replay of the int64 mix
         "kg_random_walks": _walks_sql(),
+        # skip-gram pairs: the walk replay self-joined within the window
+        "kg_walk_pairs": f"""
+            SELECT w1.entity_id AS center, w2.entity_id AS context,
+                   count(*)::BIGINT AS n
+            FROM ({_walks_sql()}) w1
+            JOIN ({_walks_sql()}) w2
+              ON w1.start_node = w2.start_node
+             AND w1.walk_no = w2.walk_no
+             AND abs(w1.step - w2.step) BETWEEN 1 AND 2
+            GROUP BY 1, 2
+        """,
         # Adamic-Adar: pair CTE + inverse-log fixed-point pivot weights
         "kg_adamic_adar": _adamic_adar_sql(),
         # edit-distance alias pairs: injection replay + levenshtein scan

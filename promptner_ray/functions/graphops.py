@@ -1006,6 +1006,100 @@ def random_walks(
     return out
 
 
+def walk_pairs(walks_ds, window: int = 2, num_partitions: int | None = None):
+    """Skip-gram training pairs from a random-walk corpus —
+    (center, context, n): every ordered co-occurrence of two entities
+    within ``window`` steps on the same walk, weighted by how often it
+    occurs across the corpus.  This is the actual DeepWalk deliverable:
+    the (center, context) stream a word2vec-style embedding trainer
+    consumes, with n as the pair weight.
+
+    One exchange co-locates each walk's rows (hash-partition on the
+    (start_node, walk_no) identity), a vectorized kernel pairs offsets
+    1..window in both directions and pre-counts per partition, and a
+    grouped Sum merges the partials — pair volume is
+    2·window·|corpus rows| before combining, never quadratic.
+    """
+    import numpy as np
+
+    from ..shuffle import hash_grouped, hash_partitioned
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "step" not in t.column_names:
+            return pa.table(
+                {
+                    "center": pa.array([], type=pa.int64()),
+                    "context": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        sn = t.column("start_node").to_numpy(zero_copy_only=False)
+        wn = t.column("walk_no").to_numpy(zero_copy_only=False)
+        st = t.column("step").to_numpy(zero_copy_only=False)
+        ent = t.column("entity_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, wn, sn))
+        sn, wn, st, ent = sn[order], wn[order], st[order], ent[order]
+        centers, contexts = [], []
+        for k in range(1, window + 1):
+            if len(sn) <= k:
+                break
+            # rows k apart are k steps apart iff they belong to the same
+            # (gap-free) walk — the step check covers truncated walks
+            same = (
+                (sn[:-k] == sn[k:])
+                & (wn[:-k] == wn[k:])
+                & (st[k:] - st[:-k] == k)
+            )
+            centers.append(ent[:-k][same])
+            contexts.append(ent[k:][same])
+            # symmetric context: both directions, like word2vec windows
+            centers.append(ent[k:][same])
+            contexts.append(ent[:-k][same])
+        if not centers:
+            return pa.table(
+                {
+                    "center": pa.array([], type=pa.int64()),
+                    "context": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        out = (
+            pa.table(
+                {
+                    "center": pa.array(
+                        np.concatenate(centers), type=pa.int64()
+                    ),
+                    "context": pa.array(
+                        np.concatenate(contexts), type=pa.int64()
+                    ),
+                }
+            )
+            .group_by(["center", "context"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "center": out.column("center"),
+                "context": out.column("context"),
+                "n": out.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    partials = hash_partitioned(
+        walks_ds,
+        ["start_node", "walk_no"],
+        pair_kernel,
+        num_partitions=num_partitions,
+    )
+    return hash_grouped(
+        partials,
+        ["center", "context"],
+        [("n", "sum")],
+        rename={"n_sum": "n"},
+        num_partitions=num_partitions,
+    )
+
+
 def edge_pmi(edges_ds, num_partitions: int | None = None):
     """Edge association scoring: pointwise mutual information of every
     (subj → obj) edge under the weighted-degree null model,

@@ -65,6 +65,53 @@ def test_pagerank_matches_numpy_reference(ray_session) -> None:
     assert abs(sum(got.values()) - 1.0) < 1e-8
 
 
+def _fixed_point_pagerank(edges, iters, d=0.85):
+    """Single-process integer replay of the distributed op's exact
+    arithmetic — == comparison, no tolerance (the bit-reproducibility
+    claim the float formulation cannot make)."""
+    from promptner_ray.functions.graphops import PR_SCALE
+
+    dnum = round(d * 1000)
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    wout = {v: 0 for v in nodes}
+    for s, _, w in edges:
+        wout[s] += w
+    r = {v: PR_SCALE // n for v in nodes}
+    base = (1000 - dnum) * PR_SCALE // (1000 * n)
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if wout[v] == 0)
+        ds = dang // n
+        c = {v: 0 for v in nodes}
+        for s, t, w in edges:
+            c[t] += (r[s] * w) // wout[s]
+        r = {v: base + (dnum * (c[v] + ds)) // 1000 for v in nodes}
+    return {v: fp / PR_SCALE for v, fp in r.items()}
+
+
+def test_pagerank_bit_exact_on_random_graph(ray_session) -> None:
+    """Distributed fixed-point PageRank == the integer reference
+    EXACTLY on a graph large enough that float summation order would
+    visibly diverge — the reproducibility contract under any block
+    arrival order."""
+    rng = np.random.default_rng(17)
+    edges = []
+    seen = set()
+    for _ in range(1200):
+        s, t = rng.integers(0, 300, 2)
+        if s != t and (int(s), int(t)) not in seen:
+            seen.add((int(s), int(t)))
+            edges.append((int(s), int(t), int(rng.integers(1, 9))))
+    got = (
+        pagerank(ray.data.from_arrow(_edge_table(edges)), iters=3)
+        .to_pandas()
+        .set_index("entity_id")["rank"]
+        .to_dict()
+    )
+    want = _fixed_point_pagerank(edges, iters=3)
+    assert got == want  # exact, not isclose
+
+
 def test_edge_pmi_hand_computed(ray_session) -> None:
     import math
 
@@ -264,6 +311,37 @@ def test_random_walks_match_reference(ray_session) -> None:
         ).take_all()
     }
     assert got == _walks_reference(edges, 5, 2, 7)
+
+
+def test_walk_pairs_window_semantics(ray_session) -> None:
+    import pyarrow as pa
+
+    from promptner_ray.functions.graphops import walk_pairs
+
+    # one walk 0→1→2→3, one truncated walk 9→8 (sink): offset-3 pairs
+    # (0,3) must NOT appear at window=2; the truncated walk only pairs
+    # its two rows; counts aggregate across walks
+    walks = pa.table(
+        {
+            "start_node": pa.array([0, 0, 0, 0, 9, 9], type=pa.int64()),
+            "walk_no": pa.array([0] * 6, type=pa.int64()),
+            "step": pa.array([0, 1, 2, 3, 0, 1], type=pa.int64()),
+            "entity_id": pa.array([0, 1, 2, 3, 9, 8], type=pa.int64()),
+        }
+    )
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in walk_pairs(ray.data.from_arrow(walks)).take_all()
+    }
+    want = {}
+    seq = [0, 1, 2, 3]
+    for i in range(len(seq)):
+        for j in range(len(seq)):
+            if 1 <= abs(i - j) <= 2:
+                want[(seq[i], seq[j])] = want.get((seq[i], seq[j]), 0) + 1
+    want[(9, 8)] = 1
+    want[(8, 9)] = 1
+    assert got == want
 
 
 def _peel_reference(edges, k):
