@@ -351,43 +351,62 @@ def _kg_communities(sf_dir: str):
     return label_propagation(kg.edges(_kg_triples(sf_dir)))
 
 
-def _kg_edges_incremental(sf_dir: str):
-    """Two crawl waves (url-hash split) processed into edge tables
-    independently, then merged — must equal the batch ``edg`` table
-    exactly (the oracle IS the batch SQL)."""
+def _wave_filter(parity: int):
+    """Deterministic two-wave split of the triples stream by url hash —
+    the sandbox stand-in for two crawl segments (shared by the
+    incremental-merge and edge-diff queries; the SQL twins replay the
+    same md5-parity predicate)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from promptner_ray.kernels.cleaning import surface_hash64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        d = pc.dictionary_encode(urls)
+        par = pa.array(
+            [surface_hash64(u) % 2 for u in d.dictionary.to_pylist()],
+            type=pa.int64(),
+        )
+        mask = pc.equal(pc.take(par, d.indices), parity)
+        return batch.filter(mask)
+
+    return fn
+
+
+def _kg_edges_incremental(sf_dir: str):
+    """Two crawl waves (url-hash split) processed into edge tables
+    independently, then merged — must equal the batch ``edg`` table
+    exactly (the oracle IS the batch SQL)."""
     from promptner_ray.pipelines import kg
 
     triples = _kg_triples(sf_dir)
-
-    def wave_filter(parity: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            urls = batch.column("url")
-            if isinstance(urls, pa.ChunkedArray):
-                urls = urls.combine_chunks()
-            d = pc.dictionary_encode(urls)
-            par = pa.array(
-                [
-                    surface_hash64(u) % 2
-                    for u in d.dictionary.to_pylist()
-                ],
-                type=pa.int64(),
-            )
-            mask = pc.equal(pc.take(par, d.indices), parity)
-            return batch.filter(mask)
-
-        return fn
-
     waves = [
         kg.edges(
-            triples.map_batches(wave_filter(p), batch_format="pyarrow")
+            triples.map_batches(_wave_filter(p), batch_format="pyarrow")
         )
         for p in (0, 1)
     ]
     return kg.merge_edge_tables(*waves)
+
+
+def _kg_edge_diff(sf_dir: str):
+    """What the second crawl wave changed: edges whose weight differs
+    between the wave-0 and wave-1 edge tables (new / changed /
+    vanished), the incremental-maintenance signal for cache
+    invalidation and re-scoring."""
+    from promptner_ray.pipelines import kg
+
+    triples = _kg_triples(sf_dir)
+    old, new = [
+        kg.edges(
+            triples.map_batches(_wave_filter(p), batch_format="pyarrow")
+        )
+        for p in (0, 1)
+    ]
+    return kg.edge_diff(old, new)
 
 
 def _cc_outlinks(sf_dir: str):
@@ -867,6 +886,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _kg_communities,
         # incremental-crawl wave merge must equal the batch edge table
         "kg_edges_incremental": _kg_edges_incremental,
+        # oracle: full-outer join of the two wave-replay edge CTEs
+        "kg_edge_diff": _kg_edge_diff,
         # web-graph edge extraction from raw HTML anchors
         "cc_outlinks": _cc_outlinks,
         # keep-newest-crawl per URL over (injected) multi-snapshot pages
@@ -1305,6 +1326,41 @@ def _adamic_adar_sql() -> str:
         SELECT x AS a, y AS b, common, aa_fp,
                aa_fp / {float(AA_SCALE)} AS adamic_adar
         FROM pairs WHERE common >= 2
+    """
+
+
+def _edge_diff_sql() -> str:
+    """SQL twin of ``_kg_edge_diff``: replay the md5 url-parity wave
+    split, build each wave's edge table with a GROUP BY, FULL OUTER
+    JOIN them on the edge identity and keep rows whose weights differ —
+    an algorithm independent of the engine's digest-keyed two-join
+    plan."""
+    hurl = _sql_hash64("url")
+    subj = _sql_hash64(_sql_norm("subj"))
+    obj = _sql_hash64(_sql_norm("obj"))
+    return f"""
+        WITH tr AS (SELECT url, subj, pred, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        e0 AS (
+          SELECT {subj} AS subj_id, pred, {obj} AS obj_id,
+                 count(*)::BIGINT AS w
+          FROM tr WHERE (({hurl}) % 2 + 2) % 2 = 0
+          GROUP BY 1, 2, 3),
+        e1 AS (
+          SELECT {subj} AS subj_id, pred, {obj} AS obj_id,
+                 count(*)::BIGINT AS w
+          FROM tr WHERE (({hurl}) % 2 + 2) % 2 = 1
+          GROUP BY 1, 2, 3)
+        SELECT coalesce(e1.subj_id, e0.subj_id) AS subj_id,
+               coalesce(e1.pred, e0.pred) AS pred,
+               coalesce(e1.obj_id, e0.obj_id) AS obj_id,
+               coalesce(e0.w, 0)::BIGINT AS w_old,
+               coalesce(e1.w, 0)::BIGINT AS w_new,
+               (coalesce(e1.w, 0) - coalesce(e0.w, 0))::BIGINT AS delta
+        FROM e1 FULL OUTER JOIN e0
+          ON e1.subj_id = e0.subj_id AND e1.pred = e0.pred
+         AND e1.obj_id = e0.obj_id
+        WHERE coalesce(e1.w, 0) != coalesce(e0.w, 0)
     """
 
 
@@ -2376,6 +2432,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Adamic-Adar: pair CTE + inverse-log fixed-point pivot weights
         "kg_adamic_adar": _adamic_adar_sql(),
+        # crawl-wave edge diff: wave replay + FULL OUTER JOIN
+        "kg_edge_diff": _edge_diff_sql(),
         # edit-distance alias pairs: injection replay + levenshtein scan
         "kg_alias_pairs": _alias_pairs_sql(),
         # alias clusters: the pair SQL closed by reachability (the same

@@ -293,6 +293,143 @@ def merge_edge_tables(*edge_tables, num_partitions: int | None = None):
     )
 
 
+def edge_diff(old_edges, new_edges, num_partitions: int | None = None):
+    """Between-crawl edge diff — (subj_id, pred, obj_id, w_old, w_new,
+    delta) for every edge whose weight CHANGED between two waves (new
+    edges: w_old = 0; vanished edges: w_new = 0; unchanged edges are
+    dropped).  The incremental-maintenance companion of
+    :func:`merge_edge_tables`: what a re-crawl actually changed, the
+    input for cache invalidation and downstream re-scoring.
+
+    Plan: both sides key on (subj_id, pred-digest, obj_id) — the string
+    predicate never keys an exchange — through two padded left-outer
+    ``local_hash_join`` passes (new⟕old for new/changed rows, old⟕new
+    filtered to misses for vanished rows).  Edge tables are already
+    distinct per wave, so each join moves ≤ one row per edge per side.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..kernels.cleaning import surface_hash64
+    from ..shuffle import local_hash_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        preds = t.column("pred")
+        if isinstance(preds, pa.ChunkedArray):
+            preds = preds.combine_chunks()
+        d = pc.dictionary_encode(preds)
+        pk = pa.array(
+            [surface_hash64(p) for p in d.dictionary.to_pylist()],
+            type=pa.int64(),
+        )
+        return pa.table(
+            {
+                "subj_id": t.column("subj_id").cast(pa.int64()),
+                "pk": pc.take(pk, d.indices),
+                "obj_id": t.column("obj_id").cast(pa.int64()),
+                "pred": preds,
+                "w": t.column("weight").cast(pa.int64()),
+            }
+        )
+
+    keys = ["subj_id", "pk", "obj_id"]
+    full = pa.schema(
+        [
+            ("subj_id", pa.int64()),
+            ("pk", pa.int64()),
+            ("obj_id", pa.int64()),
+            ("pred", pa.string()),
+            ("w", pa.int64()),
+        ]
+    )
+    slim = pa.schema(
+        [
+            ("subj_id", pa.int64()),
+            ("pk", pa.int64()),
+            ("obj_id", pa.int64()),
+            ("w2", pa.int64()),
+        ]
+    )
+    old_p = old_edges.map_batches(prep, batch_format="pyarrow")
+    new_p = new_edges.map_batches(prep, batch_format="pyarrow")
+
+    def slim_of(ds):
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "subj_id": t.column("subj_id"),
+                    "pk": t.column("pk"),
+                    "obj_id": t.column("obj_id"),
+                    "w2": t.column("w"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    changed = local_hash_join(
+        new_p,
+        slim_of(old_p),
+        on=keys,
+        left_schema=full,
+        right_schema=slim,
+        how="left_outer",
+        num_partitions=num_partitions,
+    )
+    vanished = local_hash_join(
+        old_p,
+        slim_of(new_p),
+        on=keys,
+        left_schema=full,
+        right_schema=slim,
+        how="left_outer",
+        num_partitions=num_partitions,
+    )
+
+    def finish(new_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            other = (
+                t.column("w2").fill_null(-1).to_numpy(zero_copy_only=False)
+            )
+            if new_side:
+                w_new, w_old = w, np.maximum(other, 0)
+                keep = w_new != w_old
+            else:
+                # old side contributes ONLY edges absent from the new
+                # wave (present-on-both rows were handled by the new
+                # side — emitting them here would double-count)
+                keep = other == -1
+                w_old, w_new = w, np.zeros(len(w), dtype=np.int64)
+            return pa.table(
+                {
+                    "subj_id": pa.array(
+                        t.column("subj_id").to_numpy(zero_copy_only=False)[
+                            keep
+                        ],
+                        type=pa.int64(),
+                    ),
+                    "pred": t.column("pred").filter(pa.array(keep)),
+                    "obj_id": pa.array(
+                        t.column("obj_id").to_numpy(zero_copy_only=False)[
+                            keep
+                        ],
+                        type=pa.int64(),
+                    ),
+                    "w_old": pa.array(w_old[keep], type=pa.int64()),
+                    "w_new": pa.array(w_new[keep], type=pa.int64()),
+                    "delta": pa.array(
+                        (w_new - w_old)[keep], type=pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    return changed.map_batches(
+        finish(True), batch_format="pyarrow"
+    ).union(vanished.map_batches(finish(False), batch_format="pyarrow"))
+
+
 def named_edges(edges_ds, nodes_by_id_ref):
     return edges_ds.map_batches(
         EdgeNamer,
