@@ -68,6 +68,29 @@ def _kg_cfg():
     return KGConfig(detect_concurrency=(1, 8))
 
 
+def _kg_stage(sf_dir: str, stage: str):
+    """Read one cached KG stage table for ``sf_dir``.
+
+    The checkpointed pipeline (``pipelines/kg.py::run_kg`` via
+    ``pipelines/export.py::ensure_kg_export``) runs ONCE per scale factor
+    and leaves every stage as partitioned parquet; each ``kg_*`` query
+    then reads its stage table instead of recomputing the whole
+    pages→…→triples chain per query — the same export the SQL oracles
+    read their UPSTREAM from (the oracle for stage N re-derives it in SQL
+    from stage N−1's export, so the comparison stays independent).  The
+    hive partition key (``part``/``bucket``) is an output-layout detail,
+    not part of the logical schema, and is dropped on read.
+    """
+    import ray
+
+    from promptner_ray.pipelines.export import ensure_kg_export
+
+    root = ensure_kg_export(sf_dir)
+    ds = ray.data.read_parquet(str(root / stage))
+    drop = [c for c in ("part", "bucket") if c in ds.schema().names]
+    return ds.drop_columns(drop) if drop else ds
+
+
 def _kg_docs_text(sf_dir: str):
     from promptner_ray.pipelines import kg
 
@@ -81,51 +104,37 @@ def _kg_sentences(sf_dir: str):
 
 
 def _kg_detected(sf_dir: str):
-    from promptner_ray.pipelines import kg
-
-    cfg = _kg_cfg()
-    return kg.detected(kg.sentences(kg.docs_text(_pages(sf_dir), cfg), cfg), cfg)
+    return _kg_stage(sf_dir, "detected")
 
 
 def _kg_mentions(sf_dir: str):
-    from promptner_ray.pipelines import kg
-
-    return kg.mentions(_kg_detected(sf_dir), _kg_cfg())
+    return _kg_stage(sf_dir, "mentions")
 
 
 def _kg_triples(sf_dir: str):
-    from promptner_ray.pipelines import kg
-
-    return kg.triples(_kg_detected(sf_dir), _kg_cfg())
+    return _kg_stage(sf_dir, "triples")
 
 
 def _kg_links(sf_dir: str):
-    from promptner_ray.pipelines import kg
-
-    return kg.links(_kg_mentions(sf_dir))
+    return _kg_stage(sf_dir, "links")
 
 
 def _kg_nodes(sf_dir: str):
-    from promptner_ray.pipelines.kg import links_to_nodes
-
-    return _kg_links(sf_dir).map_batches(
-        links_to_nodes, batch_format="pyarrow"
-    )
+    return _kg_stage(sf_dir, "nodes")
 
 
 def _kg_edges(sf_dir: str):
-    import ray
+    # Named edges as materialized by ``run_graph`` — which applies the
+    # size-thresholded broadcast-vs-join naming switch
+    # (pipelines/kg.py::run_graph); the query path shares that one
+    # implementation instead of hardcoding a driver-side broadcast.
+    return _kg_stage(sf_dir, "edges")
 
-    from promptner_ray.pipelines import kg
 
-    edges_ds = kg.edges(_kg_triples(sf_dir))
-    nodes_df = _kg_nodes(sf_dir).select_columns(
-        ["entity_id", "canonical"]
-    ).to_pandas()  # small by construction (post-aggregate)
-    names_ref = ray.put(
-        dict(zip(nodes_df["entity_id"], nodes_df["canonical"]))
-    )
-    return kg.named_edges(edges_ds, names_ref)
+def _kg_edges_raw(sf_dir: str):
+    """Unnamed weighted edge table (subj_id, pred, obj_id, weight) — the
+    input of every graph-analytics operator below."""
+    return _kg_stage(sf_dir, "edges_raw")
 
 
 def _kg_degrees(sf_dir: str):
@@ -150,9 +159,8 @@ def _kg_reachability(sf_dir: str):
     import pyarrow as pa
 
     from promptner_ray.functions.graphops import bfs_hops, node_degrees
-    from promptner_ray.pipelines import kg
 
-    edges = kg.edges(_kg_triples(sf_dir)).materialize()
+    edges = _kg_edges_raw(sf_dir).materialize()
 
     def best_block(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -185,9 +193,8 @@ def _kg_walk_pairs(sf_dir: str):
     """Skip-gram (center, context, n) pairs from the deterministic walk
     corpus — the embedding-trainer input stream."""
     from promptner_ray.functions.graphops import random_walks, walk_pairs
-    from promptner_ray.pipelines import kg
 
-    return walk_pairs(random_walks(kg.edges(_kg_triples(sf_dir))))
+    return walk_pairs(random_walks(_kg_edges_raw(sf_dir)))
 
 
 def _kg_alias_pairs(sf_dir: str):
@@ -243,9 +250,8 @@ def _kg_random_walks(sf_dir: str):
     seed) — bit-identical at any parallelism, replayed exactly by the
     recursive-CTE oracle."""
     from promptner_ray.functions.graphops import random_walks
-    from promptner_ray.pipelines import kg
 
-    return random_walks(kg.edges(_kg_triples(sf_dir)))
+    return random_walks(_kg_edges_raw(sf_dir))
 
 
 def _kg_edge_times(sf_dir: str):
@@ -256,30 +262,26 @@ def _kg_edge_times(sf_dir: str):
 
 def _kg_pmi(sf_dir: str):
     from promptner_ray.functions.graphops import edge_pmi
-    from promptner_ray.pipelines import kg
 
-    return edge_pmi(kg.edges(_kg_triples(sf_dir)))
+    return edge_pmi(_kg_edges_raw(sf_dir))
 
 
 def _kg_triangles(sf_dir: str):
     from promptner_ray.functions.graphops import triangle_counts
-    from promptner_ray.pipelines import kg
 
-    return triangle_counts(kg.edges(_kg_triples(sf_dir)))
+    return triangle_counts(_kg_edges_raw(sf_dir))
 
 
 def _kg_clustering(sf_dir: str):
     from promptner_ray.functions.graphops import clustering_coefficient
-    from promptner_ray.pipelines import kg
 
-    return clustering_coefficient(kg.edges(_kg_triples(sf_dir)))
+    return clustering_coefficient(_kg_edges_raw(sf_dir))
 
 
 def _kg_node_jaccard(sf_dir: str):
     from promptner_ray.functions.graphops import neighbor_jaccard
-    from promptner_ray.pipelines import kg
 
-    return neighbor_jaccard(kg.edges(_kg_triples(sf_dir)))
+    return neighbor_jaccard(_kg_edges_raw(sf_dir))
 
 
 def _kg_adamic_adar(sf_dir: str):
@@ -287,9 +289,8 @@ def _kg_adamic_adar(sf_dir: str):
     link-prediction refinement of neighbor-Jaccard, hash-exact because
     pivot weights ride as 2⁻⁴⁰ fixed-point int64."""
     from promptner_ray.functions.graphops import adamic_adar
-    from promptner_ray.pipelines import kg
 
-    return adamic_adar(kg.edges(_kg_triples(sf_dir)))
+    return adamic_adar(_kg_edges_raw(sf_dir))
 
 
 def _kg_entity_merge(sf_dir: str):
@@ -304,10 +305,9 @@ def _kg_entity_merge(sf_dir: str):
         connected_components,
         neighbor_jaccard,
     )
-    from promptner_ray.pipelines import kg
 
     pairs = neighbor_jaccard(
-        kg.edges(_kg_triples(sf_dir)), min_jaccard=ENTITY_MERGE_JACCARD
+        _kg_edges_raw(sf_dir), min_jaccard=ENTITY_MERGE_JACCARD
     )
     cc = connected_components(pairs, a="a", b="b")
     return cc.map_batches(
@@ -335,9 +335,8 @@ def _events_user_sketch(sf_dir: str):
 
 def _kg_kcore(sf_dir: str):
     from promptner_ray.functions.graphops import k_core
-    from promptner_ray.pipelines import kg
 
-    return k_core(kg.edges(_kg_triples(sf_dir)), k=3)
+    return k_core(_kg_edges_raw(sf_dir), k=3)
 
 
 def _kg_communities(sf_dir: str):
@@ -346,9 +345,8 @@ def _kg_communities(sf_dir: str):
     value-checks it; the two-clique convergence is also pinned in
     tests/test_graphops.py."""
     from promptner_ray.functions.graphops import label_propagation
-    from promptner_ray.pipelines import kg
 
-    return label_propagation(kg.edges(_kg_triples(sf_dir)))
+    return label_propagation(_kg_edges_raw(sf_dir))
 
 
 def _wave_filter(parity: int):
@@ -429,26 +427,107 @@ def _kg_export(sf_dir: str) -> str:
 
 
 def _kg_eval(sf_dir: str):
-    """Triple P/R of the Ray pipeline vs the single-process oracle."""
-    import pandas as pd
+    """Triple P/R of the Ray pipeline vs the single-process oracle —
+    computed DISTRIBUTED (multiset P/R, same arithmetic as
+    ``pipelines/oracle.py::triple_prf``): the predicted triple stream
+    collapses map-side to per-digest counts and one int64-keyed grouped
+    Sum; the reference side (inherently driver-sized: it IS the
+    single-process replay) joins in as a small dataset; tp is a
+    ``min(n_pred, n_ref)`` column summed by the engine.  The driver only
+    ever sees three scalar aggregates — no ``take_all`` of the triples.
+    """
+    from collections import Counter
 
-    from promptner_ray.pipelines.oracle import oracle_run, triple_prf
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.kernels.cleaning import surface_hash64
+    from promptner_ray.pipelines.oracle import oracle_run
+    from promptner_ray.shuffle import hash_grouped, local_hash_join
+
+    sep = "\x1f"
+
+    def key_of(url, sent_id, subj, pred, obj) -> int:
+        return surface_hash64(
+            sep.join((url, str(sent_id), subj, pred, obj))
+        )
 
     name = pathlib.Path(sf_dir).name
     n_docs = _CORPUS_DOCS.get(name, _DEFAULT_DOCS)
     ref = oracle_run(n_docs, seed=42, sf_dir=sf_dir)
-    got = [
-        (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"])
-        for r in _kg_triples(sf_dir).take_all()  # small synthetic corpus
-    ]
-    prf = triple_prf(got, ref["triples"])
+    ref_counts = Counter(key_of(*t) for t in ref["triples"])
+    total_r = sum(ref_counts.values())
+    ref_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(list(ref_counts), type=pa.int64()),
+                "n_ref": pa.array(
+                    list(ref_counts.values()), type=pa.int64()
+                ),
+            }
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(
+            key_of(u, s, sj, p, o)
+            for u, s, sj, p, o in zip(
+                batch.column("url").to_pylist(),
+                batch.column("sent_id").to_pylist(),
+                batch.column("subj").to_pylist(),
+                batch.column("pred").to_pylist(),
+                batch.column("obj").to_pylist(),
+            )
+        )
+        return pa.table(
+            {
+                "key": pa.array(list(c), type=pa.int64()),
+                "n_pred": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    pred_counts = hash_grouped(
+        _kg_triples(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["key"],
+        [("n_pred", "sum")],
+        rename={"n_pred_sum": "n_pred"},
+    )
+    total_p = int(pred_counts.sum("n_pred") or 0)
+    joined = local_hash_join(
+        pred_counts,
+        ref_ds,
+        on=["key"],
+        left_schema=pa.schema(
+            [("key", pa.int64()), ("n_pred", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("key", pa.int64()), ("n_ref", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    def tp_col(batch: pa.Table) -> pa.Table:
+        tp = np.minimum(
+            batch.column("n_pred").to_numpy(zero_copy_only=False),
+            batch.column("n_ref").to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"tp": pa.array(tp, type=pa.int64())})
+
+    tp = int(
+        joined.map_batches(tp_col, batch_format="pyarrow").sum("tp") or 0
+    )
+    prec = tp / total_p if total_p else 0.0
+    rec = tp / total_r if total_r else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     return pd.DataFrame(
         [
             {
-                "precision": prf["precision"],
-                "recall": prf["recall"],
-                "f1": prf["f1"],
-                "n_triples": len(got),
+                "precision": prec,
+                "recall": rec,
+                "f1": f1,
+                "n_triples": total_p,
             }
         ]
     )

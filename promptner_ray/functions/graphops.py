@@ -1608,7 +1608,10 @@ def neighbor_jaccard(
 
 #: Fixed-point scale for :func:`adamic_adar` pivot weights — 2**40, a
 #: power of two so ``aa_fp / AA_SCALE`` is an exact float64 both in
-#: numpy and in the DuckDB oracle.
+#: numpy and in the DuckDB oracle while ``aa_fp < 2**53`` (i.e. below
+#: ~2**13·ln 2 ≈ 5,678 capped common pivots per pair — far above the
+#: ``max_pivot_degree`` regime); beyond that the conversion rounds, but
+#: numpy and DuckDB round identically so parity still holds.
 AA_SCALE = 1 << 40
 
 

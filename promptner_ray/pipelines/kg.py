@@ -56,10 +56,22 @@ def part_from_url(url: str) -> int:
 
 
 def add_part_batch(batch: pa.Table) -> pa.Table:
-    parts = [part_from_url(u) for u in batch.column("url").to_pylist()]
+    # dictionary-encode first: the regex runs once per DISTINCT url, not
+    # per row (sentence/mention/triple batches repeat each url many times)
+    import pyarrow.compute as pc
+
+    urls = batch.column("url")
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    d = pc.dictionary_encode(urls)
+    per_distinct = pa.array(
+        [part_from_url(u) for u in d.dictionary.to_pylist()],
+        type=pa.int32(),
+    )
+    parts = pc.take(per_distinct, d.indices)
     if "part" in batch.column_names:
         batch = batch.drop_columns(["part"])
-    return batch.append_column("part", pa.array(parts, type=pa.int32()))
+    return batch.append_column("part", parts)
 
 
 @dataclass
@@ -198,10 +210,20 @@ def page_times(pages_ds):
     from ..kernels.cleaning import surface_hash64
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = [surface_hash64(u) for u in batch.column("url").to_pylist()]
+        import pyarrow.compute as pc
+
+        urls = batch.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        d = pc.dictionary_encode(urls)
+        per_distinct = pa.array(
+            [surface_hash64(u) for u in d.dictionary.to_pylist()],
+            type=pa.int64(),
+        )
+        keys = pc.take(per_distinct, d.indices)
         return pa.table(
             {
-                "url_key": pa.array(keys, type=pa.int64()),
+                "url_key": keys,
                 "ts": batch.column("warc_ts")
                 .cast(pa.timestamp("us"))
                 .cast(pa.int64()),
