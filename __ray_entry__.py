@@ -646,11 +646,13 @@ def _embed_cluster(sf_dir: str):
 
 def _knn_ivf(sf_dir: str):
     """IVF ANN: sample-trained centroids, ingest-time cell assignment,
-    candidate-pruned top-k probe."""
+    candidate-pruned top-k probe.  The centroids are exported so the SQL
+    oracle can replay assignment, probe set, and candidate top-k."""
     import ray
 
     from promptner_ray.functions import similarity
 
+    similarity.ensure_centroid_export(sf_dir)
     cent_ref = ray.put(similarity.train_centroids(sf_dir))
     qref = ray.put(similarity.load_query_matrix(sf_dir, KNN_QUERIES))
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -659,17 +661,36 @@ def _knn_ivf(sf_dir: str):
     )
 
 
-def _cosine_pairs_ivf(sf_dir: str):
-    """Near-dup pairs via IVF-cell self-join — no corpus broadcast."""
+def _knn_lsh(sf_dir: str):
+    """LSH ANN: the hyperplanes are exported so the SQL oracle can
+    recompute the sign-pattern buckets and the Hamming-≤2 probe set."""
     import ray
 
     from promptner_ray.functions import similarity
 
+    similarity.ensure_plane_export(sf_dir)
+    qref = ray.put(similarity.load_query_matrix(sf_dir, KNN_QUERIES))
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.knn_lsh(emb, qref, k=KNN_K)
+
+
+def _cosine_pairs_ivf(sf_dir: str):
+    """Near-dup pairs via IVF-cell self-join — no corpus broadcast.
+    The query surface carries the pair ids only: the engine's cosine is
+    a float whose last-ULP depends on summation order, so the
+    value-hash-robust columns are the ids; the threshold itself is
+    verified by the SQL twin recomputing the cosine over the same
+    exported-centroid candidate set."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    similarity.ensure_centroid_export(sf_dir)
     cent_ref = ray.put(similarity.train_centroids(sf_dir))
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_pairs_ivf(
         emb, cent_ref, threshold=COSINE_THRESHOLD
-    )
+    ).select_columns(["vec_a", "vec_b"])
 
 
 def _events_asof(sf_dir: str):
@@ -868,9 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_cosine_pairs": lambda sf: similarity.cosine_pairs(
             _emb(sf), _mref(sf), threshold=COSINE_THRESHOLD
         ),
-        "embed_knn_lsh": lambda sf: similarity.knn_lsh(
-            _emb(sf), _qref(sf), k=KNN_K
-        ),
+        "embed_knn_lsh": _knn_lsh,
         "embed_knn_ivf": _knn_ivf,
         "embed_cluster": _embed_cluster,
         "embed_cosine_pairs_ivf": _cosine_pairs_ivf,
@@ -1715,9 +1734,19 @@ def oracle_sql() -> dict[str, str]:
             _kg_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     except Exception:
         pass  # no Ray session: the export must already exist on disk
-    from promptner_ray.functions.similarity import ensure_centroid_export
+    from promptner_ray.functions.similarity import (
+        IVF_NPROBE,
+        PAIR_ASSIGN_CELLS,
+        ensure_centroid_export,
+        ensure_plane_export,
+    )
 
     ensure_centroid_export(f"/root/testdata/{_ORACLE_SF_NAME}")
+    ensure_plane_export(f"/root/testdata/{_ORACLE_SF_NAME}")
+    _centroids = (
+        f"/tmp/promptner_centroids/{_ORACLE_SF_NAME}/centroids.parquet"
+    )
+    _planes = f"/tmp/promptner_planes/{_ORACLE_SF_NAME}/planes.parquet"
     from promptner_ray.pipelines.corpus_clean import (
         CURATE_DUP2_MAX,
         CURATE_TOP_TOKEN_MAX as CURATE_TOP_MAX,
@@ -2202,6 +2231,104 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(
                     a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  >= {COSINE_THRESHOLD}
+        """,
+        # IVF ANN replay over the exported centroid table: cell
+        # assignment = argmax cosine (sim DESC, cell ASC — the np.argmax
+        # first-max tie-break), probe set = the nprobe best cells per
+        # query (stable argsort ≡ row_number over sim DESC, cell ASC),
+        # then exact cosine top-k over candidates only — the SQL scans
+        # the identical candidate set the engine prunes to
+        "embed_knn_ivf": f"""
+            WITH cent AS (SELECT cell, centroid
+                          FROM read_parquet('{_centroids}')),
+            assign AS (
+              SELECT e.vec_id, (
+                SELECT c.cell FROM cent c
+                ORDER BY list_cosine_similarity(
+                  e.embedding::DOUBLE[], c.centroid) DESC, c.cell ASC
+                LIMIT 1) AS cell
+              FROM embeddings e),
+            probes AS (
+              SELECT qid, cell FROM (
+                SELECT e.vec_id AS qid, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.centroid) DESC,
+                           c.cell ASC) AS rn
+                FROM embeddings e, cent c
+                WHERE e.vec_id < {KNN_QUERIES})
+              WHERE rn <= {IVF_NPROBE}),
+            scored AS (
+              SELECT p.qid, e.vec_id AS nid,
+                     row_number() OVER (PARTITION BY p.qid
+                       ORDER BY list_cosine_similarity(
+                         q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                         DESC, e.vec_id) AS rank
+              FROM probes p
+              JOIN embeddings q ON q.vec_id = p.qid
+              JOIN assign a ON a.cell = p.cell
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              WHERE e.vec_id != p.qid)
+            SELECT qid, nid, rank FROM scored WHERE rank <= {KNN_K}
+        """,
+        # LSH ANN replay over the exported hyperplanes: bucket = the
+        # 8-bit sign pattern of plane dot products, candidates = buckets
+        # within Hamming distance 2 of the query's (≡ the engine's own
+        # bucket + all 1- and 2-bit flips), then exact cosine top-k
+        "embed_knn_lsh": f"""
+            WITH pl AS (SELECT plane_id, plane
+                        FROM read_parquet('{_planes}')),
+            b AS (
+              SELECT e.vec_id,
+                     sum(CASE WHEN list_dot_product(
+                           e.embedding::DOUBLE[], p.plane) > 0
+                         THEN (1::BIGINT << p.plane_id)
+                         ELSE 0 END)::BIGINT AS bucket
+              FROM embeddings e, pl p GROUP BY e.vec_id),
+            q AS (
+              SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket AS qb
+              FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+              WHERE e.vec_id < {KNN_QUERIES}),
+            scored AS (
+              SELECT q.qid, e.vec_id AS nid,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(
+                         q.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                         e.vec_id) AS rank
+              FROM q
+              JOIN b vb ON bit_count(xor(q.qb, vb.bucket)) <= 2
+              JOIN embeddings e ON e.vec_id = vb.vec_id
+              WHERE e.vec_id != q.qid)
+            SELECT qid, nid, rank FROM scored WHERE rank <= {KNN_K}
+        """,
+        # IVF-cell self-join near-dup replay: each vector indexed under
+        # its top-2 cells (stable argsort ≡ row_number), candidate pairs
+        # share ≥1 cell, verification is the exact cosine ≥ threshold —
+        # the id pair set is float-robust (no cosine column crosses the
+        # comparison)
+        "embed_cosine_pairs_ivf": f"""
+            WITH cent AS (SELECT cell, centroid
+                          FROM read_parquet('{_centroids}')),
+            ranked AS (
+              SELECT e.vec_id, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                         e.embedding::DOUBLE[], c.centroid) DESC,
+                         c.cell ASC) AS rn
+              FROM embeddings e, cent c),
+            assign AS (SELECT vec_id, cell FROM ranked
+                       WHERE rn <= {PAIR_ASSIGN_CELLS}),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM assign a JOIN assign b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id)
+            SELECT c.vec_a, c.vec_b
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
+            WHERE list_cosine_similarity(
+                    ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
                   >= {COSINE_THRESHOLD}
         """,
         "multimodal_features": (

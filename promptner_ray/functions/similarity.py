@@ -370,7 +370,9 @@ class _IvfPartial:
         self.k = k
         qn = np.maximum(np.linalg.norm(self.qmat, axis=1, keepdims=True), 1e-12)
         scores = (self.qmat / qn) @ cent.T
-        self.probes = np.argsort(-scores, axis=1)[:, :nprobe]
+        # stable: score ties resolve to the LOWER cell in both numpy and
+        # the SQL oracle's (sim DESC, cell ASC) row_number
+        self.probes = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
         self._seen = 0
         self._cand = 0
 
@@ -462,7 +464,7 @@ class _CellRowEmitter:
         ids, mat = _batch_matrix(batch)
         norm = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         scores = (mat / norm) @ self.cent.T
-        top = np.argsort(-scores, axis=1)[:, : self.n_assign]
+        top = np.argsort(-scores, axis=1, kind="stable")[:, : self.n_assign]
         n, a = len(ids), self.n_assign
         packed = [mat[i].astype(np.float32).tobytes() for i in range(n)]
         return pa.table(
@@ -580,6 +582,40 @@ def cosine_pairs_ivf(
         [("cos", "min")],
         rename={"cos_min": "cos"},
     )
+
+
+PLANE_EXPORT_ROOT = "/tmp/promptner_planes"
+
+
+def ensure_plane_export(sf_dir: str, dim: int = 64) -> str:
+    """Write the (seed-deterministic) LSH hyperplanes as plain parquet —
+    (plane_id, plane list<double>) — so an independent engine can
+    recompute the sign-pattern buckets and replay the Hamming-≤2 probe:
+    the same exported-upstream oracle scheme as the k-means centroids.
+    Pure driver-side numpy + pyarrow; idempotent."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    out_dir = pathlib.Path(PLANE_EXPORT_ROOT) / pathlib.Path(sf_dir).name
+    out = out_dir / "planes.parquet"
+    if out.exists():
+        return str(out)
+    planes = lsh_planes(dim)  # (dim, N_PLANES)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tbl = pa.table(
+        {
+            "plane_id": pa.array(range(planes.shape[1]), type=pa.int64()),
+            "plane": pa.array(
+                [planes[:, j].tolist() for j in range(planes.shape[1])],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    tmp = out_dir / "planes.parquet.tmp"
+    pq.write_table(tbl, tmp)
+    tmp.rename(out)
+    return str(out)
 
 
 # --- k-means clustering as a first-class operator ---------------------
