@@ -184,6 +184,55 @@ def _web_graph_bench(corpus_root: pathlib.Path) -> float:
     return time.monotonic() - t0
 
 
+def _build_web_edges(corpus_root: pathlib.Path):
+    """Materialized int64 outlink edge table over the bench corpus."""
+    from promptner_ray.functions.urls import web_edges
+    from promptner_ray.sources.corpus import read_pages
+
+    pages = read_pages(corpus_root, columns=["url", "html"])
+    return web_edges(pages).materialize()
+
+
+def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
+    """Graph analytics over the REAL web graph (≥10⁶ edges), not the
+    KG toy: PageRank / k-core / walks / triangles / degrees over the
+    outlink edge table, with per-edge throughput for the iterative op —
+    at bench scale the KG edge table is ~70 nodes (those timings are
+    pure exchange latency), so this section is where the graph ops'
+    scaling behavior is actually visible."""
+    from promptner_ray.functions.graphops import (
+        k_core,
+        node_degrees,
+        pagerank,
+        random_walks,
+        triangle_counts,
+    )
+
+    t0 = time.monotonic()
+    edges = _build_web_edges(corpus_root)
+    n_edges = edges.count()
+    build_s = time.monotonic() - t0
+    out: dict = {
+        "edges": n_edges,
+        "queries": {"web_edges_build": round(build_s, 3)},
+    }
+    pr_iters = 4
+    for name, fn in (
+        ("web_degrees", node_degrees),
+        ("web_pagerank", lambda e: pagerank(e, iters=pr_iters)),
+        ("web_kcore", lambda e: k_core(e, k=3)),
+        ("web_random_walks", random_walks),
+        ("web_triangles", triangle_counts),
+    ):
+        t0 = time.monotonic()
+        fn(edges).count()
+        out["queries"][name] = round(time.monotonic() - t0, 3)
+    out["pagerank_edges_per_sec"] = round(
+        n_edges * pr_iters / out["queries"]["web_pagerank"], 1
+    )
+    return out
+
+
 def _operator_suite() -> dict[str, float]:
     import __ray_entry__ as entrymod
 
@@ -230,9 +279,12 @@ def run_bench(headline_only: bool = False) -> dict:
     corpus_root = _ensure_bench_corpus()
     head = _headline(corpus_root)
     queries: dict[str, float] = {"kg_html_to_triples": round(head["sec"], 3)}
+    web_graph: dict = {}
     if not headline_only:
         queries.update(_graph_bench(corpus_root))
         queries["cc_outlinks"] = round(_web_graph_bench(corpus_root), 3)
+        web_graph = _web_graph_analytics(corpus_root)
+        queries.update(web_graph.pop("queries"))
         queries.update(_operator_suite())
     return {
         "metric": "kg_html_to_triples_sec",
@@ -245,6 +297,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "triples": head["triples"],
         "triples_per_sec": round(head["triples_per_sec"], 2),
         "headline_passes_sec": head["passes_sec"],
+        **({"web_graph": web_graph} if web_graph else {}),
     }
 
 
@@ -320,13 +373,105 @@ def run_scaling(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
     }
 
 
+def _web_pagerank_child() -> dict:
+    """Child body for ``--graph-scaling``: steady-state web-PageRank
+    timing at this process's ``RAY_GRAFT_CPUS`` over the pre-built
+    corpus (untimed edge build + one untimed warmup iteration, then the
+    mean of two timed 4-iteration passes — the same protocol as the
+    headline)."""
+    from promptner_ray.functions.graphops import pagerank
+
+    _init_ray(NUM_CPUS)
+    corpus_root = _ensure_bench_corpus()
+    edges = _build_web_edges(corpus_root)
+    n_edges = edges.count()
+    pagerank(edges, iters=1).count()  # warmup: spawn workers, build deg
+    iters, walls = 4, []
+    for _ in range(2):
+        t0 = time.monotonic()
+        pagerank(edges, iters=iters).count()
+        walls.append(time.monotonic() - t0)
+    wall = sum(walls) / len(walls)
+    return {
+        "value": round(wall, 3),
+        "unit": "sec",
+        "edges": n_edges,
+        "iters": iters,
+        "edges_per_sec": round(n_edges * iters / wall, 1),
+        "passes_sec": [round(w, 3) for w in walls],
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_graph_scaling(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
+    """The two-cluster-size criterion applied to an ITERATIVE graph op:
+    web PageRank over the outlink graph in fresh child processes at
+    several parallelism levels (same corpus, same protocol as
+    :func:`run_scaling`; criterion pair 2→8, 8→32 reported as the
+    single-box ceiling diagnostic).  Corpus size via ``WEB_SCALING_DOCS``
+    (default quarter of the full bench corpus → ~1.3M edges, so every
+    child still runs a ≥10⁶-edge graph)."""
+    docs = int(os.environ.get("WEB_SCALING_DOCS", str(BENCH_DOCS // 4)))
+    _init_ray(NUM_CPUS)
+    _ensure_bench_corpus(docs)
+    import ray
+
+    ray.shutdown()
+
+    results = {}
+    for cpus in levels:
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = SF_DIR
+        env["BENCH_DOCS"] = str(docs)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--web-pagerank-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    def eff(lo: int, hi: int) -> float:
+        tl = results[lo]["edges_per_sec"]
+        th = results[hi]["edges_per_sec"]
+        return round((th / tl) / (hi / lo), 3) if tl else 0.0
+
+    return {
+        "metric": "web_pagerank_scaling_efficiency",
+        "value": eff(2, 8) if 2 in results and 8 in results else eff(*levels[:2]),
+        "unit": "ratio",
+        "queries": {
+            f"web_pagerank_cpus{c}": results[c]["value"] for c in levels
+        },
+        "edges": results[levels[0]]["edges"],
+        "throughput": {
+            f"cpus{c}": results[c]["edges_per_sec"] for c in levels
+        },
+        "efficiency": {
+            **({"eff_2_to_8": eff(2, 8)} if 2 in results and 8 in results else {}),
+            **({"eff_8_to_32": eff(8, 32)} if 8 in results and 32 in results else {}),
+        },
+        "docs": docs,
+        "num_cpus": max(levels),
+        "sf": SF_DIR,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--graph-scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--web-pagerank-only", action="store_true")
     args = ap.parse_args()
     if args.scaling:
         out = run_scaling()
+    elif args.graph_scaling:
+        out = run_graph_scaling()
+    elif args.web_pagerank_only:
+        out = _web_pagerank_child()
     else:
         out = run_bench(headline_only=args.headline_only)
     print(json.dumps(out))

@@ -325,6 +325,40 @@ def outlinks(pages, num_partitions: int | None = None):
     )
 
 
+def web_edges(pages, num_partitions: int | None = None):
+    """pages → (subj_id, obj_id, weight): the outlink graph keyed by
+    int64 URL digests — the edge-table input that lets every graph
+    operator in :mod:`..functions.graphops` (PageRank, k-core, walks,
+    triangles, …) run over the WEB graph itself, not just the KG.
+
+    Same plan as :func:`outlinks` but the url strings are dropped after
+    the per-block combine: only (int64, int64, count) rows cross the
+    exchange — at web scale the edge table is pure fixed-width columns.
+    """
+    from ..shuffle import hash_grouped
+
+    partial = pages.select_columns(["url", "html"]).map_batches(
+        outlink_rows_batch, batch_format="pyarrow"
+    )
+    slim = partial.map_batches(
+        lambda t: pa.table(
+            {
+                "subj_id": t.column("src_key"),
+                "obj_id": t.column("tgt_key"),
+                "n": t.column("n"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_grouped(
+        slim,
+        ["subj_id", "obj_id"],
+        [("n", "sum")],
+        rename={"n_sum": "weight"},
+        num_partitions=num_partitions,
+    )
+
+
 def sql_outlinks(corpus_glob: str) -> str:
     """DuckDB twin of :func:`outlinks` over the pages parquet."""
     href_sql = HREF_PATTERN.replace("'", "''")

@@ -316,6 +316,51 @@ def process_batch_frame(batch: pd.DataFrame) -> pd.DataFrame:
     return batch.rename(columns=renames)
 
 
+def read_turk_batches(
+    survey_dir,
+    turk_name: str = "survey_result",
+    n_workers: int | None = None,
+):
+    """Per-worker MTurk batch-result CSVs → one judgment Dataset ready
+    for :func:`aggregate_responses` (reference ``connect_turk_output``,
+    ``eval.py:209-213``, which concatenates ``{turk_name}_{w}.csv`` for
+    w in range(n_workers)).
+
+    ``n_workers=None`` globs every ``{turk_name}_*.csv`` under
+    ``survey_dir``.  Files are read driver-side with pandas on purpose:
+    Turk batch results are human-sized (one row per paid judgment — the
+    reference's whole survey is 10 files), so a distributed read would
+    be ceremony; the DISTRIBUTED stage is the aggregation that follows.
+    ``resp_order`` is the (worker, row-in-file) lexicographic rank —
+    the "earliest response" tie-break the aggregation's grouped Min
+    needs, well-defined and reproducible across runs.
+    """
+    import pathlib
+
+    import ray
+
+    root = pathlib.Path(survey_dir)
+    if n_workers is None:
+        files = sorted(
+            root.glob(f"{turk_name}_*.csv"),
+            key=lambda p: int(p.stem.rsplit("_", 1)[1]),
+        )
+    else:
+        files = [root / f"{turk_name}_{w}.csv" for w in range(n_workers)]
+    frames = []
+    order0 = 0
+    for f in files:
+        frame = process_batch_frame(pd.read_csv(f))
+        frame["resp_order"] = range(order0, order0 + len(frame))
+        order0 += len(frame)
+        frames.append(frame)
+    if not frames:
+        raise FileNotFoundError(
+            f"no {turk_name}_*.csv batch files under {root}"
+        )
+    return ray.data.from_pandas(pd.concat(frames, ignore_index=True))
+
+
 _BIN_METRICS = ("gptcorrect", "truecorrect", "gptbetter", "gptworse")
 _MEAN_METRICS = ("gptmissing", "gptextra", "truemissing", "trueextra")
 

@@ -113,6 +113,72 @@ def read_tagged_parquet(
     ).map_batches(_decode, batch_format="pyarrow")
 
 
+#: Live hub coordinates for each connector (reference ``data.py:128,
+#: 163, 226, 266``): (hub id, config, split template, tokens col,
+#: tags col).  ``{split}`` expands to the requested split name;
+#: tweetner's hub splits carry a year suffix (``data.py:128``).
+HUB_COORDS: dict[str, tuple] = {
+    "tweetner": ("tner/tweetner7", None, "{split}_2021", "tokens", "tags"),
+    "fabner": ("DFKI-SLT/fabner", "fabner_bio", "{split}", "tokens",
+               "ner_tags"),
+    "conll2003": ("conll2003", None, "{split}", "tokens", "ner_tags"),
+}
+
+
+def read_hf_hub(dataset: str, split: str = "train"):
+    """Live HuggingFace-hub connector (reference S3–S6 online path).
+
+    Pulls the dataset with ``datasets.load_dataset`` and feeds the SAME
+    shared decoder the parquet fixtures use — the hub rows have exactly
+    the fixture schema, so the two paths are one code path after the
+    fetch.  Gated behind an import-try: this sandbox has no network and
+    no ``datasets`` package, so offline callers get a clear error
+    pointing at :func:`read_tagged_parquet` + a saved snapshot instead.
+    """
+    try:
+        from datasets import load_dataset  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - exercised offline
+        raise ImportError(
+            "read_hf_hub needs the `datasets` package and network access; "
+            "offline, save a hub snapshot with Dataset.to_parquet and use "
+            "read_tagged_parquet / read_ontonotes_parquet instead"
+        ) from exc
+    import ray
+
+    if dataset == "ontonotes":  # nested split, own decoder
+        rows = load_dataset("conll2012_ontonotesv5", "english_v4")[split]
+        ds = ray.data.from_huggingface(rows)
+
+        def _decode_onto(batch: pa.Table) -> pa.Table:
+            token_lists: list[list[str]] = []
+            tag_lists: list[list[int]] = []
+            for sentences in batch.column("sentences").to_pylist():
+                for sent in sentences:
+                    token_lists.append(sent["words"])
+                    tag_lists.append(sent["named_entities"])
+            return decode_tagged_rows(
+                token_lists, tag_lists, ONTONOTES_TAGS, "ontonotes"
+            )
+
+        return ds.map_batches(_decode_onto, batch_format="pyarrow")
+    hub_id, config, split_tpl, tokens_col, tags_col = HUB_COORDS[dataset]
+    args = (hub_id, config) if config else (hub_id,)
+    rows = load_dataset(*args)[split_tpl.format(split=split)]
+    tag_map = TAG_MAPS[dataset]
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        return decode_tagged_rows(
+            batch.column(tokens_col).to_pylist(),
+            batch.column(tags_col).to_pylist(),
+            tag_map,
+            dataset,
+        )
+
+    return ray.data.from_huggingface(rows).map_batches(
+        _decode, batch_format="pyarrow"
+    )
+
+
 def read_ontonotes_parquet(path: str):
     """OntoNotes snapshot: nested documents flattened to sentence rows
     (reference ``data.py:274-275`` doc→sentences loop → flat-map kernel)."""

@@ -157,3 +157,89 @@ def test_aggregate_responses_majority_and_agreement(ray_session):
     assert out.loc[2, "gptcorrect_agreement"] == 0.5
     assert out.loc[2, "gptbetter"] == 1
     assert out.loc[2, "gptbetter_agreement"] == 0.5
+
+
+def test_read_turk_batches_closes_the_loop(ray_session, tmp_path):
+    """Per-worker MTurk batch CSVs (boilerplate + Input./Answer. columns,
+    the reference's results/survey/ layout) → read_turk_batches →
+    aggregate_responses runs end-to-end and matches hand-computed
+    majorities."""
+    from promptner_ray.pipelines.survey import (
+        aggregate_responses,
+        read_turk_batches,
+    )
+
+    def batch_csv(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "HITId": "h",
+                    "WorkerId": "w",
+                    "AssignmentStatus": "Approved",
+                    "Input.id": r[0],
+                    "Input.gptlist": r[1],
+                    "Answer.l1correct": r[2],
+                    "Answer.l2correct": r[3],
+                    "Answer.better": r[4],
+                    "Answer.l1missing": r[5],
+                    "Answer.l1extra": "",
+                    "Answer.l2missing": "",
+                    "Answer.l2extra": "",
+                }
+                for r in rows
+            ]
+        )
+
+    # worker files 0/1/2: id 7 judged three times (2-1 on gptcorrect),
+    # id 8 twice (split → earliest wins)
+    batch_csv([(7, 1, 1, 0, 1, "a,b"), (8, 2, 1, 0, 2, "")]).to_csv(
+        tmp_path / "survey_result_0.csv", index=False
+    )
+    batch_csv([(7, 1, 1, 0, 1, "a"), (8, 2, 1, 1, 1, "")]).to_csv(
+        tmp_path / "survey_result_1.csv", index=False
+    )
+    batch_csv([(7, 1, 0, 0, 2, "")]).to_csv(
+        tmp_path / "survey_result_2.csv", index=False
+    )
+
+    out = (
+        aggregate_responses(read_turk_batches(tmp_path), num_partitions=2)
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert out.loc[7, "num"] == 3
+    assert out.loc[7, "gptcorrect"] == 1  # 2-1 majority
+    assert out.loc[7, "gptcorrect_agreement"] == 0.5
+    assert out.loc[7, "gptmissing"] == pytest.approx(1.0)  # (2+1+0)/3
+    assert out.loc[8, "num"] == 2
+    # split 0/1 → earliest response (worker file 0) wins: gptno=2,
+    # l2correct=0
+    assert out.loc[8, "gptcorrect"] == 0
+    assert out.loc[8, "gptcorrect_agreement"] == 0.0
+
+    # explicit n_workers path reads the same files
+    out2 = (
+        aggregate_responses(
+            read_turk_batches(tmp_path, n_workers=3), num_partitions=2
+        )
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert out2.loc[7, "gptcorrect"] == out.loc[7, "gptcorrect"]
+
+
+def test_read_hf_hub_offline_gate():
+    """Offline (no `datasets` package) the live-hub connector must fail
+    with the actionable snapshot pointer, not an opaque ImportError."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from promptner_ray.sources.hf_tagged import read_hf_hub
+
+    if importlib.util.find_spec("datasets") is not None:
+        _pytest.skip("datasets installed: the live path would run")
+    with _pytest.raises(ImportError, match="read_tagged_parquet"):
+        read_hf_hub("conll2003")
