@@ -262,8 +262,17 @@ def knn_lsh(embeddings, queries_ref, k: int = 10, dim: int = 64):
     Each data vector belongs to one of 2^8 sign-pattern buckets; a query
     scans only vectors whose bucket is within 2 bit-flips of its own
     (~14% of the data in expectation), and the cosine kernel runs over the
-    selected candidates only — this is the plan that holds at 10^12 rows,
-    where the exact scan's broadcast matmul would not.
+    selected candidates only.
+
+    **Prefer :func:`knn_ivf`.** With 8 planes the Hamming-≤2 probe keeps
+    the scan sublinear but its recall gate is only ≥0.45 even on
+    clustered data (tests/test_similarity_recall.py) — sign-pattern
+    buckets split true neighbor clusters far more often than trained IVF
+    cells do, and pushing recall up means probing exponentially more
+    flips.  This operator stays in the inventory as the classic
+    SimHash-style baseline and the bit-exactly SQL-oracled variant
+    (``embed_knn_lsh``); ``knn_ivf`` (recall ≥0.9 at a smaller candidate
+    fraction) is the production ANN path.
     """
     partials = embeddings.map_batches(
         _LshPartial,
