@@ -149,6 +149,16 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(_kg_edges(sf_dir))
 
 
+def _kg_pagerank_bsp(sf_dir: str):
+    """Same ranks, BSP actor-pool execution plan (static edge shards in
+    actor state, per-round value-vector messages only — see
+    functions/graphbsp.py).  Bit-identical fixed-point arithmetic, so
+    the oracle SQL is literally `_pagerank_sql()` again."""
+    from promptner_ray.functions.graphbsp import pagerank_bsp
+
+    return pagerank_bsp(_kg_edges(sf_dir))
+
+
 def _kg_reachability(sf_dir: str):
     """Directed BFS hop distances from the top hub (max out-weight,
     min-id tie-break): the "what does the busiest entity influence in
@@ -993,6 +1003,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: int64 fixed-point mass makes the distributed result
         # order-independent, so the unrolled SQL replay hash-matches
         "kg_pagerank": _kg_pagerank,
+        # same ranks on the BSP actor-pool plan (graphbsp.py): the
+        # iterative-analytics scale path, checked by the same oracle
+        "kg_pagerank_bsp": _kg_pagerank_bsp,
         # rows-only: scalar metric summaries whose gate is the in-repo
         # single-process oracle (tests/test_pipeline_e2e.py)
         "kg_eval": _kg_eval,
@@ -2619,6 +2632,9 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point PageRank: integer mass commutes, so the unrolled
         # integer-op replay hash-matches the distributed result exactly
         "kg_pagerank": _pagerank_sql(),
+        # the BSP plan's integer ops are identical, so its oracle is
+        # literally the same unrolled replay
+        "kg_pagerank_bsp": _pagerank_sql(),
         # k-core peel as a recursive CTE carrying the surviving edge set
         "kg_kcore": _kcore_sql(),
         # BFS min-hop from the top hub, shared depth cap

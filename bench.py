@@ -200,6 +200,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     at bench scale the KG edge table is ~70 nodes (those timings are
     pure exchange latency), so this section is where the graph ops'
     scaling behavior is actually visible."""
+    from promptner_ray.functions.graphbsp import pagerank_bsp
     from promptner_ray.functions.graphops import (
         k_core,
         node_degrees,
@@ -220,6 +221,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     for name, fn in (
         ("web_degrees", node_degrees),
         ("web_pagerank", lambda e: pagerank(e, iters=pr_iters)),
+        ("web_pagerank_bsp", lambda e: pagerank_bsp(e, iters=pr_iters)),
         ("web_kcore", lambda e: k_core(e, k=3)),
         ("web_random_walks", random_walks),
         ("web_triangles", triangle_counts),
@@ -229,6 +231,9 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         out["queries"][name] = round(time.monotonic() - t0, 3)
     out["pagerank_edges_per_sec"] = round(
         n_edges * pr_iters / out["queries"]["web_pagerank"], 1
+    )
+    out["pagerank_bsp_edges_per_sec"] = round(
+        n_edges * pr_iters / out["queries"]["web_pagerank_bsp"], 1
     )
     return out
 
@@ -378,23 +383,31 @@ def _web_pagerank_child() -> dict:
     timing at this process's ``RAY_GRAFT_CPUS`` over the pre-built
     corpus (untimed edge build + one untimed warmup iteration, then the
     mean of two timed 4-iteration passes — the same protocol as the
-    headline)."""
-    from promptner_ray.functions.graphops import pagerank
+    headline).  ``GRAPH_PLAN`` picks the execution plan: ``bsp`` (the
+    actor-pool scale path, default) or ``dataflow`` (the Ray-Data
+    per-round-exchange formulation, kept as the anti-scaling
+    diagnostic — see functions/graphbsp.py's module docstring)."""
+    plan = os.environ.get("GRAPH_PLAN", "bsp")
+    if plan == "bsp":
+        from promptner_ray.functions.graphbsp import pagerank_bsp as pr
+    else:
+        from promptner_ray.functions.graphops import pagerank as pr
 
     _init_ray(NUM_CPUS)
     corpus_root = _ensure_bench_corpus()
     edges = _build_web_edges(corpus_root)
     n_edges = edges.count()
-    pagerank(edges, iters=1).count()  # warmup: spawn workers, build deg
+    pr(edges, iters=1).count()  # warmup: spawn workers, build deg
     iters, walls = 4, []
     for _ in range(2):
         t0 = time.monotonic()
-        pagerank(edges, iters=iters).count()
+        pr(edges, iters=iters).count()
         walls.append(time.monotonic() - t0)
     wall = sum(walls) / len(walls)
     return {
         "value": round(wall, 3),
         "unit": "sec",
+        "plan": plan,
         "edges": n_edges,
         "iters": iters,
         "edges_per_sec": round(n_edges * iters / wall, 1),
@@ -410,7 +423,15 @@ def run_graph_scaling(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
     :func:`run_scaling`; criterion pair 2→8, 8→32 reported as the
     single-box ceiling diagnostic).  Corpus size via ``WEB_SCALING_DOCS``
     (default quarter of the full bench corpus → ~1.3M edges, so every
-    child still runs a ≥10⁶-edge graph)."""
+    child still runs a ≥10⁶-edge graph).
+
+    BOTH execution plans run at every level: ``bsp`` (actor-pool Pregel,
+    functions/graphbsp.py — static edge shards, per-round value-vector
+    messages; the criterion plan) and ``dataflow`` (the Ray-Data
+    formulation, whose per-round edge-sized exchanges anti-scale on an
+    iterative op; kept as the diagnostic that motivates the BSP
+    carve-out).  Results are bit-identical between the plans, so this is
+    purely an execution-strategy comparison."""
     docs = int(os.environ.get("WEB_SCALING_DOCS", str(BENCH_DOCS // 4)))
     _init_ray(NUM_CPUS)
     _ensure_bench_corpus(docs)
@@ -418,44 +439,64 @@ def run_graph_scaling(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
 
     ray.shutdown()
 
-    results = {}
-    for cpus in levels:
-        env = dict(os.environ)
-        env["RAY_GRAFT_CPUS"] = str(cpus)
-        env["GRAFT_SF_DIR"] = SF_DIR
-        env["BENCH_DOCS"] = str(docs)
-        proc = subprocess.run(
-            [sys.executable, __file__, "--web-pagerank-only"],
-            capture_output=True,
-            text=True,
-            env=env,
-            check=True,
-        )
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    results: dict[str, dict[int, dict]] = {"bsp": {}, "dataflow": {}}
+    for plan in ("bsp", "dataflow"):
+        for cpus in levels:
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            env["GRAFT_SF_DIR"] = SF_DIR
+            env["BENCH_DOCS"] = str(docs)
+            env["GRAPH_PLAN"] = plan
+            proc = subprocess.run(
+                [sys.executable, __file__, "--web-pagerank-only"],
+                capture_output=True,
+                text=True,
+                env=env,
+                check=True,
+            )
+            results[plan][cpus] = json.loads(
+                proc.stdout.strip().splitlines()[-1]
+            )
 
-    def eff(lo: int, hi: int) -> float:
-        tl = results[lo]["edges_per_sec"]
-        th = results[hi]["edges_per_sec"]
+    def eff(plan: str, lo: int, hi: int) -> float:
+        r = results[plan]
+        if lo not in r or hi not in r:
+            return 0.0
+        tl, th = r[lo]["edges_per_sec"], r[hi]["edges_per_sec"]
         return round((th / tl) / (hi / lo), 3) if tl else 0.0
 
     return {
         "metric": "web_pagerank_scaling_efficiency",
-        "value": eff(2, 8) if 2 in results and 8 in results else eff(*levels[:2]),
+        # the criterion number is the BSP plan's 2→8 pair — the plan a
+        # cluster deployment would use for iterative graph analytics
+        "value": eff("bsp", 2, 8) or eff("bsp", *levels[:2]),
         "unit": "ratio",
         "queries": {
-            f"web_pagerank_cpus{c}": results[c]["value"] for c in levels
+            f"web_pagerank_{plan}_cpus{c}": results[plan][c]["value"]
+            for plan in results
+            for c in levels
         },
-        "edges": results[levels[0]]["edges"],
+        "edges": results["bsp"][levels[0]]["edges"],
         "throughput": {
-            f"cpus{c}": results[c]["edges_per_sec"] for c in levels
+            plan: {f"cpus{c}": results[plan][c]["edges_per_sec"] for c in levels}
+            for plan in results
         },
         "efficiency": {
-            **({"eff_2_to_8": eff(2, 8)} if 2 in results and 8 in results else {}),
-            **({"eff_8_to_32": eff(8, 32)} if 8 in results and 32 in results else {}),
+            plan: {
+                "eff_2_to_8": eff(plan, 2, 8),
+                "eff_8_to_32": eff(plan, 8, 32),
+            }
+            for plan in results
         },
         "docs": docs,
         "num_cpus": max(levels),
         "sf": SF_DIR,
+        "note": (
+            "criterion value is the BSP plan's 2->8 pair; the dataflow "
+            "plan's numbers quantify why iterative graph analytics is "
+            "the one workload moved off Ray Data's per-round exchanges "
+            "(see functions/graphbsp.py)."
+        ),
     }
 
 

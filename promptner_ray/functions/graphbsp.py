@@ -1,0 +1,350 @@
+"""Bulk-synchronous (Pregel-style) iterative PageRank on a Ray actor pool.
+
+Why this exists alongside :func:`functions.graphops.pagerank`: the
+Ray-Data formulation re-exchanges the STATIC edge list every round — each
+iteration pays a pad+union sort exchange into ``local_hash_join``, the
+join-output compaction barrier, a second exchange for the contribution
+sum, and a driver-synced dangling pass.  At 5M edges that is ~3
+edge-sized all-to-alls per round whose fixed latency GROWS with
+parallelism while the per-round compute shrinks; measured on the 5.05M
+edge web-outlink graph, 8 CPUs ran *slower* than 2 (30.9 s → 38.5 s,
+2→8 scaling efficiency 0.20).  Iterative graph analytics is the one
+workload in this engine whose semantics Ray Data's dataflow genuinely
+cannot express efficiently — static state must stay put while a small
+frontier circulates — so this module drops to raw Ray actors, exactly
+the carve-out the design doc reserves for them.
+
+Plan (classic Pregel with combiners, all structure precomputed):
+
+- **Partition once.**  Edges are hash-partitioned by ``h(src)`` and the
+  node/degree table by ``h(node)`` (same mix), through one Ray Data
+  exchange at setup; each of P actors loads its shard and never moves
+  it again.  Per-actor layout is numpy: nodes sorted by id, edges
+  lex-sorted by (dst-partition, dst), ``src → local node index`` and
+  per-distinct-dst ``reduceat`` boundaries resolved at load time.
+- **Static message structure.**  Which distinct dsts flow from actor i
+  to actor j is a function of the edges only, so the dst id vectors are
+  exchanged ONCE at setup; after that a round's i→j message is a bare
+  int64 value vector (map-side combined: one entry per distinct dst in
+  the shard, not per edge).
+- **Per round**: one scatter wave (gather ranks by precomputed index,
+  one int64 multiply/divide, one ``np.add.reduceat``, P slices) and one
+  gather wave (concat value vectors in fixed actor order, ``reduceat``
+  over precomputed sorted-target boundaries, damping update) — two actor
+  round-trips, zero Ray Data jobs, zero sorts, zero repartitions.  The
+  only driver state is the P dangling-mass scalars.
+
+Determinism: identical fixed-point arithmetic to
+:func:`graphops.pagerank` (int64 mass in 2⁻⁴² units, ``(rank*w)//w_out``
+contributions, damping as ``(dnum*mass)//1000``), and integer addition
+commutes — so the result is BIT-IDENTICAL to the Ray-Data operator on
+any partition count, verified by ``tests/test_graphbsp.py`` and covered
+by the same DuckDB fixed-point oracle (``kg_pagerank_bsp``).
+
+Scale notes: per-round bytes on the wire are Σᵢⱼ|distinct dst(i→j)| × 8
+— bounded by min(|E|, P·|V|) and in practice far below |E| after the
+combiner; per-actor heap is O(|E|/P + |V|/P).  On a real cluster the
+actors pin the edge shards node-local and only the combined value
+vectors cross the network, which is the standard distributed-PageRank
+traffic bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..shuffle import _MIX
+from .graphops import PR_SCALE, pc_divide_exact
+
+
+def _part_of(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    """Stable partition id for int64 ids — the same single-column mix
+    ``shuffle.hash_partitioned`` appends, so BSP shards line up with the
+    engine's other exchanges."""
+    with np.errstate(over="ignore"):
+        acc = ids.astype(np.int64) * _MIX[1]
+    return (((acc % n_parts) + n_parts) % n_parts).astype(np.int64)
+
+
+class _PRShard:
+    """One BSP worker: owns the nodes with ``h(node) == part`` and the
+    edges with ``h(src) == part`` (so every edge's source rank is a
+    local array lookup)."""
+
+    def __init__(self, part: int, n_parts: int):
+        self.part = part
+        self.n_parts = n_parts
+
+    def load(self, node_refs, edge_refs, init_fp: int) -> int:
+        import ray
+
+        nodes = [t for t in ray.get(list(node_refs)) if t.num_rows]
+        edges = [t for t in ray.get(list(edge_refs)) if t.num_rows]
+        if nodes:
+            nt = pa.concat_tables(nodes)
+            ids = nt.column("entity_id").to_numpy(zero_copy_only=False)
+            wout = nt.column("w_out").to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            self.ids = ids[order].astype(np.int64)
+            self.w_out = wout[order].astype(np.int64)
+        else:
+            self.ids = np.empty(0, dtype=np.int64)
+            self.w_out = np.empty(0, dtype=np.int64)
+        self.rank_fp = np.full(len(self.ids), init_fp, dtype=np.int64)
+
+        if edges:
+            et = pa.concat_tables(edges)
+            src = et.column("src").to_numpy(zero_copy_only=False)
+            dst = et.column("dst").to_numpy(zero_copy_only=False)
+            w = et.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+            dpart = _part_of(dst, self.n_parts)
+            order = np.lexsort((dst, dpart))
+            src, dst, w, dpart = (
+                src[order], dst[order], w[order], dpart[order]
+            )
+            # every edge source is home here by construction
+            self.src_idx = np.searchsorted(self.ids, src)
+            self.w = w
+            # distinct-dst run boundaries (dst equal ⇒ dpart equal)
+            starts = np.flatnonzero(
+                np.r_[True, dst[1:] != dst[:-1]]
+            ).astype(np.intp)
+            self.starts = starts
+            self.msg_dst = dst[starts]
+            msg_part = dpart[starts]
+            # slice bounds of each target partition's message
+            self.jbounds = np.searchsorted(
+                msg_part, np.arange(self.n_parts + 1)
+            )
+        else:
+            self.src_idx = np.empty(0, dtype=np.intp)
+            self.w = np.empty(0, dtype=np.int64)
+            self.starts = np.empty(0, dtype=np.intp)
+            self.msg_dst = np.empty(0, dtype=np.int64)
+            self.jbounds = np.zeros(self.n_parts + 1, dtype=np.int64)
+        return len(self.ids)
+
+    def structure(self):
+        """The static dst-id vector of every outgoing message — shipped
+        once; later rounds send value vectors only."""
+        return [
+            self.msg_dst[self.jbounds[j]: self.jbounds[j + 1]]
+            for j in range(self.n_parts)
+        ]
+
+    def gather_structure(self, *dst_arrays) -> None:
+        """Pre-resolve incoming dsts (fixed actor order) to local node
+        indices and the sorted-run boundaries one reduceat per round
+        needs."""
+        arrs: list[np.ndarray] = []
+        for a in dst_arrays:
+            # at n_parts == 1, num_returns=1 ships structure()'s whole
+            # list as one object — flatten it
+            if isinstance(a, list):
+                arrs.extend(np.asarray(x) for x in a)
+            else:
+                arrs.append(np.asarray(a))
+        all_dst = (
+            np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        )
+        idx = np.searchsorted(self.ids, all_dst).astype(np.intp)
+        order = np.argsort(idx, kind="stable")
+        self.g_order = order
+        sidx = idx[order]
+        gstarts = np.flatnonzero(
+            np.r_[True, sidx[1:] != sidx[:-1]]
+        ).astype(np.intp)
+        self.g_starts = gstarts
+        self.g_target = sidx[gstarts] if len(sidx) else sidx
+
+    def scatter(self):
+        """One round's outgoing combined contributions + this shard's
+        dangling mass (returned last, ``num_returns = P + 1``)."""
+        r = self.rank_fp[self.src_idx]
+        if len(r) and int(r.max()) * int(self.w.max()) >= 2**62:
+            raise OverflowError(
+                "pagerank fixed-point product would overflow int64; "
+                "normalize edge weights first"
+            )
+        c = (r * self.w) // np.maximum(self.w_out[self.src_idx], 1)
+        sums = (
+            np.add.reduceat(c, self.starts)
+            if len(self.starts)
+            else np.empty(0, dtype=np.int64)
+        )
+        dangling = int(self.rank_fp[self.w_out == 0].sum())
+        return [
+            sums[self.jbounds[j]: self.jbounds[j + 1]]
+            for j in range(self.n_parts)
+        ] + [dangling]
+
+    def gather(self, base_fp: int, dnum: int, dang_share: int, *values):
+        """Apply one round's incoming contributions (same fixed actor
+        order as ``gather_structure``) and the damping update."""
+        c_node = np.zeros(len(self.ids), dtype=np.int64)
+        if values:
+            all_c = np.concatenate([np.asarray(v) for v in values])
+            if len(all_c):
+                sc = all_c[self.g_order]
+                c_node[self.g_target] = np.add.reduceat(sc, self.g_starts)
+        self.rank_fp = base_fp + (dnum * (c_node + dang_share)) // 1000
+        return None
+
+    def result(self) -> pa.Table:
+        return pa.table(
+            {
+                "entity_id": pa.array(self.ids, type=pa.int64()),
+                "rank_fp": pa.array(self.rank_fp, type=pa.int64()),
+            }
+        )
+
+
+def _partition_refs(ds, id_col: str, n_parts: int):
+    """The one-time shard shuffle, as map tasks only: each materialized
+    block is split by ``h(id_col)`` into ``n_parts`` slices
+    (``num_returns=n_parts`` — one addressable object per slice), and
+    shard p later fetches exactly the ``[block, p]`` slices.  This is a
+    manual all-to-all whose data never touches the driver and never
+    sorts globally — no Ray Data exchange is involved at all."""
+    import ray
+
+    def split(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            parts = tuple(tbl for _ in range(n_parts))
+        else:
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            part = _part_of(ids, n_parts)
+            order = np.argsort(part, kind="stable")
+            stbl = tbl.take(pa.array(order))
+            bounds = np.searchsorted(
+                part[order], np.arange(n_parts + 1)
+            )
+            parts = tuple(
+                stbl.slice(bounds[j], bounds[j + 1] - bounds[j])
+                for j in range(n_parts)
+            )
+        return parts[0] if n_parts == 1 else parts
+
+    split_task = ray.remote(split)
+    refs = ds.materialize().to_arrow_refs()
+    outs = [
+        split_task.options(num_returns=n_parts).remote(r) for r in refs
+    ]
+    if n_parts == 1:
+        outs = [[o] for o in outs]
+    return {p: [o[p] for o in outs] for p in range(n_parts)}
+
+
+def pagerank_bsp(
+    edges,
+    iters: int = 8,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+):
+    """edges(subj_id, obj_id, weight, …) → (entity_id, rank):
+    bit-identical to :func:`graphops.pagerank`, computed on a BSP actor
+    pool — the scale path for iterative graph analytics (see module
+    docstring for the plan and why Ray Data's per-round exchanges
+    anti-scale here)."""
+    import ray
+
+    from ..shuffle import default_partitions
+    from .graphops import node_degrees
+
+    n_parts = num_partitions or default_partitions()
+    dnum = round(damping * 1000)
+
+    deg = node_degrees(edges).materialize()
+    n_nodes = deg.count()
+    init_fp = PR_SCALE // n_nodes
+    base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_nodes)
+
+    node_refs = _partition_refs(
+        deg.select_columns(["entity_id", "w_out"]), "entity_id", n_parts
+    )
+
+    def to_edge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("subj_id").cast(pa.int64()),
+                "dst": t.column("obj_id").cast(pa.int64()),
+                "w": t.column("weight").cast(pa.int64()),
+            }
+        )
+
+    edge_refs = _partition_refs(
+        edges.map_batches(to_edge, batch_format="pyarrow"), "src", n_parts
+    )
+
+    # Reserve fractional CPUs when the caller asks for more shards than
+    # the cluster has cores — otherwise the last actors never schedule
+    # and the setup ray.get deadlocks (e.g. 5 shards on a 4-CPU test
+    # session).  At scale n_parts ≤ cores, so each shard gets a full core.
+    total_cpus = ray.cluster_resources().get("CPU", float(n_parts))
+    cpus_per_actor = (
+        1 if n_parts <= total_cpus
+        else max(0.01, int(total_cpus * 100 / n_parts) / 100)
+    )
+    Shard = ray.remote(num_cpus=cpus_per_actor)(_PRShard)
+    actors = [Shard.remote(p, n_parts) for p in range(n_parts)]
+    ray.get(
+        [
+            a.load.remote(node_refs[p], edge_refs[p], init_fp)
+            for p, a in enumerate(actors)
+        ]
+    )
+    # static message-structure exchange (once)
+    struct = [
+        a.structure.options(num_returns=n_parts).remote() for a in actors
+    ]
+    if n_parts == 1:
+        struct = [[s] for s in struct]
+    ray.get(
+        [
+            actors[j].gather_structure.remote(
+                *[struct[i][j] for i in range(n_parts)]
+            )
+            for j in range(n_parts)
+        ]
+    )
+
+    for _ in range(iters):
+        scat = [
+            a.scatter.options(num_returns=n_parts + 1).remote()
+            for a in actors
+        ]
+        dangling = sum(ray.get([s[-1] for s in scat]))
+        dang_share = dangling // n_nodes
+        ray.get(
+            [
+                actors[j].gather.remote(
+                    base_fp,
+                    dnum,
+                    dang_share,
+                    *[scat[i][j] for i in range(n_parts)],
+                )
+                for j in range(n_parts)
+            ]
+        )
+
+    result_refs = [a.result.remote() for a in actors]
+    ray.get(result_refs)  # ensure blocks are sealed before actors die
+    # Release the actors' CPU reservations BEFORE building the Dataset:
+    # from_arrow_refs submits a 1-CPU metadata task, which can never
+    # schedule while the shards hold every core (observed deadlock at
+    # n_parts ≥ cluster CPUs).  The result objects are owned by the
+    # driver (the caller of .result.remote()), so they outlive the
+    # actors.
+    for a in actors:
+        ray.kill(a)
+    out = ray.data.from_arrow_refs(result_refs)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t.column("entity_id"),
+                "rank": pc_divide_exact(t.column("rank_fp")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
