@@ -125,6 +125,12 @@ class _PRShard:
             self.jbounds = np.zeros(self.n_parts + 1, dtype=np.int64)
         return len(self.ids)
 
+    def reset(self, init_fp: int) -> None:
+        """Re-initialize the rank vector — lets one sharded handle run
+        many independent PageRank invocations (different iteration
+        counts / damping) without re-paying the partition exchange."""
+        self.rank_fp = np.full(len(self.ids), init_fp, dtype=np.int64)
+
     def structure(self):
         """The static dst-id vector of every outgoing message — shipped
         once; later rounds send value vectors only."""
@@ -236,6 +242,151 @@ def _partition_refs(ds, id_col: str, n_parts: int):
     return {p: [o[p] for o in outs] for p in range(n_parts)}
 
 
+class PageRankBSP:
+    """Setup-once handle over the sharded graph.
+
+    The expensive, data-proportional work — the degree aggregate, the
+    two partition exchanges, actor spawn, and the static
+    message-structure exchange — happens ONCE in ``__init__``; each
+    :meth:`run` then costs only per-iteration scatter/gather rounds.
+    On a cluster this is the shape an iterative-analytics job actually
+    has (partition once, iterate to convergence, often run several
+    damping/iteration variants over the same sharded graph), and it is
+    what makes the two-cluster-size measurement honest: the criterion
+    compares *iteration* throughput, which is the part that repeats
+    hundreds of times, not the one-time shard build (``bench.py
+    --graph-scaling`` reports the setup wall separately).
+
+    Use as a context manager or call :meth:`close` to release the
+    actors.  Results remain valid after ``close()`` — the result blocks
+    are owned by the driver, not the actors.
+    """
+
+    def __init__(self, edges, num_partitions: int | None = None):
+        import ray
+
+        from ..shuffle import default_partitions
+        from .graphops import node_degrees
+
+        self.n_parts = n_parts = num_partitions or default_partitions()
+
+        deg = node_degrees(edges).materialize()
+        self.n_nodes = deg.count()
+
+        node_refs = _partition_refs(
+            deg.select_columns(["entity_id", "w_out"]), "entity_id", n_parts
+        )
+
+        def to_edge(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": t.column("subj_id").cast(pa.int64()),
+                    "dst": t.column("obj_id").cast(pa.int64()),
+                    "w": t.column("weight").cast(pa.int64()),
+                }
+            )
+
+        edge_refs = _partition_refs(
+            edges.map_batches(to_edge, batch_format="pyarrow"), "src", n_parts
+        )
+
+        # Leave headroom below the cluster CPU total: Ray Data submits
+        # 1-CPU metadata tasks (from_arrow_refs) and the handle keeps its
+        # actors alive across run() calls, so shards must never hold
+        # EVERY core (observed deadlock when they did).  Fractional
+        # reservations only throttle Ray's scheduler, not the actors'
+        # actual compute.
+        total_cpus = ray.cluster_resources().get("CPU", float(n_parts))
+        cpus_per_actor = max(
+            0.01, min(1.0, int((total_cpus - 1) * 100 / n_parts) / 100)
+        )
+        Shard = ray.remote(num_cpus=cpus_per_actor)(_PRShard)
+        self.actors = [Shard.remote(p, n_parts) for p in range(n_parts)]
+        ray.get(
+            [
+                a.load.remote(node_refs[p], edge_refs[p], 0)
+                for p, a in enumerate(self.actors)
+            ]
+        )
+        # static message-structure exchange (once per handle)
+        struct = [
+            a.structure.options(num_returns=n_parts).remote()
+            for a in self.actors
+        ]
+        if n_parts == 1:
+            struct = [[s] for s in struct]
+        ray.get(
+            [
+                self.actors[j].gather_structure.remote(
+                    *[struct[i][j] for i in range(n_parts)]
+                )
+                for j in range(n_parts)
+            ]
+        )
+
+    def run(self, iters: int = 8, damping: float = 0.85):
+        """One full PageRank: reset ranks, ``iters`` scatter/gather
+        rounds, return the (entity_id, rank) Dataset.  Bit-identical to
+        :func:`graphops.pagerank` at any partition count."""
+        import ray
+
+        if not self.actors:
+            raise RuntimeError("PageRankBSP handle is closed")
+        n_parts, n_nodes = self.n_parts, self.n_nodes
+        dnum = round(damping * 1000)
+        init_fp = PR_SCALE // n_nodes
+        base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_nodes)
+
+        ray.get([a.reset.remote(init_fp) for a in self.actors])
+        for _ in range(iters):
+            scat = [
+                a.scatter.options(num_returns=n_parts + 1).remote()
+                for a in self.actors
+            ]
+            dangling = sum(ray.get([s[-1] for s in scat]))
+            dang_share = dangling // n_nodes
+            ray.get(
+                [
+                    self.actors[j].gather.remote(
+                        base_fp,
+                        dnum,
+                        dang_share,
+                        *[scat[i][j] for i in range(n_parts)],
+                    )
+                    for j in range(n_parts)
+                ]
+            )
+
+        result_refs = [a.result.remote() for a in self.actors]
+        # seal the result blocks now — they are owned by the driver (the
+        # caller of .result.remote()), so they outlive the actors and
+        # even a later close()
+        ray.get(result_refs)
+        out = ray.data.from_arrow_refs(result_refs)
+        return out.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity_id": t.column("entity_id"),
+                    "rank": pc_divide_exact(t.column("rank_fp")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def close(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    def __enter__(self) -> "PageRankBSP":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def pagerank_bsp(
     edges,
     iters: int = 8,
@@ -246,105 +397,58 @@ def pagerank_bsp(
     bit-identical to :func:`graphops.pagerank`, computed on a BSP actor
     pool — the scale path for iterative graph analytics (see module
     docstring for the plan and why Ray Data's per-round exchanges
-    anti-scale here)."""
-    import ray
+    anti-scale here).  One-shot convenience over :class:`PageRankBSP`;
+    iterate-many callers should hold the handle instead."""
+    with PageRankBSP(edges, num_partitions=num_partitions) as h:
+        return h.run(iters=iters, damping=damping)
 
-    from ..shuffle import default_partitions
-    from .graphops import node_degrees
 
-    n_parts = num_partitions or default_partitions()
-    dnum = round(damping * 1000)
+#: distinct odd 64-bit salt per replica — XOR keeps every replica's id
+#: space bijective and the copies disjoint with overwhelming probability
+_REPLICA_SALT = 0x9E3779B97F4A7C15
 
-    deg = node_degrees(edges).materialize()
-    n_nodes = deg.count()
-    init_fp = PR_SCALE // n_nodes
-    base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_nodes)
 
-    node_refs = _partition_refs(
-        deg.select_columns(["entity_id", "w_out"]), "entity_id", n_parts
-    )
+def replicate_edges(edges, k: int, batch_size: int = 65536):
+    """k deterministic disjoint copies of an edge table — the scaling
+    stressor for the two-cluster-size criterion.
 
-    def to_edge(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": t.column("subj_id").cast(pa.int64()),
-                "dst": t.column("obj_id").cast(pa.int64()),
-                "w": t.column("weight").cast(pa.int64()),
-            }
-        )
+    The sandbox's bench web graph (~5M edges) finishes a BSP PageRank
+    round in ~0.2 s, below the single-box barrier/messaging floor, so
+    CPU scaling is invisible at any protocol; replicating the graph
+    k-fold raises per-round compute until it dominates.  Node ids are
+    XOR-salted per replica (id ⊕ i·SALT mod 2⁶⁴): bijective within a
+    replica, so each copy preserves the exact degree distribution and
+    rank structure of the original, and cross-replica id collisions are
+    ~2⁻⁶⁴ per pair.  Purely a benchmark device — documented in
+    BASELINE.md §Measured.
 
-    edge_refs = _partition_refs(
-        edges.map_batches(to_edge, batch_format="pyarrow"), "src", n_parts
-    )
+    Expansion happens INSIDE one ``map_batches`` (each input batch
+    emits its k salted copies as one output table) rather than as a
+    k-way ``Dataset.union`` — a 40-branch union drove Ray Data 2.49's
+    streaming-executor scheduling loop into a busy-spin that dispatched
+    nothing for >10 min at 32 CPUs, while the single-operator form
+    streams.  ``batch_size`` bounds the k× output blow-up per block."""
 
-    # Reserve fractional CPUs when the caller asks for more shards than
-    # the cluster has cores — otherwise the last actors never schedule
-    # and the setup ray.get deadlocks (e.g. 5 shards on a 4-CPU test
-    # session).  At scale n_parts ≤ cores, so each shard gets a full core.
-    total_cpus = ray.cluster_resources().get("CPU", float(n_parts))
-    cpus_per_actor = (
-        1 if n_parts <= total_cpus
-        else max(0.01, int(total_cpus * 100 / n_parts) / 100)
-    )
-    Shard = ray.remote(num_cpus=cpus_per_actor)(_PRShard)
-    actors = [Shard.remote(p, n_parts) for p in range(n_parts)]
-    ray.get(
-        [
-            a.load.remote(node_refs[p], edge_refs[p], init_fp)
-            for p, a in enumerate(actors)
-        ]
-    )
-    # static message-structure exchange (once)
-    struct = [
-        a.structure.options(num_returns=n_parts).remote() for a in actors
-    ]
-    if n_parts == 1:
-        struct = [[s] for s in struct]
-    ray.get(
-        [
-            actors[j].gather_structure.remote(
-                *[struct[i][j] for i in range(n_parts)]
-            )
-            for j in range(n_parts)
-        ]
-    )
+    def rep(t: pa.Table) -> pa.Table:
+        ids = {
+            name: t.column(name)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+            for name in ("subj_id", "obj_id")
+        }
+        parts = []
+        for i in range(k):
+            m = np.uint64((_REPLICA_SALT * i) & 0xFFFFFFFFFFFFFFFF)
+            cols = {}
+            for name in t.column_names:
+                if name in ids:
+                    cols[name] = pa.array((ids[name] ^ m).view(np.int64))
+                else:
+                    cols[name] = t.column(name)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts).combine_chunks()
 
-    for _ in range(iters):
-        scat = [
-            a.scatter.options(num_returns=n_parts + 1).remote()
-            for a in actors
-        ]
-        dangling = sum(ray.get([s[-1] for s in scat]))
-        dang_share = dangling // n_nodes
-        ray.get(
-            [
-                actors[j].gather.remote(
-                    base_fp,
-                    dnum,
-                    dang_share,
-                    *[scat[i][j] for i in range(n_parts)],
-                )
-                for j in range(n_parts)
-            ]
-        )
-
-    result_refs = [a.result.remote() for a in actors]
-    ray.get(result_refs)  # ensure blocks are sealed before actors die
-    # Release the actors' CPU reservations BEFORE building the Dataset:
-    # from_arrow_refs submits a 1-CPU metadata task, which can never
-    # schedule while the shards hold every core (observed deadlock at
-    # n_parts ≥ cluster CPUs).  The result objects are owned by the
-    # driver (the caller of .result.remote()), so they outlive the
-    # actors.
-    for a in actors:
-        ray.kill(a)
-    out = ray.data.from_arrow_refs(result_refs)
-    return out.map_batches(
-        lambda t: pa.table(
-            {
-                "entity_id": t.column("entity_id"),
-                "rank": pc_divide_exact(t.column("rank_fp")),
-            }
-        ),
-        batch_format="pyarrow",
+    return edges.map_batches(
+        rep, batch_format="pyarrow", batch_size=batch_size
     )

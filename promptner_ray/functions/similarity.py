@@ -2,8 +2,9 @@
 
 - :func:`knn_topk` — brute-force cosine top-k: the query matrix is
   ``ray.put`` ONCE and resolved per actor; each batch does one float64
-  matmul against it and emits a per-batch partial top-k, merged by a tiny
-  ``groupby(qid)`` — the canonical broadcast + partial-topk plan.
+  matmul against it and emits a per-batch partial top-k, collapsed into
+  one tiny block and merged by a single vectorized lexsort — the
+  canonical broadcast + partial-topk plan.
 - :func:`cosine_pairs` — all-pairs near-dup baseline (broadcast full
   matrix; quadratic — the documented small-side baseline, kept because it
   is the exact oracle-checked reference implementation).
@@ -100,19 +101,25 @@ class _TopKPartial:
         )
 
 
-def _topk_final(k: int):
-    def fn(group: pa.Table) -> pa.Table:
-        qid = group.column("qid")[0].as_py()
-        nids = np.asarray(group.column("nid").to_pylist(), dtype=np.int64)
-        sims = np.asarray(group.column("sim").to_pylist(), dtype=np.float64)
-        order = np.lexsort((nids, -sims))[:k]
+def _topk_merge(k: int):
+    """Single vectorized merge over ALL partials (one lexsort + rank
+    mask; no per-qid Python)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        qids = t.column("qid").to_numpy(zero_copy_only=False)
+        nids = t.column("nid").to_numpy(zero_copy_only=False)
+        sims = t.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nids, -sims, qids))
+        q, n = qids[order], nids[order]
+        starts = np.r_[0, np.nonzero(np.diff(q))[0] + 1]
+        lens = np.diff(np.r_[starts, len(q)])
+        rank = np.arange(len(q)) - np.repeat(starts, lens)
+        keep = rank < k
         return pa.table(
             {
-                "qid": pa.array([qid] * len(order), type=pa.int64()),
-                "nid": pa.array(nids[order], type=pa.int64()),
-                "rank": pa.array(
-                    np.arange(1, len(order) + 1), type=pa.int64()
-                ),
+                "qid": pa.array(q[keep], type=pa.int64()),
+                "nid": pa.array(n[keep], type=pa.int64()),
+                "rank": pa.array(rank[keep] + 1, type=pa.int64()),
             }
         )
 
@@ -120,15 +127,21 @@ def _topk_final(k: int):
 
 
 def knn_topk(embeddings, queries_ref, k: int = 10):
-    """embeddings → (qid, nid, rank): exact cosine top-k per query."""
+    """embeddings → (qid, nid, rank): exact cosine top-k per query.
+
+    The merge side is TINY — ``n_blocks × n_queries × k`` rows — so
+    instead of a sort-based ``groupby(qid).map_groups`` (a full
+    exchange barrier that also emits the schema-less empty blocks
+    documented in shuffle.py), the partials collapse through one
+    ``repartition(1)`` and a single vectorized lexsort merge."""
     partials = embeddings.map_batches(
         _TopKPartial,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return partials.groupby("qid").map_groups(
-        _topk_final(k), batch_format="pyarrow"
+    return partials.repartition(1).map_batches(
+        _topk_merge(k), batch_format="pyarrow", batch_size=None
     )
 
 
@@ -284,8 +297,8 @@ def knn_lsh(embeddings, queries_ref, k: int = 10, dim: int = 64):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return partials.groupby("qid").map_groups(
-        _topk_final(k), batch_format="pyarrow"
+    return partials.repartition(1).map_batches(
+        _topk_merge(k), batch_format="pyarrow", batch_size=None
     )
 
 
@@ -445,8 +458,8 @@ def knn_ivf(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return partials.groupby("qid").map_groups(
-        _topk_final(k), batch_format="pyarrow"
+    return partials.repartition(1).map_batches(
+        _topk_merge(k), batch_format="pyarrow", batch_size=None
     )
 
 

@@ -74,3 +74,50 @@ def test_bsp_rank_is_probability_mass(ray_session) -> None:
     # mass conservation up to the documented fixed-point floor losses
     assert abs(out["rank"].sum() - 1.0) < 1e-8
     assert (out["rank"] > 0).all()
+
+
+def test_handle_reuse_matches_oneshot(ray_session) -> None:
+    """One sharded handle, many runs: each run() must equal the
+    corresponding fresh dataflow PageRank (reset really resets, and
+    a prior run leaves no state behind)."""
+    from promptner_ray.functions.graphbsp import PageRankBSP
+
+    edges = _random_edges(7, 120, 500)
+    ds = ray.data.from_arrow(_edge_table(edges))
+    with PageRankBSP(ds, num_partitions=3) as h:
+        got3 = _ranks(h.run(iters=3))
+        got5 = _ranks(h.run(iters=5, damping=0.7))
+        got3_again = _ranks(h.run(iters=3))
+    assert got3.equals(_ranks(pagerank(ds, iters=3)))
+    assert got5.equals(_ranks(pagerank(ds, iters=5, damping=0.7)))
+    assert got3.equals(got3_again)
+
+
+def test_replicate_edges_disjoint_and_deterministic(ray_session) -> None:
+    from promptner_ray.functions.graphbsp import replicate_edges
+
+    edges = _random_edges(11, 60, 300)
+    ds = ray.data.from_arrow(_edge_table(edges))
+    k = 3
+    rep = replicate_edges(ds, k).materialize()
+    assert rep.count() == k * len(edges)
+    t = pa.concat_tables(ray.get(rep.to_arrow_refs()))
+    # replica id spaces are disjoint: k distinct salted copies per node
+    base_nodes = {e[0] for e in edges} | {e[1] for e in edges}
+    got_nodes = set(t.column("subj_id").to_pylist()) | set(
+        t.column("obj_id").to_pylist()
+    )
+    assert len(got_nodes) == k * len(base_nodes)
+    # replica 0 is the base graph verbatim
+    assert set(
+        zip(*[t.column(c).to_pylist() for c in ("subj_id", "obj_id")])
+    ) >= {(e[0], e[1]) for e in edges}
+    # deterministic: a second build yields the identical multiset
+    rep2 = pa.concat_tables(
+        ray.get(replicate_edges(ds, k).materialize().to_arrow_refs())
+    )
+    key = ["subj_id", "obj_id", "weight"]
+    assert (
+        t.select(key).sort_by([(c, "ascending") for c in key])
+        == rep2.select(key).sort_by([(c, "ascending") for c in key])
+    )
