@@ -159,18 +159,14 @@ def _kg_pagerank_bsp(sf_dir: str):
     return pagerank_bsp(_kg_edges(sf_dir))
 
 
-def _kg_reachability(sf_dir: str):
-    """Directed BFS hop distances from the top hub (max out-weight,
-    min-id tie-break): the "what does the busiest entity influence in
-    ≤ k steps" reachability query.  Seed selection is a per-block
-    argmax partial + constant-size driver reduce — the graph itself
-    never leaves the object store."""
+def _top_hub(edges) -> int:
+    """Seed for the reachability queries: the entity with max out-weight
+    (min-id tie-break).  A per-block argmax partial + constant-size
+    driver reduce — the graph itself never leaves the object store."""
     import numpy as np
     import pyarrow as pa
 
-    from promptner_ray.functions.graphops import bfs_hops, node_degrees
-
-    edges = _kg_edges_raw(sf_dir).materialize()
+    from promptner_ray.functions.graphops import node_degrees
 
     def best_block(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -195,8 +191,30 @@ def _kg_reachability(sf_dir: str):
         .map_batches(best_block, batch_format="pyarrow")
         .take_all()  # one candidate row per block — constant-size
     )
-    seed = min(partials, key=lambda r: (-r["w_out"], r["entity_id"]))
-    return bfs_hops(edges, source=int(seed["entity_id"]))
+    best = min(partials, key=lambda r: (-r["w_out"], r["entity_id"]))
+    return int(best["entity_id"])
+
+
+def _kg_reachability(sf_dir: str):
+    """Directed BFS hop distances from the top hub (max out-weight,
+    min-id tie-break): the "what does the busiest entity influence in
+    ≤ k steps" reachability query."""
+    from promptner_ray.functions.graphops import bfs_hops
+
+    edges = _kg_edges_raw(sf_dir).materialize()
+    return bfs_hops(edges, source=_top_hub(edges))
+
+
+def _kg_reachability_bsp(sf_dir: str):
+    """Same hop distances, BSP actor-pool execution plan (frontier
+    positions over static message structure — functions/graphbsp.py).
+    Identical output to :func:`_kg_reachability`, so the oracle SQL is
+    literally `_bfs_sql()` again — the same one-oracle-two-plans
+    pattern as `kg_pagerank_bsp`."""
+    from promptner_ray.functions.graphbsp import bfs_bsp
+
+    edges = _kg_edges_raw(sf_dir).materialize()
+    return bfs_bsp(edges, source=_top_hub(edges))
 
 
 def _kg_walk_pairs(sf_dir: str):
@@ -980,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _kg_kcore,
         # oracle: recursive-CTE BFS (min hop per node, capped depth)
         "kg_reachability": _kg_reachability,
+        "kg_reachability_bsp": _kg_reachability_bsp,
         # oracle: hash-driven walk replay (deterministic neighbor pick)
         "kg_random_walks": _kg_random_walks,
         # oracle: walk-replay self-join within the skip-gram window
@@ -2639,6 +2658,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _kcore_sql(),
         # BFS min-hop from the top hub, shared depth cap
         "kg_reachability": _bfs_sql(),
+        "kg_reachability_bsp": _bfs_sql(),
         # deterministic random walks: HUGEINT replay of the int64 mix
         "kg_random_walks": _walks_sql(),
         # skip-gram pairs: the walk replay self-joined within the window

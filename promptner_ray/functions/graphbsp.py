@@ -1,4 +1,6 @@
-"""Bulk-synchronous (Pregel-style) iterative PageRank on a Ray actor pool.
+"""Bulk-synchronous (Pregel-style) iterative graph analytics on a Ray
+actor pool — PageRank and single-source BFS over one shared sharded
+graph handle.
 
 Why this exists alongside :func:`functions.graphops.pagerank`: the
 Ray-Data formulation re-exchanges the STATIC edge list every round — each
@@ -155,6 +157,13 @@ class _PRShard:
             np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
         )
         idx = np.searchsorted(self.ids, all_dst).astype(np.intp)
+        # position-addressed view for sparse-frontier ops (BFS): local
+        # node index of the p-th slot of sender i's static message is
+        # g_idx[g_off[i] + p]
+        self.g_idx = idx
+        self.g_off = np.concatenate(
+            ([0], np.cumsum([len(a) for a in arrs]))
+        ).astype(np.intp)
         order = np.argsort(idx, kind="stable")
         self.g_order = order
         sidx = idx[order]
@@ -205,6 +214,67 @@ class _PRShard:
             }
         )
 
+    # -- BFS over the same shards (frontier messages are POSITIONS into
+    #    the static dst structure, so a round ships only the newly
+    #    reached slots, not a full value vector) ------------------------
+
+    def bfs_reset(self, source: int) -> int:
+        """dist ← -1 everywhere, 0 at the seed; returns whether the seed
+        is home on this shard (driver checks Σ == 1)."""
+        self.dist = np.full(len(self.ids), -1, dtype=np.int64)
+        pos = int(np.searchsorted(self.ids, source))
+        hit = pos < len(self.ids) and int(self.ids[pos]) == source
+        if hit:
+            self.dist[pos] = 0
+        return int(hit)
+
+    def bfs_scatter(self, hop: int):
+        """Positions (per target shard, relative to the static i→j dst
+        slice) whose dst is reached from this round's frontier."""
+        if len(self.starts):
+            active_edge = self.dist[self.src_idx] == hop - 1
+            run_active = np.logical_or.reduceat(active_edge, self.starts)
+        else:
+            run_active = np.empty(0, dtype=bool)
+        return [
+            np.flatnonzero(
+                run_active[self.jbounds[j]: self.jbounds[j + 1]]
+            ).astype(np.int64)
+            for j in range(self.n_parts)
+        ]
+
+    def bfs_gather(self, hop: int, *pos_arrays) -> int:
+        """Mark newly reached home nodes at distance ``hop``; returns the
+        count (driver stops when the global sum is 0)."""
+        arrs: list[np.ndarray] = []
+        for a in pos_arrays:
+            if isinstance(a, list):  # n_parts == 1 flatten, as above
+                arrs.extend(np.asarray(x) for x in a)
+            else:
+                arrs.append(np.asarray(a))
+        if not arrs:
+            return 0
+        idxs = [
+            self.g_idx[self.g_off[i] + a.astype(np.intp)]
+            for i, a in enumerate(arrs)
+            if len(a)
+        ]
+        if not idxs:
+            return 0
+        cand = np.unique(np.concatenate(idxs))
+        new = cand[self.dist[cand] == -1]
+        self.dist[new] = hop
+        return int(len(new))
+
+    def bfs_result(self) -> pa.Table:
+        keep = self.dist >= 0
+        return pa.table(
+            {
+                "entity_id": pa.array(self.ids[keep], type=pa.int64()),
+                "hop": pa.array(self.dist[keep], type=pa.int64()),
+            }
+        )
+
 
 def _partition_refs(ds, id_col: str, n_parts: int):
     """The one-time shard shuffle, as map tasks only: each materialized
@@ -251,7 +321,8 @@ class PageRankBSP:
     :meth:`run` then costs only per-iteration scatter/gather rounds.
     On a cluster this is the shape an iterative-analytics job actually
     has (partition once, iterate to convergence, often run several
-    damping/iteration variants over the same sharded graph), and it is
+    damping/iteration variants — or several BFS seeds, via
+    :meth:`bfs` — over the same sharded graph), and it is
     what makes the two-cluster-size measurement honest: the criterion
     compares *iteration* throughput, which is the part that repeats
     hundreds of times, not the one-time shard build (``bench.py
@@ -373,6 +444,60 @@ class PageRankBSP:
             batch_format="pyarrow",
         )
 
+    def bfs(self, source: int, max_hops: int = 15):
+        """Single-source hop distances over the SAME sharded graph —
+        (entity_id, hop) for every node reachable from ``source`` in
+        ≤ ``max_hops`` directed edges, identical to
+        :func:`graphops.bfs_hops` (source always appears at hop 0, the
+        dataflow op's convention).  Per round each shard ships only the
+        POSITIONS of newly reached slots in the static message
+        structure — frontier-sized traffic, not graph-sized — and the
+        driver sees one scalar per shard (the newly-reached count,
+        which also terminates the loop early)."""
+        import ray
+
+        if not self.actors:
+            raise RuntimeError("PageRankBSP handle is closed")
+        n_parts = self.n_parts
+        seeded = sum(
+            ray.get([a.bfs_reset.remote(source) for a in self.actors])
+        )
+        if seeded:
+            for hop in range(1, max_hops + 1):
+                scat = [
+                    a.bfs_scatter.options(num_returns=n_parts).remote(hop)
+                    for a in self.actors
+                ]
+                if n_parts == 1:
+                    scat = [[s] for s in scat]
+                new = ray.get(
+                    [
+                        self.actors[j].bfs_gather.remote(
+                            hop, *[scat[i][j] for i in range(n_parts)]
+                        )
+                        for j in range(n_parts)
+                    ]
+                )
+                if sum(new) == 0:
+                    break
+        result_refs = [a.bfs_result.remote() for a in self.actors]
+        ray.get(result_refs)  # seal before any close()
+        out = ray.data.from_arrow_refs(result_refs)
+        if not seeded:
+            # bfs_hops seeds `visited` unconditionally: a source absent
+            # from the edge set still yields its own (source, 0) row
+            out = out.union(
+                ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "entity_id": pa.array([source], pa.int64()),
+                            "hop": pa.array([0], pa.int64()),
+                        }
+                    )
+                )
+            )
+        return out
+
     def close(self) -> None:
         import ray
 
@@ -401,6 +526,21 @@ def pagerank_bsp(
     iterate-many callers should hold the handle instead."""
     with PageRankBSP(edges, num_partitions=num_partitions) as h:
         return h.run(iters=iters, damping=damping)
+
+
+def bfs_bsp(
+    edges,
+    source: int,
+    max_hops: int = 15,
+    num_partitions: int | None = None,
+):
+    """edges → (entity_id, hop): single-source BFS reachability on the
+    BSP actor pool, identical output to :func:`graphops.bfs_hops`.
+    One-shot convenience over :meth:`PageRankBSP.bfs`; the handle form
+    amortizes the partition exchange across many seeds (multi-seed
+    impact analysis is the common shape of this query)."""
+    with PageRankBSP(edges, num_partitions=num_partitions) as h:
+        return h.bfs(source, max_hops=max_hops)
 
 
 #: distinct odd 64-bit salt per replica — XOR keeps every replica's id

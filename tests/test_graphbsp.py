@@ -121,3 +121,65 @@ def test_replicate_edges_disjoint_and_deterministic(ray_session) -> None:
         t.select(key).sort_by([(c, "ascending") for c in key])
         == rep2.select(key).sort_by([(c, "ascending") for c in key])
     )
+
+
+def _hops(ds):
+    return (
+        ds.to_pandas()
+        .sort_values(["entity_id"])
+        .reset_index(drop=True)[["entity_id", "hop"]]
+    )
+
+
+def test_bfs_matches_dataflow(ray_session) -> None:
+    """BSP BFS == graphops.bfs_hops exactly, across partition counts
+    and seeds (including a hub and a leaf)."""
+    from promptner_ray.functions.graphbsp import bfs_bsp
+    from promptner_ray.functions.graphops import bfs_hops
+
+    edges = _random_edges(3, 80, 400)
+    ds = ray.data.from_arrow(_edge_table(edges))
+    out_deg = {}
+    for s, t, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    hub = max(out_deg, key=lambda k: (out_deg[k], -k))
+    leaf = min(out_deg, key=lambda k: (out_deg[k], k))
+    for seed in (hub, leaf):
+        for n_parts in (1, 3):
+            got = _hops(bfs_bsp(ds, seed, num_partitions=n_parts))
+            want = _hops(bfs_hops(ds, seed))
+            assert got.equals(want), (seed, n_parts)
+
+
+def test_bfs_handle_multi_seed_and_absent_source(ray_session) -> None:
+    """One handle, several seeds; a source absent from the edge set
+    still yields its (source, 0) row — bfs_hops' convention.  PageRank
+    and BFS interleave on the same handle without corrupting state."""
+    from promptner_ray.functions.graphbsp import PageRankBSP
+    from promptner_ray.functions.graphops import bfs_hops, pagerank
+
+    edges = _random_edges(5, 60, 250)
+    ds = ray.data.from_arrow(_edge_table(edges))
+    nodes = {e[0] for e in edges} | {e[1] for e in edges}
+    seeds = sorted(nodes)[:2]
+    absent = max(nodes) + 1000
+    with PageRankBSP(ds, num_partitions=3) as h:
+        a = _hops(h.bfs(seeds[0]))
+        pr = _ranks(h.run(iters=3))
+        b = _hops(h.bfs(seeds[1]))
+        ghost = _hops(h.bfs(absent))
+    assert a.equals(_hops(bfs_hops(ds, seeds[0])))
+    assert b.equals(_hops(bfs_hops(ds, seeds[1])))
+    assert pr.equals(_ranks(pagerank(ds, iters=3)))
+    assert len(ghost) == 1
+    assert ghost.iloc[0].tolist() == [absent, 0]
+
+
+def test_bfs_max_hops_caps_depth(ray_session) -> None:
+    """A 1-hop cap returns exactly the seed + its direct successors."""
+    from promptner_ray.functions.graphbsp import bfs_bsp
+
+    edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 5, 1)]
+    ds = ray.data.from_arrow(_edge_table(edges))
+    got = _hops(bfs_bsp(ds, 1, max_hops=1, num_partitions=2))
+    assert got.values.tolist() == [[1, 0], [2, 1], [5, 1]]
