@@ -200,8 +200,9 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     at bench scale the KG edge table is ~70 nodes (those timings are
     pure exchange latency), so this section is where the graph ops'
     scaling behavior is actually visible."""
-    from promptner_ray.functions.graphbsp import pagerank_bsp
+    from promptner_ray.functions.graphbsp import bfs_bsp, pagerank_bsp
     from promptner_ray.functions.graphops import (
+        bfs_hops,
         k_core,
         node_degrees,
         pagerank,
@@ -217,11 +218,21 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         "edges": n_edges,
         "queries": {"web_edges_build": round(build_s, 3)},
     }
+    # BFS seed: the max-out-weight hub (same convention as the
+    # kg_reachability queries), via one tiny sorted read of degrees
+    hub = (
+        node_degrees(edges)
+        .sort(["w_out", "entity_id"], descending=[True, False])
+        .limit(1)
+        .take(1)[0]["entity_id"]
+    )
     pr_iters = 4
     for name, fn in (
         ("web_degrees", node_degrees),
         ("web_pagerank", lambda e: pagerank(e, iters=pr_iters)),
         ("web_pagerank_bsp", lambda e: pagerank_bsp(e, iters=pr_iters)),
+        ("web_bfs", lambda e: bfs_hops(e, source=int(hub), max_hops=8)),
+        ("web_bfs_bsp", lambda e: bfs_bsp(e, source=int(hub), max_hops=8)),
         ("web_kcore", lambda e: k_core(e, k=3)),
         ("web_random_walks", random_walks),
         ("web_triangles", triangle_counts),
