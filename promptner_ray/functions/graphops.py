@@ -22,47 +22,68 @@ from __future__ import annotations
 import pyarrow as pa
 
 
-def _label_digest(labels_ds) -> int:
-    """Order-independent digest of a (dst, label) dataset: XOR-fold of a
-    per-row 64-bit mix.  Rows are keyed by distinct ``dst``, so two label
-    tables digest equal iff (w.h.p.) every node's label is equal — the
-    convergence test for min-label propagation without any join or
-    shuffle.  One int per block reaches the driver."""
+def _digest_mix(d, l) -> int:
+    """XOR-fold of the per-row 64-bit mix over two int64 vectors — the
+    shared kernel of :func:`_label_digest` and the BSP shards' local
+    digests (same math ⇒ same global value after XOR-combining)."""
     import numpy as np
 
     M1 = np.uint64(0x9E3779B97F4A7C15)
     M2 = np.uint64(0xC2B2AE3D27D4EB4F)
     M3 = np.uint64(0x27D4EB2F165667C5)
+    if len(d) == 0:
+        return 0
+    d = np.asarray(d, dtype=np.int64).view(np.uint64)
+    l = np.asarray(l, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = (d * M1 + M3) ^ ((l + M2) * M3)
+        mixed ^= mixed >> np.uint64(29)
+        mixed *= M1
+    return int(np.bitwise_xor.reduce(mixed)) & 0xFFFFFFFFFFFFFFFF
 
-    def digest_block(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "dst" not in t.column_names:
-            return pa.table({"d": pa.array([0], type=pa.int64())})
-        d = (
-            t.column("dst")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            .view(np.uint64)
-        )
-        l = (
-            t.column("label")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            .view(np.uint64)
-        )
-        with np.errstate(over="ignore"):
-            mixed = (d * M1 + M3) ^ ((l + M2) * M3)
-            mixed ^= mixed >> np.uint64(29)
-            mixed *= M1
-        folded = np.bitwise_xor.reduce(mixed)
-        return pa.table(
-            {"d": pa.array([int(folded.view(np.int64))], type=pa.int64())}
+
+def _label_digest(labels_ds) -> int:
+    """Order-independent digest of a (dst, label) dataset: XOR-fold of a
+    per-row 64-bit mix.  Rows are keyed by distinct ``dst``, so two label
+    tables digest equal iff (w.h.p.) every node's label is equal — the
+    convergence test for min-label propagation without any join or
+    shuffle.
+
+    Runs as one bare Ray task per already-materialized block (the call
+    sites always digest a dataset they just materialized), NOT as a Ray
+    Data pass: a streaming-executor run costs a fixed ~0.5 s even over
+    local blocks, and this fires once per iteration of every
+    fixed-point loop.  One int per block reaches the driver."""
+    import ray
+
+    def digest_block(t: pa.Table) -> int:
+        if t.num_rows == 0 or "dst" not in t.column_names:
+            return 0
+        return _digest_mix(
+            t.column("dst").to_numpy(zero_copy_only=False),
+            t.column("label").to_numpy(zero_copy_only=False),
         )
 
-    parts = labels_ds.map_batches(digest_block, batch_format="pyarrow").take_all()
+    task = ray.remote(num_cpus=0.25)(digest_block)
+    parts = ray.get([task.remote(r) for r in labels_ds.to_arrow_refs()])
     out = 0
-    for row in parts:
-        out ^= int(row["d"]) & 0xFFFFFFFFFFFFFFFF
+    for d in parts:
+        out ^= d
     return out
+
+
+def _iter_partitions(n_rows: int, num_partitions: int | None) -> int:
+    """Partition count for the fixed-point loops: explicit wins; else
+    size the exchange to the data (~200k rows per partition, capped at
+    the session default).  Every iterative kernel here is bit-identical
+    at any partition count (integer min/sum/arg-max commute), so this is
+    purely an execution-plan choice — a 70-node toy graph at sf0.01 was
+    paying 16-partition exchanges (hundreds of empty tasks) per round."""
+    from ..shuffle import default_partitions
+
+    if num_partitions is not None:
+        return num_partitions
+    return max(1, min(default_partitions(), (n_rows + 199_999) // 200_000))
 
 
 def _both_directions(pairs, a: str, b: str):
@@ -92,15 +113,8 @@ def connected_components(
     reachable; only nodes appearing in pairs are returned."""
     from ..shuffle import hash_grouped, local_hash_join
 
-    if num_partitions is None:
-        import ray
-
-        num_partitions = (
-            max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-            if ray.is_initialized()
-            else 8
-        )
     edges = _both_directions(pairs, a, b).materialize()
+    num_partitions = _iter_partitions(edges.count(), num_partitions)
     # initial labels: self-label per distinct node
     labels = hash_grouped(
         edges.map_batches(
@@ -653,6 +667,7 @@ def bfs_hops(
         [],
         num_partitions=num_partitions,
     ).materialize()
+    num_partitions = _iter_partitions(edg.count(), num_partitions)
 
     import ray
 
@@ -819,6 +834,7 @@ def random_walks(
         rank_block,
         num_partitions=num_partitions,
     ).materialize()
+    num_partitions = _iter_partitions(adjr.count(), num_partitions)
     def first_ranks(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -1254,7 +1270,27 @@ def pagerank(
     from ..shuffle import hash_grouped, local_hash_join
 
     dnum = round(damping * 1000)
-    deg = node_degrees(edges, num_partitions=num_partitions).materialize()
+    # project to the three loop columns FIRST and materialize once —
+    # the degree aggregate and every iteration then reuse the pinned
+    # blocks instead of re-reading (and re-parsing) the wide edge input
+    edge_tbl = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("subj_id").cast(pa.int64()),
+                "dst": t.column("obj_id").cast(pa.int64()),
+                "w": t.column("weight").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    num_partitions = _iter_partitions(edge_tbl.count(), num_partitions)
+    deg = node_degrees(
+        edge_tbl.map_batches(
+            lambda t: t.rename_columns(["subj_id", "obj_id", "weight"]),
+            batch_format="pyarrow",
+        ),
+        num_partitions=num_partitions,
+    ).materialize()
     n_nodes = deg.count()
     init_fp = PR_SCALE // n_nodes
     base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_nodes)
@@ -1272,16 +1308,6 @@ def pagerank(
         )
 
     ranks = deg.map_batches(init_rank, batch_format="pyarrow").materialize()
-    edge_tbl = edges.map_batches(
-        lambda t: pa.table(
-            {
-                "src": t.column("subj_id").cast(pa.int64()),
-                "dst": t.column("obj_id").cast(pa.int64()),
-                "w": t.column("weight").cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
     rank_schema = pa.schema(
         [
             ("entity_id", pa.int64()),
@@ -1293,32 +1319,26 @@ def pagerank(
         [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.int64())]
     )
 
+    import ray
+
+    def dangling_block(t: pa.Table) -> int:
+        # rank mass stuck on dangling nodes, one scalar per block — bare
+        # Ray tasks over the just-materialized rank blocks (a Ray Data
+        # aggregate pass costs a fixed ~0.5 s executor run per round)
+        if t.num_rows == 0 or "w_out" not in t.column_names:
+            return 0
+        r = t.column("rank_fp").to_numpy(zero_copy_only=False)
+        w = t.column("w_out").to_numpy(zero_copy_only=False)
+        return int(r[w == 0].sum())
+
+    dangling_task = ray.remote(num_cpus=0.25)(dangling_block)
+
     for _ in range(iters):
         # constant-size driver reduce: rank mass stuck on dangling nodes
-        import pyarrow.compute as pc
-
-        dangling = int(
-            ranks.map_batches(
-                lambda t: pa.table(
-                    {
-                        "m": pa.array(
-                            [
-                                pc.sum(
-                                    pc.if_else(
-                                        pc.equal(t.column("w_out"), 0),
-                                        t.column("rank_fp"),
-                                        pa.scalar(0, type=pa.int64()),
-                                    )
-                                ).as_py()
-                                or 0
-                            ],
-                            type=pa.int64(),
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-            ).sum("m")
-            or 0
+        dangling = sum(
+            ray.get(
+                [dangling_task.remote(r) for r in ranks.to_arrow_refs()]
+            )
         )
         joined = local_hash_join(
             edge_tbl.map_batches(
@@ -1904,6 +1924,7 @@ def label_propagation(
         )
 
     adj = und.map_batches(to_adj, batch_format="pyarrow").materialize()
+    num_partitions = _iter_partitions(adj.count(), num_partitions)
     labels = hash_grouped(
         adj.map_batches(
             lambda t: pa.table(

@@ -79,6 +79,19 @@ def hash_partitioned(
     branch."""
     n_parts = num_partitions or default_partitions()
 
+    if n_parts == 1:
+        # Single-partition fast path: the whole dataset IS the one hash
+        # partition, so the sort-based ``groupby.map_groups`` exchange
+        # (sample + sort + reduce waves) and the compaction barrier are
+        # pure overhead — ``repartition(1)`` already yields one clean
+        # block that ``fn`` consumes whole.  This is the plan the
+        # size-adaptive iterative loops (``graphops._iter_partitions``)
+        # pick on toy graphs, where the map_groups machinery dominated
+        # wall time (~5 s/round for a 70-node PageRank iteration).
+        return ds.repartition(1).map_batches(
+            fn, batch_format="pyarrow", batch_size=None
+        )
+
     def add_part(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch.append_column("part", pa.array([], type=pa.int32()))
