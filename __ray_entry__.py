@@ -377,6 +377,15 @@ def _kg_communities(sf_dir: str):
     return label_propagation(_kg_edges_raw(sf_dir))
 
 
+def _kg_communities_bsp(sf_dir: str):
+    """Same communities on the BSP actor-pool plan (vote-count combiner
+    over static shards — functions/graphbsp.py).  Bit-identical to
+    `kg_communities`, so the oracle SQL is `_labelprop_sql()` again."""
+    from promptner_ray.functions.graphbsp import label_propagation_bsp
+
+    return label_propagation_bsp(_kg_edges_raw(sf_dir))
+
+
 def _wave_filter(parity: int):
     """Deterministic two-wave split of the triples stream by url hash —
     the sandbox stand-in for two crawl segments (shared by the
@@ -611,6 +620,21 @@ def _dedup_components(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     return connected_components(dedup.minhash_lsh_pairs(docs))
+
+
+def _dedup_components_bsp(sf_dir: str):
+    """Same near-dup clusters on the BSP actor-pool plan (static edge
+    shards, frontier-delta min-label messages — functions/graphbsp.py):
+    the scale path for the pairs→components step, where the dataflow
+    loop pays two edge-sized exchanges per round.  Bit-identical, so the
+    oracle SQL is literally `dedup_components`'s recursive CTE again."""
+    import ray
+
+    from promptner_ray.functions import dedup
+    from promptner_ray.functions.graphbsp import components_bsp
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return components_bsp(dedup.minhash_lsh_pairs(docs))
 
 
 def _doc_clean(sf_dir: str):
@@ -909,6 +933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_pairs(_docs(sf)),
         "dedup_components": _dedup_components,
+        # same clusters on the BSP actor-pool plan; same oracle
+        "dedup_components_bsp": _dedup_components_bsp,
         "dedup_minhash_keep": lambda sf: dedup.minhash_dedup(_docs(sf)),
         # --- similarity search (embeddings) --------------------------
         "embed_knn": lambda sf: similarity.knn_topk(
@@ -1011,6 +1037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: deterministic synchronous voting replayed as a
         # recursive CTE (see _labelprop_sql)
         "kg_communities": _kg_communities,
+        # same communities on the BSP actor-pool plan; same oracle
+        "kg_communities_bsp": _kg_communities_bsp,
         # incremental-crawl wave merge must equal the batch edge table
         "kg_edges_incremental": _kg_edges_incremental,
         # oracle: full-outer join of the two wave-replay edge CTEs
@@ -1847,7 +1875,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN bands b ON a.band = b.band AND a.sig = b.sig
                         AND a.doc_id < b.doc_id
         """
-    return {
+    out = {
         "doc_token_stats": (
             "SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens, "
             "length(text)::BIGINT AS n_chars FROM documents"
@@ -2838,6 +2866,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_f1_counts": _f1_counts_sql(),
         "kg_eval_f1": _f1_summary_sql(),
     }
+    # BSP execution-plan twins: bit-identical results to their dataflow
+    # counterparts (integer min / vote folds commute — pinned by
+    # tests/test_graphbsp.py), so one oracle covers both plans, the same
+    # pattern as kg_pagerank_bsp / kg_reachability_bsp above.
+    out["dedup_components_bsp"] = out["dedup_components"]
+    out["kg_communities_bsp"] = out["kg_communities"]
+    return out
 
 
 def _STOPWORDS():

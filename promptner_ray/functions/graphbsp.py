@@ -1,6 +1,6 @@
 """Bulk-synchronous (Pregel-style) iterative graph analytics on a Ray
-actor pool — PageRank and single-source BFS over one shared sharded
-graph handle.
+actor pool — PageRank, single-source BFS, connected components and
+label-propagation communities over one shared sharded graph handle.
 
 Why this exists alongside :func:`functions.graphops.pagerank`: the
 Ray-Data formulation re-exchanges the STATIC edge list every round — each
@@ -275,6 +275,174 @@ class _PRShard:
             }
         )
 
+    # -- min-label fixed points over the same shards: connected
+    #    components (min combiner, delta frontier) and synchronous label
+    #    propagation (vote-count combiner).  Both assume the handle was
+    #    built over a DIRECTION-DOUBLED edge table (see the module-level
+    #    one-shots) so information flows both ways. --------------------
+
+    def labels_reset(self) -> None:
+        """label ← own id; everyone is frontier-active for round 1
+        (matching the dataflow round 1, where every node's label
+        propagates)."""
+        self.label = self.ids.copy()
+        self.cc_active = np.ones(len(self.ids), dtype=bool)
+
+    def cc_scatter(self):
+        """Delta messages: (position-in-static-structure, label) pairs
+        for the runs touched by a last-round-changed source, min-combined
+        per distinct dst.  A node whose label did not change last round
+        resends nothing — its value already lower-bounds every
+        neighbor — so per-round traffic is frontier-sized, yet the
+        per-round label states are IDENTICAL to the full-resend (and
+        dataflow) formulation: min is idempotent and labels only
+        decrease."""
+        if not len(self.starts):
+            return [
+                (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+                for _ in range(self.n_parts)
+            ]
+        active_edge = self.cc_active[self.src_idx]
+        lane = np.where(
+            active_edge,
+            self.label[self.src_idx],
+            np.int64(np.iinfo(np.int64).max),
+        )
+        run_min = np.minimum.reduceat(lane, self.starts)
+        run_active = np.logical_or.reduceat(active_edge, self.starts)
+        out = []
+        for j in range(self.n_parts):
+            lo, hi = self.jbounds[j], self.jbounds[j + 1]
+            pos = np.flatnonzero(run_active[lo:hi]).astype(np.int64)
+            out.append((pos, run_min[lo:hi][pos]))
+        return out
+
+    def cc_gather(self, *msgs) -> int:
+        """min(own, incoming) per home node; returns how many home
+        labels decreased (the driver stops at a global 0)."""
+        arrs: list[tuple] = []
+        for a in msgs:
+            if isinstance(a, list):  # n_parts == 1 flatten, as in bfs
+                arrs.extend(a)
+            else:
+                arrs.append(a)
+        idx_parts, val_parts = [], []
+        for i, (pos, val) in enumerate(arrs):
+            if len(pos):
+                idx_parts.append(
+                    self.g_idx[self.g_off[i] + pos.astype(np.intp)]
+                )
+                val_parts.append(val)
+        self.cc_active[:] = False
+        if not idx_parts:
+            return 0
+        idx = np.concatenate(idx_parts)
+        val = np.concatenate(val_parts)
+        order = np.argsort(idx, kind="stable")
+        idx, val = idx[order], val[order]
+        starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        tgt = idx[starts]
+        mins = np.minimum.reduceat(val, starts)
+        better = mins < self.label[tgt]
+        tgt, mins = tgt[better], mins[better]
+        self.label[tgt] = mins
+        self.cc_active[tgt] = True
+        return int(len(tgt))
+
+    def _lp_run_id(self) -> np.ndarray:
+        """Edge → distinct-dst run index (cached; the structure is
+        static)."""
+        rid = getattr(self, "_lp_rid", None)
+        if rid is None:
+            lengths = np.diff(np.r_[self.starts, len(self.w)])
+            rid = np.repeat(
+                np.arange(len(self.starts), dtype=np.int64), lengths
+            )
+            self._lp_rid = rid
+        return rid
+
+    def lp_scatter(self):
+        """One round of votes, map-side combined: per target shard a
+        (position, label, count) triple — one entry per distinct
+        (dst, incoming label), never per edge."""
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+        if not len(self.starts):
+            return [empty for _ in range(self.n_parts)]
+        lab = self.label[self.src_idx]
+        rid = self._lp_run_id()
+        order = np.lexsort((lab, rid))
+        r, l = rid[order], lab[order]
+        firsts = np.flatnonzero(
+            np.r_[True, (r[1:] != r[:-1]) | (l[1:] != l[:-1])]
+        )
+        counts = np.diff(np.r_[firsts, len(r)]).astype(np.int64)
+        slots, labs = r[firsts], l[firsts]
+        pb = np.searchsorted(slots, self.jbounds)
+        return [
+            (
+                slots[pb[j]: pb[j + 1]] - self.jbounds[j],
+                labs[pb[j]: pb[j + 1]],
+                counts[pb[j]: pb[j + 1]],
+            )
+            for j in range(self.n_parts)
+        ]
+
+    def lp_gather(self, *msgs) -> int:
+        """Adopt the most frequent label among incoming votes plus one
+        self-vote, ties to the smallest label — exactly
+        :func:`graphops.label_propagation`'s ``vote_argmax`` fold.
+        Returns the number of home labels that changed."""
+        arrs: list[tuple] = []
+        for a in msgs:
+            if isinstance(a, list):  # n_parts == 1 flatten
+                arrs.extend(a)
+            else:
+                arrs.append(a)
+        n = len(self.ids)
+        idx_parts = [np.arange(n, dtype=np.int64)]
+        lab_parts = [self.label]
+        cnt_parts = [np.ones(n, dtype=np.int64)]
+        for i, (pos, lab, cnt) in enumerate(arrs):
+            if len(pos):
+                idx_parts.append(
+                    self.g_idx[self.g_off[i] + pos.astype(np.intp)].astype(
+                        np.int64
+                    )
+                )
+                lab_parts.append(lab)
+                cnt_parts.append(cnt)
+        idx = np.concatenate(idx_parts)
+        lab = np.concatenate(lab_parts)
+        cnt = np.concatenate(cnt_parts)
+        order = np.lexsort((lab, idx))
+        idx, lab, cnt = idx[order], lab[order], cnt[order]
+        starts = np.flatnonzero(
+            np.r_[True, (idx[1:] != idx[:-1]) | (lab[1:] != lab[:-1])]
+        )
+        i2, l2 = idx[starts], lab[starts]
+        c2 = np.add.reduceat(cnt, starts)
+        # per node: count desc, then label asc — lexsort's LAST key is
+        # primary, i2 is already grouped
+        o2 = np.lexsort((l2, -c2, i2))
+        i3, l3 = i2[o2], l2[o2]
+        first = np.flatnonzero(np.r_[True, i3[1:] != i3[:-1]])
+        tgt, new = i3[first], l3[first]
+        changed = int((new != self.label[tgt]).sum())
+        self.label[tgt] = new
+        return changed
+
+    def labels_result(self, id_name: str, label_name: str) -> pa.Table:
+        return pa.table(
+            {
+                id_name: pa.array(self.ids, type=pa.int64()),
+                label_name: pa.array(self.label, type=pa.int64()),
+            }
+        )
+
 
 def _partition_refs(ds, id_col: str, n_parts: int):
     """The one-time shard shuffle, as map tasks only: each materialized
@@ -498,6 +666,87 @@ class PageRankBSP:
             )
         return out
 
+    def components(self, max_iters: int = 10):
+        """Min-label fixed point over the sharded graph — (doc_id,
+        component) with component = min id reachable, identical to
+        :func:`graphops.connected_components` round for round (labels
+        only decrease and min commutes, so the states match even when
+        ``max_iters`` caps before convergence).  Requires a handle built
+        over a direction-doubled edge table (use
+        :func:`components_bsp` unless you doubled yourself).  Per round
+        each shard ships only (position, label) pairs for last-round
+        CHANGES — frontier-sized traffic — and the driver sees one
+        changed-count scalar per shard."""
+        import ray
+
+        if not self.actors:
+            raise RuntimeError("PageRankBSP handle is closed")
+        n_parts = self.n_parts
+        ray.get([a.labels_reset.remote() for a in self.actors])
+        for _ in range(max_iters):
+            scat = [
+                a.cc_scatter.options(num_returns=n_parts).remote()
+                for a in self.actors
+            ]
+            if n_parts == 1:
+                scat = [[s] for s in scat]
+            changed = ray.get(
+                [
+                    self.actors[j].cc_gather.remote(
+                        *[scat[i][j] for i in range(n_parts)]
+                    )
+                    for j in range(n_parts)
+                ]
+            )
+            if sum(changed) == 0:
+                break
+        result_refs = [
+            a.labels_result.remote("doc_id", "component")
+            for a in self.actors
+        ]
+        ray.get(result_refs)  # seal before any close()
+        return ray.data.from_arrow_refs(result_refs)
+
+    def label_prop(self, max_iters: int = 10):
+        """Synchronous label propagation (most-frequent neighbor label
+        plus one self-vote, ties to the smallest label) — (entity_id,
+        community), identical to :func:`graphops.label_propagation`
+        round for round.  Requires a handle built over the
+        direction-doubled DISTINCT undirected edge list (use
+        :func:`label_propagation_bsp` unless you built that yourself —
+        duplicate edges would change the vote counts).  Votes are
+        map-side combined: per round a shard ships one (position, label,
+        count) entry per distinct (dst, label), never per edge."""
+        import ray
+
+        if not self.actors:
+            raise RuntimeError("PageRankBSP handle is closed")
+        n_parts = self.n_parts
+        ray.get([a.labels_reset.remote() for a in self.actors])
+        for _ in range(max_iters):
+            scat = [
+                a.lp_scatter.options(num_returns=n_parts).remote()
+                for a in self.actors
+            ]
+            if n_parts == 1:
+                scat = [[s] for s in scat]
+            changed = ray.get(
+                [
+                    self.actors[j].lp_gather.remote(
+                        *[scat[i][j] for i in range(n_parts)]
+                    )
+                    for j in range(n_parts)
+                ]
+            )
+            if sum(changed) == 0:
+                break
+        result_refs = [
+            a.labels_result.remote("entity_id", "community")
+            for a in self.actors
+        ]
+        ray.get(result_refs)  # seal before any close()
+        return ray.data.from_arrow_refs(result_refs)
+
     def close(self) -> None:
         import ray
 
@@ -541,6 +790,93 @@ def bfs_bsp(
     impact analysis is the common shape of this query)."""
     with PageRankBSP(edges, num_partitions=num_partitions) as h:
         return h.bfs(source, max_hops=max_hops)
+
+
+def components_bsp(
+    pairs,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 10,
+    num_partitions: int | None = None,
+):
+    """(a, b) pair Dataset → (doc_id, component): connected components
+    on the BSP actor pool, identical output to
+    :func:`graphops.connected_components` — the scale path for near-dup
+    clustering (MinHash pairs → components), where the dataflow
+    formulation pays two edge-sized exchanges per round.  Doubles the
+    pair directions inside one ``map_batches`` (the same structure the
+    dataflow op builds with ``_both_directions``) and runs the min-label
+    delta loop on the sharded handle."""
+
+    def doubled(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or a not in t.column_names:
+            return pa.table(
+                {
+                    "subj_id": pa.array([], type=pa.int64()),
+                    "obj_id": pa.array([], type=pa.int64()),
+                    "weight": pa.array([], type=pa.int64()),
+                }
+            )
+        x = t.column(a).cast(pa.int64()).combine_chunks()
+        y = t.column(b).cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "subj_id": pa.concat_arrays([x, y]),
+                "obj_id": pa.concat_arrays([y, x]),
+                "weight": pa.array(
+                    np.ones(2 * t.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    with PageRankBSP(
+        pairs.map_batches(doubled, batch_format="pyarrow"),
+        num_partitions=num_partitions,
+    ) as h:
+        return h.components(max_iters=max_iters)
+
+
+def label_propagation_bsp(
+    edges_ds,
+    max_iters: int = 10,
+    num_partitions: int | None = None,
+):
+    """edges(subj_id, obj_id, …) → (entity_id, community): synchronous
+    label-propagation community detection on the BSP actor pool,
+    identical output to :func:`graphops.label_propagation`.  Builds the
+    same DISTINCT undirected adjacency the dataflow op votes over
+    (``_und_and_degrees`` — duplicate edges must not multiply votes),
+    then runs the vote-combiner loop on the sharded handle."""
+    from .graphops import _und_and_degrees
+
+    und, _deg = _und_and_degrees(edges_ds, num_partitions)
+
+    def doubled(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table(
+                {
+                    "subj_id": pa.array([], type=pa.int64()),
+                    "obj_id": pa.array([], type=pa.int64()),
+                    "weight": pa.array([], type=pa.int64()),
+                }
+            )
+        x = t.column("a").combine_chunks()
+        y = t.column("b").combine_chunks()
+        return pa.table(
+            {
+                "subj_id": pa.concat_arrays([x, y]),
+                "obj_id": pa.concat_arrays([y, x]),
+                "weight": pa.array(
+                    np.ones(2 * t.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    with PageRankBSP(
+        und.map_batches(doubled, batch_format="pyarrow"),
+        num_partitions=num_partitions,
+    ) as h:
+        return h.label_prop(max_iters=max_iters)
 
 
 #: distinct odd 64-bit salt per replica — XOR keeps every replica's id

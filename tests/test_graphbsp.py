@@ -183,3 +183,149 @@ def test_bfs_max_hops_caps_depth(ray_session) -> None:
     ds = ray.data.from_arrow(_edge_table(edges))
     got = _hops(bfs_bsp(ds, 1, max_hops=1, num_partitions=2))
     assert got.values.tolist() == [[1, 0], [2, 1], [5, 1]]
+
+
+def _labels(ds, id_col, lab_col):
+    return (
+        ds.to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)[[id_col, lab_col]]
+    )
+
+
+def test_components_match_dataflow(ray_session) -> None:
+    """BSP connected components == graphops.connected_components
+    exactly, across partition counts, on a multi-component pair graph
+    with duplicate pairs and a self-loop."""
+    from promptner_ray.functions.graphbsp import components_bsp
+    from promptner_ray.functions.graphops import connected_components
+
+    rng = np.random.default_rng(23)
+    pairs = []
+    for comp in range(5):
+        base = comp * 10_000
+        n = int(rng.integers(4, 50))
+        for _ in range(2 * n):
+            x, y = rng.integers(0, n, 2)
+            pairs.append((base + int(x), base + int(y)))
+    pairs.append(pairs[0])  # duplicate pair
+    pairs.append((777_777, 777_777))  # self-loop singleton
+    pt = pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(pt)
+    want = _labels(connected_components(ds), "doc_id", "component")
+    for n_parts in (1, 4):
+        got = _labels(
+            components_bsp(ds, num_partitions=n_parts),
+            "doc_id",
+            "component",
+        )
+        assert want.equals(got), f"mismatch at num_partitions={n_parts}"
+
+
+def test_components_max_iters_cap_matches(ray_session) -> None:
+    """When max_iters caps before convergence (a long path needs ~L
+    rounds), the per-round label states must still match — the BSP
+    delta-frontier update and the dataflow min-join update are the same
+    function round for round."""
+    from promptner_ray.functions.graphbsp import components_bsp
+    from promptner_ray.functions.graphops import connected_components
+
+    path = [(i, i + 1) for i in range(40)]  # diameter 40 > 3 rounds
+    pt = pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in path], pa.int64()),
+            "doc_b": pa.array([p[1] for p in path], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(pt)
+    for iters in (3, 10):
+        want = _labels(
+            connected_components(ds, max_iters=iters),
+            "doc_id",
+            "component",
+        )
+        got = _labels(
+            components_bsp(ds, max_iters=iters, num_partitions=3),
+            "doc_id",
+            "component",
+        )
+        assert want.equals(got), f"mismatch at max_iters={iters}"
+
+
+def test_label_prop_matches_dataflow(ray_session) -> None:
+    """BSP label propagation == graphops.label_propagation exactly —
+    duplicate edges must NOT multiply votes (the distinct undirected
+    adjacency is rebuilt the same way), ties break to the smallest
+    label, and an even cycle (oscillation under synchronous update)
+    still matches because the per-round vote fold is identical."""
+    from promptner_ray.functions.graphbsp import label_propagation_bsp
+    from promptner_ray.functions.graphops import label_propagation
+
+    edges = _random_edges(29, 90, 500)
+    edges += edges[:40]  # duplicate edges: votes must stay distinct
+    edges += [(500 + i, 500 + (i + 1) % 6, 1) for i in range(6)]  # 6-cycle
+    ds = ray.data.from_arrow(_edge_table(edges))
+    want = _labels(label_propagation(ds), "entity_id", "community")
+    for n_parts in (1, 4):
+        got = _labels(
+            label_propagation_bsp(ds, num_partitions=n_parts),
+            "entity_id",
+            "community",
+        )
+        assert want.equals(got), f"mismatch at num_partitions={n_parts}"
+
+
+def test_labels_and_pagerank_share_one_handle(ray_session) -> None:
+    """components / label_prop / run interleave on one handle without
+    corrupting each other's state.  (Both label kernels are exercised
+    on the direction-doubled edge table the label ops require; PageRank
+    on that doubled graph is simply the undirected PageRank, compared
+    against the dataflow op on the same input.)"""
+    from promptner_ray.functions.graphbsp import PageRankBSP
+    from promptner_ray.functions.graphops import (
+        connected_components,
+        pagerank,
+    )
+
+    edges = _random_edges(31, 70, 300)
+    tbl = _edge_table(edges)
+    both = pa.table(
+        {
+            "subj_id": pa.concat_arrays(
+                [
+                    tbl.column("subj_id").combine_chunks(),
+                    tbl.column("obj_id").combine_chunks(),
+                ]
+            ),
+            "obj_id": pa.concat_arrays(
+                [
+                    tbl.column("obj_id").combine_chunks(),
+                    tbl.column("subj_id").combine_chunks(),
+                ]
+            ),
+            "weight": pa.array([1] * (2 * len(edges)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(both)
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": tbl.column("subj_id"),
+                "doc_b": tbl.column("obj_id"),
+            }
+        )
+    )
+    with PageRankBSP(ds, num_partitions=3) as h:
+        cc1 = _labels(h.components(), "doc_id", "component")
+        pr = _ranks(h.run(iters=3))
+        cc2 = _labels(h.components(), "doc_id", "component")
+    assert cc1.equals(
+        _labels(connected_components(pairs), "doc_id", "component")
+    )
+    assert cc1.equals(cc2)
+    assert pr.equals(_ranks(pagerank(ds, iters=3)))
