@@ -200,9 +200,14 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     at bench scale the KG edge table is ~70 nodes (those timings are
     pure exchange latency), so this section is where the graph ops'
     scaling behavior is actually visible."""
-    from promptner_ray.functions.graphbsp import bfs_bsp, pagerank_bsp
+    from promptner_ray.functions.graphbsp import (
+        bfs_bsp,
+        components_bsp,
+        pagerank_bsp,
+    )
     from promptner_ray.functions.graphops import (
         bfs_hops,
+        connected_components,
         k_core,
         node_degrees,
         pagerank,
@@ -233,6 +238,14 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         ("web_pagerank_bsp", lambda e: pagerank_bsp(e, iters=pr_iters)),
         ("web_bfs", lambda e: bfs_hops(e, source=int(hub), max_hops=8)),
         ("web_bfs_bsp", lambda e: bfs_bsp(e, source=int(hub), max_hops=8)),
+        (
+            "web_components",
+            lambda e: connected_components(e, a="subj_id", b="obj_id"),
+        ),
+        (
+            "web_components_bsp",
+            lambda e: components_bsp(e, a="subj_id", b="obj_id"),
+        ),
         ("web_kcore", lambda e: k_core(e, k=3)),
         ("web_random_walks", random_walks),
         ("web_triangles", triangle_counts),
