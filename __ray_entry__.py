@@ -282,6 +282,16 @@ def _kg_random_walks(sf_dir: str):
     return random_walks(_kg_edges_raw(sf_dir))
 
 
+def _kg_random_walks_bsp(sf_dir: str):
+    """Same walk corpus on the BSP actor-pool plan (walkers circulate
+    as (start, walk_no, next) triples over static CSR shards —
+    functions/graphbsp.py).  Bit-identical to `kg_random_walks`, so the
+    oracle SQL is `_walks_sql()` again."""
+    from promptner_ray.functions.graphbsp import random_walks_bsp
+
+    return random_walks_bsp(_kg_edges_raw(sf_dir))
+
+
 def _kg_edge_times(sf_dir: str):
     from promptner_ray.pipelines import kg
 
@@ -1027,6 +1037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reachability_bsp": _kg_reachability_bsp,
         # oracle: hash-driven walk replay (deterministic neighbor pick)
         "kg_random_walks": _kg_random_walks,
+        # same corpus on the BSP actor-pool plan; same oracle
+        "kg_random_walks_bsp": _kg_random_walks_bsp,
         # oracle: walk-replay self-join within the skip-gram window
         "kg_walk_pairs": _kg_walk_pairs,
         # oracle: brute-force levenshtein cross join (independent of the
@@ -2872,6 +2884,7 @@ def oracle_sql() -> dict[str, str]:
     # pattern as kg_pagerank_bsp / kg_reachability_bsp above.
     out["dedup_components_bsp"] = out["dedup_components"]
     out["kg_communities_bsp"] = out["kg_communities"]
+    out["kg_random_walks_bsp"] = out["kg_random_walks"]
     return out
 
 

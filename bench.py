@@ -204,6 +204,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         bfs_bsp,
         components_bsp,
         pagerank_bsp,
+        random_walks_bsp,
     )
     from promptner_ray.functions.graphops import (
         bfs_hops,
@@ -248,6 +249,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         ),
         ("web_kcore", lambda e: k_core(e, k=3)),
         ("web_random_walks", random_walks),
+        ("web_random_walks_bsp", random_walks_bsp),
         ("web_triangles", triangle_counts),
     ):
         t0 = time.monotonic()

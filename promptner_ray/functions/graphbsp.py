@@ -443,6 +443,135 @@ class _PRShard:
             }
         )
 
+    # -- deterministic random walks over the same shards: a walker at
+    #    node v steps ON v's home shard (the out-degree and the ranked
+    #    neighbor list are local), then routes to the next node's home.
+    #    Per step the wire carries one (start, walk_no, next) triple per
+    #    LIVE walker — walker-sized traffic, not graph-sized. ----------
+
+    def rw_setup(self) -> None:
+        """Distinct ranked CSR adjacency over home sources, derived once
+        from the already-loaded edge arrays (neighbors ascend by id —
+        the same ranking as ``graphops.random_walks``'s rank_block) and
+        cached for every later walk invocation."""
+        if getattr(self, "_rw_ready", False):
+            return
+        if len(self.starts):
+            dst_full = self.msg_dst[self._lp_run_id()]
+            order = np.lexsort((dst_full, self.src_idx))
+            s, d = self.src_idx[order], dst_full[order]
+            keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+            s, d = s[keep], d[keep]
+        else:
+            s = np.empty(0, dtype=np.intp)
+            d = np.empty(0, dtype=np.int64)
+        self.rw_indptr = np.searchsorted(
+            s, np.arange(len(self.ids) + 1)
+        ).astype(np.intp)
+        self.rw_adj = d
+        self.rw_deg = np.diff(self.rw_indptr).astype(np.int64)
+        self._rw_ready = True
+
+    def rw_reset(self, walks_per_node: int, seed: int) -> None:
+        """K walkers per home node; the step-0 row of every walker
+        (sinks included) is emitted immediately, as in the dataflow
+        op."""
+        self.rw_setup()
+        K = walks_per_node
+        n = len(self.ids)
+        self.rw_K = np.int64(K)
+        self.rw_seed = np.int64(seed)
+        self.rw_start = np.repeat(self.ids, K)
+        self.rw_wn = np.tile(np.arange(K, dtype=np.int64), n)
+        self.rw_cur = np.repeat(np.arange(n, dtype=np.intp), K)
+        self.rw_emit = [
+            (
+                self.rw_start.copy(),
+                self.rw_wn.copy(),
+                np.zeros(n * K, dtype=np.int64),
+                np.repeat(self.ids, K),
+            )
+        ]
+
+    def rw_step(self, step: int):
+        """Advance this shard's live walkers one step: the identical
+        wrapping-int64 mix mod out-degree as the dataflow ``pick``
+        kernel, then route each walker to its next node's home shard."""
+        cur = self.rw_cur
+        alive = self.rw_deg[cur] > 0
+        st = self.rw_start[alive]
+        wn = self.rw_wn[alive]
+        cur = cur[alive]
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+        if not len(cur):
+            return [empty for _ in range(self.n_parts)]
+        d = self.rw_deg[cur]
+        from .graphops import RW_M1, RW_M2, RW_M3
+
+        with np.errstate(over="ignore"):
+            uw = st * self.rw_K + wn
+            h = (
+                self.ids[cur] * np.int64(RW_M1)
+                + np.int64(step) * np.int64(RW_M2)
+                + uw * np.int64(RW_M3)
+                + self.rw_seed
+            )
+        rk = (h.view(np.uint64) % d.astype(np.uint64)).astype(np.int64)
+        nxt = self.rw_adj[self.rw_indptr[cur] + rk]
+        self.rw_emit.append(
+            (st, wn, np.full(len(st), step, dtype=np.int64), nxt)
+        )
+        part = _part_of(nxt, self.n_parts)
+        order = np.argsort(part, kind="stable")
+        st, wn, nxt = st[order], wn[order], nxt[order]
+        bounds = np.searchsorted(part[order], np.arange(self.n_parts + 1))
+        return [
+            (
+                st[bounds[j]: bounds[j + 1]],
+                wn[bounds[j]: bounds[j + 1]],
+                nxt[bounds[j]: bounds[j + 1]],
+            )
+            for j in range(self.n_parts)
+        ]
+
+    def rw_recv(self, *msgs) -> int:
+        """Adopt the walkers that landed on this shard; returns the live
+        count (the driver stops at a global 0, like the dataflow op's
+        ``state.count() == 0`` break)."""
+        arrs: list[tuple] = []
+        for a in msgs:
+            if isinstance(a, list):  # n_parts == 1 flatten
+                arrs.extend(a)
+            else:
+                arrs.append(a)
+        parts = [a for a in arrs if len(a[0])]
+        if not parts:
+            self.rw_start = np.empty(0, dtype=np.int64)
+            self.rw_wn = np.empty(0, dtype=np.int64)
+            self.rw_cur = np.empty(0, dtype=np.intp)
+            return 0
+        self.rw_start = np.concatenate([a[0] for a in parts])
+        self.rw_wn = np.concatenate([a[1] for a in parts])
+        nxt = np.concatenate([a[2] for a in parts])
+        self.rw_cur = np.searchsorted(self.ids, nxt).astype(np.intp)
+        return int(len(nxt))
+
+    def rw_result(self) -> pa.Table:
+        cols = [np.concatenate([e[i] for e in self.rw_emit]) for i in range(4)]
+        self.rw_emit = []
+        return pa.table(
+            {
+                "start_node": pa.array(cols[0], type=pa.int64()),
+                "walk_no": pa.array(cols[1], type=pa.int64()),
+                "step": pa.array(cols[2], type=pa.int64()),
+                "entity_id": pa.array(cols[3], type=pa.int64()),
+            }
+        )
+
 
 def _partition_refs(ds, id_col: str, n_parts: int):
     """The one-time shard shuffle, as map tasks only: each materialized
@@ -747,6 +876,49 @@ class PageRankBSP:
         ray.get(result_refs)  # seal before any close()
         return ray.data.from_arrow_refs(result_refs)
 
+    def walks(
+        self,
+        walk_len: int = 8,
+        walks_per_node: int = 2,
+        seed: int = 42,
+    ):
+        """Deterministic random-walk corpus over the sharded graph —
+        (start_node, walk_no, step, entity_id), bit-identical to
+        :func:`graphops.random_walks` (same wrapping-int64 neighbor
+        mix, same ascending-id neighbor ranking, same
+        emit-then-die-at-sinks semantics).  A walker steps on its
+        current node's home shard and moves as one (start, walk_no,
+        next) triple per step — the dataflow op pays one padded join
+        (two exchanges + compaction) per step for the same move."""
+        import ray
+
+        if not self.actors:
+            raise RuntimeError("PageRankBSP handle is closed")
+        n_parts = self.n_parts
+        ray.get(
+            [a.rw_reset.remote(walks_per_node, seed) for a in self.actors]
+        )
+        for step in range(1, walk_len + 1):
+            scat = [
+                a.rw_step.options(num_returns=n_parts).remote(step)
+                for a in self.actors
+            ]
+            if n_parts == 1:
+                scat = [[s] for s in scat]
+            live = ray.get(
+                [
+                    self.actors[j].rw_recv.remote(
+                        *[scat[i][j] for i in range(n_parts)]
+                    )
+                    for j in range(n_parts)
+                ]
+            )
+            if sum(live) == 0:
+                break
+        result_refs = [a.rw_result.remote() for a in self.actors]
+        ray.get(result_refs)  # seal before any close()
+        return ray.data.from_arrow_refs(result_refs)
+
     def close(self) -> None:
         import ray
 
@@ -877,6 +1049,26 @@ def label_propagation_bsp(
         num_partitions=num_partitions,
     ) as h:
         return h.label_prop(max_iters=max_iters)
+
+
+def random_walks_bsp(
+    edges_ds,
+    walk_len: int = 8,
+    walks_per_node: int = 2,
+    seed: int = 42,
+    num_partitions: int | None = None,
+):
+    """edges(subj_id, obj_id, …) → (start_node, walk_no, step,
+    entity_id): the DeepWalk corpus generator on the BSP actor pool,
+    bit-identical to :func:`graphops.random_walks` — so the same
+    unrolled SQL oracle covers both plans.  One-shot convenience over
+    :meth:`PageRankBSP.walks`; embedding pipelines that sweep
+    (walk_len, walks_per_node, seed) should hold the handle and pay the
+    shard build once."""
+    with PageRankBSP(edges_ds, num_partitions=num_partitions) as h:
+        return h.walks(
+            walk_len=walk_len, walks_per_node=walks_per_node, seed=seed
+        )
 
 
 #: distinct odd 64-bit salt per replica — XOR keeps every replica's id

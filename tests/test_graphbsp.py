@@ -280,6 +280,39 @@ def test_label_prop_matches_dataflow(ray_session) -> None:
         assert want.equals(got), f"mismatch at num_partitions={n_parts}"
 
 
+def test_random_walks_match_dataflow(ray_session) -> None:
+    """BSP walks == graphops.random_walks exactly, across partition
+    counts — same wrapping-int64 neighbor mix, same ascending-id
+    ranking over the DISTINCT adjacency (a duplicate edge must not
+    shift ranks), same emit-then-die semantics at a sink."""
+    from promptner_ray.functions.graphbsp import random_walks_bsp
+    from promptner_ray.functions.graphops import random_walks
+
+    edges = _random_edges(41, 120, 500)
+    edges.append((9000, 9001, 1))  # 9001: sink — dies after step 0
+    edges.append(edges[0])  # duplicate edge
+    ds = ray.data.from_arrow(_edge_table(edges))
+    cols = ["start_node", "walk_no", "step", "entity_id"]
+
+    def walks(d):
+        return (
+            d.to_pandas().sort_values(cols).reset_index(drop=True)[cols]
+        )
+
+    want = walks(random_walks(ds))
+    for n_parts in (1, 3):
+        got = walks(random_walks_bsp(ds, num_partitions=n_parts))
+        assert want.equals(got), f"mismatch at num_partitions={n_parts}"
+    # parameter sweep on one handle must equal fresh dataflow runs
+    from promptner_ray.functions.graphbsp import PageRankBSP
+
+    with PageRankBSP(ds, num_partitions=3) as h:
+        short = walks(h.walks(walk_len=3, seed=7))
+        again = walks(h.walks())
+    assert short.equals(walks(random_walks(ds, walk_len=3, seed=7)))
+    assert again.equals(want)
+
+
 def test_labels_and_pagerank_share_one_handle(ray_session) -> None:
     """components / label_prop / run interleave on one handle without
     corrupting each other's state.  (Both label kernels are exercised
