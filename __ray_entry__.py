@@ -377,6 +377,15 @@ def _kg_kcore(sf_dir: str):
     return k_core(_kg_edges_raw(sf_dir), k=3)
 
 
+def _kg_kcore_bsp(sf_dir: str):
+    """Same core on the BSP actor-pool plan (deaths ship as static-slot
+    positions — functions/graphbsp.py).  Bit-identical to `kg_kcore`,
+    so the oracle SQL is `_kcore_sql()` again."""
+    from promptner_ray.functions.graphbsp import k_core_bsp
+
+    return k_core_bsp(_kg_edges_raw(sf_dir), k=3)
+
+
 def _kg_communities(sf_dir: str):
     """Synchronous label propagation — deterministic at any parallelism
     (min tie-break), so the recursive-CTE replay in ``_labelprop_sql``
@@ -1032,6 +1041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: recursive-CTE peel replay (plus the single-process
         # peel reference in tests)
         "kg_kcore": _kg_kcore,
+        # same core on the BSP actor-pool plan; same oracle
+        "kg_kcore_bsp": _kg_kcore_bsp,
         # oracle: recursive-CTE BFS (min hop per node, capped depth)
         "kg_reachability": _kg_reachability,
         "kg_reachability_bsp": _kg_reachability_bsp,
@@ -2885,6 +2896,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_components_bsp"] = out["dedup_components"]
     out["kg_communities_bsp"] = out["kg_communities"]
     out["kg_random_walks_bsp"] = out["kg_random_walks"]
+    out["kg_kcore_bsp"] = out["kg_kcore"]
     return out
 
 

@@ -203,6 +203,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     from promptner_ray.functions.graphbsp import (
         bfs_bsp,
         components_bsp,
+        k_core_bsp,
         pagerank_bsp,
         random_walks_bsp,
     )
@@ -248,6 +249,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
             lambda e: components_bsp(e, a="subj_id", b="obj_id"),
         ),
         ("web_kcore", lambda e: k_core(e, k=3)),
+        ("web_kcore_bsp", lambda e: k_core_bsp(e, k=3)),
         ("web_random_walks", random_walks),
         ("web_random_walks_bsp", random_walks_bsp),
         ("web_triangles", triangle_counts),

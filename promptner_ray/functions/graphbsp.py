@@ -443,6 +443,88 @@ class _PRShard:
             }
         )
 
+    # -- k-core peeling over the same shards (doubled distinct
+    #    undirected edges, like label_prop): aliveness of a home node is
+    #    decided where its degree lives; a death is shipped as the slot
+    #    POSITIONS it occupies in each neighbor shard's static message
+    #    structure — frontier-sized traffic, like BFS/CC. -------------
+
+    def kc_reset(self, k: int) -> int:
+        """All alive; round-1 peel over full degrees.  Returns this
+        shard's new-death count."""
+        n = len(self.ids)
+        self.kc_k = int(k)
+        self.kc_alive = np.ones(n, dtype=bool)
+        self.kc_run_alive = np.ones(len(self.msg_dst), dtype=bool)
+        deg = np.bincount(self.src_idx, minlength=n).astype(np.int64)
+        self.kc_deg = deg
+        new_dead = deg < self.kc_k
+        self.kc_alive[new_dead] = False
+        self.kc_new_dead = new_dead
+        return int(new_dead.sum())
+
+    def kc_scatter(self):
+        """Per SENDER shard i: the positions in i's static message
+        structure whose target home node died last round (resolved
+        locally from the incoming-structure index — no lookup crosses
+        the wire)."""
+        return [
+            np.flatnonzero(
+                self.kc_new_dead[
+                    self.g_idx[self.g_off[i]: self.g_off[i + 1]]
+                ]
+            ).astype(np.int64)
+            for i in range(self.n_parts)
+        ]
+
+    def _kc_mark_and_degree(self, msgs) -> np.ndarray:
+        arrs: list[np.ndarray] = []
+        for a in msgs:
+            if isinstance(a, list):  # n_parts == 1 flatten
+                arrs.extend(np.asarray(x) for x in a)
+            else:
+                arrs.append(np.asarray(a))
+        for j, pos in enumerate(arrs):
+            if len(pos):
+                self.kc_run_alive[self.jbounds[j] + pos] = False
+        n = len(self.ids)
+        if len(self.starts):
+            deg = np.bincount(
+                self.src_idx,
+                weights=self.kc_run_alive[self._lp_run_id()],
+                minlength=n,
+            ).astype(np.int64)
+        else:
+            deg = np.zeros(n, dtype=np.int64)
+        return deg
+
+    def kc_apply(self, *msgs) -> int:
+        """Mark dead runs, recompute alive-edge degrees, peel.  Returns
+        this shard's new-death count (driver stops at a global 0)."""
+        deg = self._kc_mark_and_degree(msgs)
+        self.kc_deg = deg
+        new_dead = self.kc_alive & (deg < self.kc_k)
+        self.kc_alive[new_dead] = False
+        self.kc_new_dead = new_dead
+        return int(new_dead.sum())
+
+    def kc_finalize(self, *msgs) -> None:
+        """Propagate the LAST round's deaths into the degree vector
+        without peeling further — the dataflow op's post-loop
+        ``degrees(und)`` runs over the edge set filtered by the final
+        survivor set, so a capped (non-converged) run must still count
+        final-round removals.  At convergence this is a no-op."""
+        self.kc_deg = self._kc_mark_and_degree(msgs)
+
+    def kc_result(self) -> pa.Table:
+        keep = self.kc_alive & (self.kc_deg > 0)
+        return pa.table(
+            {
+                "entity_id": pa.array(self.ids[keep], type=pa.int64()),
+                "degree": pa.array(self.kc_deg[keep], type=pa.int64()),
+            }
+        )
+
     # -- deterministic random walks over the same shards: a walker at
     #    node v steps ON v's home shard (the out-degree and the ranked
     #    neighbor list are local), then routes to the next node's home.
@@ -876,6 +958,51 @@ class PageRankBSP:
         ray.get(result_refs)  # seal before any close()
         return ray.data.from_arrow_refs(result_refs)
 
+    def k_core(self, k: int = 3, max_iters: int = 30):
+        """k-core peeling over the sharded graph — (entity_id, degree)
+        with the degree inside the core, identical to
+        :func:`graphops.k_core` iteration for iteration (including the
+        capped-run case: the final degree vector counts the last
+        round's removals, matching the dataflow op's post-loop
+        ``degrees(und)``).  Requires a handle built over the doubled
+        DISTINCT undirected edge list (use :func:`k_core_bsp`).  Per
+        round the wire carries only the slot positions of newly dead
+        nodes; the dataflow plan pays a degree exchange plus two
+        semi-joins per round."""
+        import ray
+
+        if not self.actors:
+            raise RuntimeError("PageRankBSP handle is closed")
+        n_parts = self.n_parts
+        new_dead = sum(
+            ray.get([a.kc_reset.remote(k) for a in self.actors])
+        )
+        rounds = 1
+
+        def exchange(method: str):
+            scat = [
+                a.kc_scatter.options(num_returns=n_parts).remote()
+                for a in self.actors
+            ]
+            if n_parts == 1:
+                scat = [[s] for s in scat]
+            return ray.get(
+                [
+                    getattr(self.actors[i], method).remote(
+                        *[scat[j][i] for j in range(n_parts)]
+                    )
+                    for i in range(n_parts)
+                ]
+            )
+
+        while new_dead > 0 and rounds < max_iters:
+            new_dead = sum(exchange("kc_apply"))
+            rounds += 1
+        exchange("kc_finalize")
+        result_refs = [a.kc_result.remote() for a in self.actors]
+        ray.get(result_refs)  # seal before any close()
+        return ray.data.from_arrow_refs(result_refs)
+
     def walks(
         self,
         walk_len: int = 8,
@@ -1049,6 +1176,48 @@ def label_propagation_bsp(
         num_partitions=num_partitions,
     ) as h:
         return h.label_prop(max_iters=max_iters)
+
+
+def k_core_bsp(
+    edges_ds,
+    k: int = 3,
+    max_iters: int = 30,
+    num_partitions: int | None = None,
+):
+    """edges(subj_id, obj_id, …) → (entity_id, degree): k-core of the
+    undirected entity graph on the BSP actor pool, identical output to
+    :func:`graphops.k_core` — so the same degree-threshold oracle
+    covers both plans.  Builds the same distinct undirected edge list
+    the dataflow op peels (self-loops dropped), doubled into the
+    handle's directed shard layout."""
+    from .graphops import _und_and_degrees
+
+    und, _deg = _und_and_degrees(edges_ds, num_partitions)
+
+    def doubled(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table(
+                {
+                    "subj_id": pa.array([], type=pa.int64()),
+                    "obj_id": pa.array([], type=pa.int64()),
+                    "weight": pa.array([], type=pa.int64()),
+                }
+            )
+        x = t.column("a").combine_chunks()
+        y = t.column("b").combine_chunks()
+        return pa.table(
+            {
+                "subj_id": pa.concat_arrays([x, y]),
+                "obj_id": pa.concat_arrays([y, x]),
+                "weight": pa.array(np.ones(2 * t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    with PageRankBSP(
+        und.map_batches(doubled, batch_format="pyarrow"),
+        num_partitions=num_partitions,
+    ) as h:
+        return h.k_core(k=k, max_iters=max_iters)
 
 
 def random_walks_bsp(

@@ -280,6 +280,55 @@ def test_label_prop_matches_dataflow(ray_session) -> None:
         assert want.equals(got), f"mismatch at num_partitions={n_parts}"
 
 
+def test_k_core_matches_dataflow(ray_session) -> None:
+    """BSP k-core == graphops.k_core exactly across k values and
+    partition counts (self-loops dropped, duplicate edges collapse to
+    one undirected edge), INCLUDING capped runs — a pendant chain that
+    peels one node per round forces max_iters to bite, and the final
+    degree vector must still count the last round's removals (the
+    dataflow op's post-loop degrees pass)."""
+    from promptner_ray.functions.graphbsp import k_core_bsp
+    from promptner_ray.functions.graphops import k_core
+
+    edges = []
+    for i in range(6):  # 6-clique: the 5-core
+        for j in range(i + 1, 6):
+            edges.append((i, j, 1))
+    edges += _random_edges(13, 80, 300)
+    edges.append((5, 5, 1))  # self-loop: dropped
+    edges.append(edges[0])  # duplicate edge
+    ds = ray.data.from_arrow(_edge_table(edges))
+
+    def core(d):
+        p = d.to_pandas()
+        if len(p) == 0:
+            return p
+        return p.sort_values("entity_id").reset_index(drop=True)[
+            ["entity_id", "degree"]
+        ]
+
+    for k in (2, 3, 5):
+        want = core(k_core(ds, k=k))
+        for n_parts in (1, 4):
+            got = core(k_core_bsp(ds, k=k, num_partitions=n_parts))
+            assert want.equals(got), (k, n_parts)
+    # empty core: both plans yield 0 rows
+    assert len(core(k_core_bsp(ds, k=50))) == 0
+    assert len(core(k_core(ds, k=50))) == 0
+    # capped peeling: 50-cycle (a 2-core) + 21-node pendant chain that
+    # peels one node per round
+    chain = [(i, (i + 1) % 50, 1) for i in range(50)]
+    chain += [(1000 + i, 1000 + i + 1, 1) for i in range(20)]
+    chain.append((1020, 0, 1))
+    ds2 = ray.data.from_arrow(_edge_table(chain))
+    for max_iters in (2, 3, 30):
+        want = core(k_core(ds2, k=2, max_iters=max_iters))
+        got = core(
+            k_core_bsp(ds2, k=2, max_iters=max_iters, num_partitions=3)
+        )
+        assert want.equals(got), f"capped mismatch at {max_iters}"
+
+
 def test_random_walks_match_dataflow(ray_session) -> None:
     """BSP walks == graphops.random_walks exactly, across partition
     counts — same wrapping-int64 neighbor mix, same ascending-id
