@@ -416,6 +416,8 @@ class _PRShard:
                 lab_parts.append(lab)
                 cnt_parts.append(cnt)
         idx = np.concatenate(idx_parts)
+        if len(idx) == 0:  # shard owns no nodes (more shards than nodes)
+            return 0
         lab = np.concatenate(lab_parts)
         cnt = np.concatenate(cnt_parts)
         order = np.lexsort((lab, idx))

@@ -280,6 +280,53 @@ def test_label_prop_matches_dataflow(ray_session) -> None:
         assert want.equals(got), f"mismatch at num_partitions={n_parts}"
 
 
+def test_empty_shards_more_partitions_than_nodes(ray_session) -> None:
+    """A tiny graph over many shards leaves most shards with ZERO home
+    nodes — every BSP kernel must survive that and still match its
+    dataflow twin (regression: lp_gather indexed an empty self-vote
+    array when a 70-node KG graph ran at a 32-CPU session's default
+    partition count)."""
+    from promptner_ray.functions import graphbsp as B
+    from promptner_ray.functions import graphops as G
+
+    edges = [(1, 2, 1), (2, 3, 1), (3, 1, 2), (3, 4, 1), (5, 1, 1)]
+    ds = ray.data.from_arrow(_edge_table(edges))
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([e[0] for e in edges], pa.int64()),
+                "doc_b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    P = 16  # ≫ 5 nodes: most shards empty
+
+    def df(d, *cols):
+        p = d.to_pandas()
+        cols = list(cols) if cols else list(p.columns)
+        return p.sort_values(cols).reset_index(drop=True)[cols]
+
+    assert df(B.pagerank_bsp(ds, iters=3, num_partitions=P)).equals(
+        df(G.pagerank(ds, iters=3))
+    )
+    assert df(B.bfs_bsp(ds, 1, num_partitions=P)).equals(
+        df(G.bfs_hops(ds, 1))
+    )
+    assert df(B.components_bsp(pairs, num_partitions=P)).equals(
+        df(G.connected_components(pairs))
+    )
+    assert df(B.label_propagation_bsp(ds, num_partitions=P)).equals(
+        df(G.label_propagation(ds))
+    )
+    assert df(B.k_core_bsp(ds, k=2, num_partitions=P)).equals(
+        df(G.k_core(ds, k=2))
+    )
+    cols = ["start_node", "walk_no", "step", "entity_id"]
+    assert df(B.random_walks_bsp(ds, num_partitions=P), *cols).equals(
+        df(G.random_walks(ds), *cols)
+    )
+
+
 def test_k_core_matches_dataflow(ray_session) -> None:
     """BSP k-core == graphops.k_core exactly across k values and
     partition counts (self-loops dropped, duplicate edges collapse to
