@@ -830,15 +830,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ray.put(similarity.load_query_matrix(sf_dir, KNN_QUERIES))
 
-    def _mref(sf_dir: str):
-        import ray
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        return ray.put(similarity._batch_matrix(tbl))
-
     def _nation_ref(sf_dir: str):
         import ray
         import pyarrow.parquet as pq
@@ -960,7 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf), _qref(sf), k=KNN_K
         ),
         "embed_cosine_pairs": lambda sf: similarity.cosine_pairs(
-            _emb(sf), _mref(sf), threshold=COSINE_THRESHOLD
+            _emb(sf), threshold=COSINE_THRESHOLD
         ),
         "embed_knn_lsh": _knn_lsh,
         "embed_knn_ivf": _knn_ivf,

@@ -5,8 +5,9 @@ Arrow-native end to end: candidate pairs come from hash self-joins on the
 blocking key (shingle / LSH band bucket / SimHash chunk), pair counting and
 keep-first selection use Ray Data's native grouped aggregates
 (``groupby([...]).count() / .aggregate(Min, Sum)`` — C++ kernels, no
-per-group Python), and small sides (per-doc shingle sizes) are broadcast
-via ``ray.put`` and resolved once per task.
+per-group Python), and per-doc attributes needed at scoring time (shingle
+set sizes) ride on the posting rows through the join — no broadcast state
+anywhere in the module.
 
 Hashing is md5-hex so the DuckDB oracle (md5 + lexicographic min over
 VARCHAR) reproduces signatures exactly.  At 100 TB scale the md5 inner loop
@@ -112,11 +113,20 @@ def exact_dedup(docs):
 # Candidate pairs via hash self-join on a blocking key
 # ---------------------------------------------------------------------------
 
-def _self_join_pairs(keyed, key: str, num_partitions: int | None = None):
-    """(key, doc_id) rows → ordered candidate pairs (doc_a < doc_b).
+def _self_join_pairs(
+    keyed,
+    key: str,
+    num_partitions: int | None = None,
+    carry: tuple[str, ...] = (),
+):
+    """(key, doc_id[, carry...]) rows → ordered candidate pairs
+    (doc_a < doc_b[, {c}_a, {c}_b per carried column]).
 
     Arrow hash join on the blocking key; the a<b filter is a vectorized
-    kernel.  Replaces per-group Python pair loops.
+    kernel.  Replaces per-group Python pair loops.  ``carry`` columns
+    (per-doc attributes riding on the posting rows, e.g. set sizes)
+    come out duplicated per side — the no-broadcast way to get both
+    docs' attributes onto each pair row.
     """
     if num_partitions is None:
         num_partitions = _pair_join_partitions()
@@ -132,12 +142,14 @@ def _self_join_pairs(keyed, key: str, num_partitions: int | None = None):
     def keep_ordered(batch: pa.Table) -> pa.Table:
         mask = pc.less(batch.column("doc_id"), batch.column("doc_id_r"))
         kept = batch.filter(mask)
-        return pa.table(
-            {
-                "doc_a": kept.column("doc_id"),
-                "doc_b": kept.column("doc_id_r"),
-            }
-        )
+        cols = {
+            "doc_a": kept.column("doc_id"),
+            "doc_b": kept.column("doc_id_r"),
+        }
+        for c in carry:
+            cols[f"{c}_a"] = kept.column(c)
+            cols[f"{c}_b"] = kept.column(f"{c}_r")
+        return pa.table(cols)
 
     return joined.map_batches(keep_ordered, batch_format="pyarrow")
 
@@ -176,37 +188,35 @@ def _hash64(s: str) -> int:
 
 
 def _shingle_hash_rows_batch(batch: pa.Table) -> pa.Table:
-    """documents → one row per (doc_id, distinct shingle hash).
+    """documents → one row per (doc_id, distinct shingle hash, doc size).
 
     Windows come vectorized; the blake2b digest runs once per
     distinct-in-block shingle VALUE (cached) — near-dup blocks repeat
     shingles heavily, so the digest loop is far smaller than the row
-    count."""
+    count.  ``sz`` is the doc's distinct-shingle count, computable
+    in-block because each doc's whole text is a single input row; the
+    posting self-join carries it to the pair rows so the union size
+    never needs a driver-side lookup."""
     ids, grams = _doc_shingles_vec(batch)
     cache: dict[str, int] = {}
     hashes = [
         cache.get(s) or cache.setdefault(s, _hash64(s))
         for s in grams.to_pylist()
     ]
+    if len(ids):
+        # postings are already distinct per doc, so the per-doc row
+        # count IS the set size; ids arrive grouped by doc but not
+        # necessarily sorted — use return_inverse to map back
+        uniq, inv, cnt = np.unique(ids, return_inverse=True,
+                                   return_counts=True)
+        sizes = cnt[inv]
+    else:
+        sizes = np.array([], dtype=np.int64)
     return pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),
             "h": pa.array(hashes, type=pa.int64()),
-        }
-    )
-
-
-def _shingle_size_batch(batch: pa.Table) -> pa.Table:
-    """documents → (doc_id, sz): distinct-shingle count per doc (no shuffle:
-    every doc's text is one row, so its whole set is counted in-block)."""
-    ids, _ = _doc_shingles_vec(batch)
-    uniq, cnt = np.unique(ids, return_counts=True)
-    # docs with zero tokens cannot occur (shingle_set is total: even ""
-    # yields one whole-text shingle), so uniq covers every input doc
-    return pa.table(
-        {
-            "doc_id": pa.array(uniq, type=pa.int64()),
-            "sz": pa.array(cnt, type=pa.int64()),
+            "sz": pa.array(sizes, type=pa.int64()),
         }
     )
 
@@ -231,64 +241,74 @@ def _pair_count_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-class _JaccardScorer:
-    """Vectorized J = |∩| / (|A| + |B| - |∩|) from broadcast per-doc SIZES.
-
-    The broadcast side is two int64 arrays (one entry per doc) — never the
-    shingle sets themselves; intersection counts arrive precomputed from
-    the self-join's grouped count.
-    """
-
-    def __init__(self, sizes_ref, threshold: float) -> None:
-        import ray
-
-        self.ids_sorted, self.sizes = ray.get(sizes_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        ninter = batch.column("n").to_numpy(zero_copy_only=False)
-        sa = self.sizes[np.searchsorted(self.ids_sorted, a)]
-        sb = self.sizes[np.searchsorted(self.ids_sorted, b)]
-        j = ninter / (sa + sb - ninter)
-        keep = j >= self.threshold
+def _pair_count_sized_partial(batch: pa.Table) -> pa.Table:
+    """Map-side combine over pair rows CARRYING sizes: (doc_a, doc_b,
+    sz_a, sz_b, n) per block.  sz_a/sz_b are functionally dependent on
+    the doc ids, so adding them to the group key changes nothing about
+    the grouping — it just keeps them on the combined row."""
+    if len(batch) == 0:
         return pa.table(
             {
-                "doc_a": pa.array(a[keep], type=pa.int64()),
-                "doc_b": pa.array(b[keep], type=pa.int64()),
-                "jaccard": pa.array(j[keep], type=pa.float64()),
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "sz_a": pa.array([], type=pa.int64()),
+                "sz_b": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
             }
         )
+    out = batch.group_by(["doc_a", "doc_b", "sz_a", "sz_b"]).aggregate(
+        [([], "count_all")]
+    )
+    return pa.table(
+        {
+            "doc_a": out.column("doc_a"),
+            "doc_b": out.column("doc_b"),
+            "sz_a": out.column("sz_a"),
+            "sz_b": out.column("sz_b"),
+            "n": out.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def _jaccard_score_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """Vectorized J = |∩| / (|A| + |B| − |∩|) from sizes carried ON the
+    pair rows (no lookup state of any kind)."""
+    a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+    b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+    ninter = batch.column("n").to_numpy(zero_copy_only=False)
+    sa = batch.column("sz_a").to_numpy(zero_copy_only=False)
+    sb = batch.column("sz_b").to_numpy(zero_copy_only=False)
+    j = ninter / (sa + sb - ninter)
+    keep = j >= threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep], type=pa.int64()),
+            "doc_b": pa.array(b[keep], type=pa.int64()),
+            "jaccard": pa.array(j[keep], type=pa.float64()),
+        }
+    )
 
 
 def jaccard_pairs(docs, threshold: float = 0.6):
     """documents → (doc_a, doc_b, jaccard) for pairs with J ≥ threshold.
 
-    Exact inverted-index plan with NO driver-side set materialization:
-    the int64 shingle-hash self-join emits one co-occurrence row per
-    shared shingle, so ``count(*) per (doc_a, doc_b)`` IS the exact
-    intersection size (map-side combined per block, then a native grouped
-    Sum).  Union sizes come from broadcast per-doc set SIZES — two int64
-    arrays, one entry per doc, not the sets — and the final score/filter
-    is a vectorized batch map.  The 100 TB default remains
-    :func:`minhash_lsh_pairs` (bounded band buckets, no broadcast at all);
-    this operator is the exact-verification variant for corpora whose
-    doc-count × 16 bytes fits a worker heap.
+    Exact inverted-index plan with NO broadcast and NO driver-side
+    materialization of any per-doc state: the int64 shingle-hash
+    self-join emits one co-occurrence row per shared shingle, so
+    ``count(*) per (doc_a, doc_b)`` IS the exact intersection size
+    (map-side combined per block, then a native grouped Sum).  Union
+    sizes ride ON the posting rows (each posting carries its doc's
+    distinct-shingle count, computed in-block) and survive the join as
+    ``sz_a``/``sz_b`` on every pair row — functionally dependent on the
+    doc ids, so folding them into the combine's group key is free.  The
+    final score/filter is a stateless vectorized batch map.  Per-worker
+    memory is O(block), independent of corpus size; the 100 TB caveat
+    is the usual inverted-index one (a shingle shared by f docs emits
+    f² join rows — boilerplate needs a df cap like
+    :func:`winnow_pairs`'s ``max_df``), and the approximate default at
+    that scale remains :func:`minhash_lsh_pairs`.
     """
-    import ray
-
     from ..shuffle import hash_grouped
-
-    sizes_df = (
-        docs.map_batches(_shingle_size_batch, batch_format="pyarrow")
-        .to_pandas()  # 2 int64 columns, one row per doc (sizes, not sets)
-    )
-    ids = sizes_df["doc_id"].to_numpy()
-    order = np.argsort(ids, kind="stable")
-    sizes_ref = ray.put(
-        (ids[order], sizes_df["sz"].to_numpy()[order])
-    )
 
     # materialize ONCE (object store, not driver): the self-join consumes
     # this dataset as both sides, and without pinning the blocks the
@@ -296,18 +316,18 @@ def jaccard_pairs(docs, threshold: float = 0.6):
     sh = docs.map_batches(
         _shingle_hash_rows_batch, batch_format="pyarrow"
     ).materialize()
-    cooc = _self_join_pairs(sh, "h")
+    cooc = _self_join_pairs(sh, "h", carry=("sz",))
     ninter = hash_grouped(
-        cooc.map_batches(_pair_count_partial, batch_format="pyarrow"),
-        ["doc_a", "doc_b"],
+        cooc.map_batches(_pair_count_sized_partial, batch_format="pyarrow"),
+        ["doc_a", "doc_b", "sz_a", "sz_b"],
         [("n", "sum")],
         rename={"n_sum": "n"},
+        hash_cols=["doc_a", "doc_b"],
     )
     return ninter.map_batches(
-        _JaccardScorer,
-        fn_constructor_kwargs={"sizes_ref": sizes_ref, "threshold": threshold},
+        _jaccard_score_batch,
+        fn_kwargs={"threshold": threshold},
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
 

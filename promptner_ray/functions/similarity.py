@@ -5,9 +5,10 @@
   matmul against it and emits a per-batch partial top-k, collapsed into
   one tiny block and merged by a single vectorized lexsort — the
   canonical broadcast + partial-topk plan.
-- :func:`cosine_pairs` — all-pairs near-dup baseline (broadcast full
-  matrix; quadratic — the documented small-side baseline, kept because it
-  is the exact oracle-checked reference implementation).
+- :func:`cosine_pairs` — all-pairs near-dup exact baseline, blocked:
+  one Ray task per upper-triangular block tile, each holding exactly two
+  blocks (quadratic COMPUTE by definition, but no broadcast state and
+  per-task memory of O(2 blocks) at any corpus size).
 - :func:`cosine_pairs_ivf` — the near-dup SCALE path: IVF-cell self-join
   candidates (top-2 cells per vector), exact in-join cosine verification,
   no broadcast of the corpus anywhere.
@@ -145,40 +146,56 @@ def knn_topk(embeddings, queries_ref, k: int = 10):
     )
 
 
-class _PairScanner:
-    """Per-batch scan against the broadcast full matrix (near-dup pairs)."""
-
-    def __init__(self, matrix_ref, threshold: float) -> None:
-        import ray
-
-        self.all_ids, self.all_mat = ray.get(matrix_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, mat = _batch_matrix(batch)
-        sims = _cosine(mat, self.all_mat)  # (batch, N)
-        rows, cols = np.nonzero(
-            (sims >= self.threshold) & (ids[:, None] < self.all_ids[None, :])
-        )
-        return pa.table(
-            {
-                "vec_a": pa.array(ids[rows], type=pa.int64()),
-                "vec_b": pa.array(self.all_ids[cols], type=pa.int64()),
-            }
-        )
-
-
-def cosine_pairs(embeddings, matrix_ref, threshold: float = 0.4):
-    """embeddings → (vec_a, vec_b) pairs with cosine ≥ threshold (exact)."""
-    return embeddings.map_batches(
-        _PairScanner,
-        fn_constructor_kwargs={
-            "matrix_ref": matrix_ref,
-            "threshold": threshold,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+def _score_block_pair(
+    tbl_a: pa.Table, tbl_b: pa.Table, threshold: float, diag: bool
+) -> pa.Table:
+    """Exact cosine over one (block_a × block_b) tile; emits ordered
+    (vec_a < vec_b) pairs above threshold.  Each unordered pair of rows
+    lives in exactly one tile of the upper-triangular tiling.  On the
+    diagonal tile (a block against itself) every pair shows up in both
+    orientations, so the strict ``<`` mask keeps exactly one and drops
+    self-pairs; on off-diagonal tiles each pair shows up once in
+    whatever orientation the block order gives it (blocks are NOT
+    assumed id-sorted), so every hit is kept and normalized to
+    (min, max)."""
+    ids_a, mat_a = _batch_matrix(tbl_a)
+    ids_b, mat_b = _batch_matrix(tbl_b)
+    sims = _cosine(mat_a, mat_b)
+    hits = sims >= threshold
+    if diag:
+        hits &= ids_a[:, None] < ids_b[None, :]
+    rows, cols = np.nonzero(hits)
+    a, b = ids_a[rows], ids_b[cols]
+    return pa.table(
+        {
+            "vec_a": pa.array(np.minimum(a, b), type=pa.int64()),
+            "vec_b": pa.array(np.maximum(a, b), type=pa.int64()),
+        }
     )
+
+
+def cosine_pairs(embeddings, threshold: float = 0.4):
+    """embeddings → (vec_a, vec_b) pairs with cosine ≥ threshold (exact).
+
+    Blocked all-pairs plan: the embeddings materialize once into the
+    object store and one Ray task per block tile (i ≤ j, with i = j
+    covering the in-block pairs) pulls exactly TWO blocks and runs one
+    float64 matmul — no worker ever holds the full matrix and the
+    driver holds only O(#blocks²) object refs, never vectors.  This is
+    the exact-verification variant; compute is inherently quadratic in
+    N, so the near-dup SCALE path is :func:`cosine_pairs_ivf`
+    (candidates from IVF cells, subquadratic).
+    """
+    import ray
+
+    score = ray.remote(_score_block_pair)
+    refs = embeddings.materialize().to_arrow_refs()
+    out = [
+        score.remote(refs[i], refs[j], threshold, i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(out)
 
 
 # ---------------------------------------------------------------------------

@@ -163,3 +163,51 @@ def test_ivf_runs_on_driver_table(ray_session):
     df = entrymod.queries()["embed_knn_ivf"]("/root/testdata/sf0.001")
     pdf = df.to_pandas()
     assert len(pdf) > 0 and set(pdf.columns) == {"qid", "nid", "rank"}
+
+
+def test_cosine_pairs_blocked_exact_unsorted_blocks(ray_session):
+    """The blocked all-pairs plan is EXACT regardless of how vec_ids are
+    laid out across blocks: ids are shuffled before blocking so
+    off-diagonal tiles see both orientations (block_a ids greater AND
+    smaller than block_b ids)."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    rng = np.random.RandomState(11)
+    n, dim, threshold = 400, 16, 0.75
+    mat = rng.standard_normal((n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # make some near-dup pairs so the expected set is non-trivial
+    for src, dst in [(3, 77), (150, 9), (388, 12), (200, 201)]:
+        mat[dst] = mat[src] + 0.05 * rng.standard_normal(dim)
+        mat[dst] /= np.linalg.norm(mat[dst])
+    ids = np.arange(n, dtype=np.int64)
+    perm = rng.permutation(n)  # scatter ids across blocks
+    tables = []
+    for lo in range(0, n, 100):
+        sel = perm[lo : lo + 100]
+        tables.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids[sel], type=pa.int64()),
+                    "embedding": pa.array(
+                        [row for row in mat[sel]],
+                        type=pa.list_(pa.float64()),
+                    ),
+                }
+            )
+        )
+    ds = ray.data.from_arrow(tables)
+    assert ds.materialize().num_blocks() > 1
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_pairs(ds, threshold=threshold).take_all()
+    }
+    sims = mat @ mat.T
+    iu = np.triu_indices(n, k=1)
+    exact = {
+        (int(iu[0][t]), int(iu[1][t]))
+        for t in np.nonzero(sims[iu] >= threshold)[0]
+    }
+    assert exact and got == exact
