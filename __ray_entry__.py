@@ -900,6 +900,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": lambda sf: vectorize.lm_score(_docs(sf)),
         "doc_distinct_sketch": lambda sf: hll.hll_registers(_docs(sf)),
         "dedup_winnow_pairs": lambda sf: dedup.winnow_pairs(_docs(sf)),
+        # exact duplicated-substring spans (Lee et al. 2022 style, token
+        # granularity): maximal token ranges covered by corpus-repeated
+        # 12-grams
+        "doc_dup_spans": lambda sf: dedup.dup_spans(_docs(sf)),
+        # the destructive half: texts with every duplicated span cut
+        "doc_strip_dup_spans": lambda sf: dedup.strip_dup_spans(_docs(sf)),
         "doc_clean": _doc_clean,
         "doc_curate": _doc_curate,
         "doc_decontam": _doc_decontam,
@@ -1599,6 +1605,83 @@ def _sql_winnow() -> str:
     """
 
 
+def _dup_spans_sql() -> str:
+    """DuckDB twin of functions.dedup.dup_spans: positional token
+    n-grams, corpus-repeated grams (count ≥ 2, within-doc repeats
+    included), then a gaps-and-islands merge of the covered
+    [pos, pos+n) intervals per doc.  Groups by the gram STRING where
+    the engine groups by its md5-prefix int64 — identical short of an
+    md5 collision (the ``exact_dedup`` caveat)."""
+    from promptner_ray.functions.dedup import DUP_SPAN_N as N
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, ts,
+                 unnest(range(0, greatest(len(ts) - {N} + 1, 0))) AS p
+          FROM toks
+        ),
+        grams AS (
+          SELECT doc_id, p,
+                 array_to_string(ts[p + 1 : p + {N}], ' ') AS g
+          FROM pos
+        ),
+        hot AS (
+          SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+        ),
+        marked AS (
+          SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM hot)
+        ),
+        brk AS (
+          SELECT doc_id, p,
+                 CASE WHEN p - lag(p) OVER (
+                     PARTITION BY doc_id ORDER BY p) <= {N}
+                 THEN 0 ELSE 1 END AS b
+          FROM marked
+        ),
+        grp AS (
+          SELECT doc_id, p,
+                 sum(coalesce(b, 1)) OVER (
+                     PARTITION BY doc_id ORDER BY p) AS gid
+          FROM brk
+        )
+        SELECT doc_id, min(p)::BIGINT AS start_tok,
+               (max(p) + {N})::BIGINT AS end_tok
+        FROM grp GROUP BY doc_id, gid
+    """
+
+
+def _strip_dup_spans_sql() -> str:
+    """DuckDB twin of functions.dedup.strip_dup_spans: anti-join every
+    token position against the duplicated-span intervals, re-join the
+    survivors on single spaces (the corpus's canonical whitespace, so
+    untouched docs round-trip verbatim)."""
+    return f"""
+        WITH spans AS ({_dup_spans_sql()}),
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, unnest(ts) AS w,
+                 generate_subscripts(ts, 1) - 1 AS p
+          FROM toks
+        ),
+        kept AS (
+          SELECT t.doc_id, t.w, t.p FROM tok t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.p >= s.start_tok AND t.p < s.end_tok)
+        )
+        SELECT d.doc_id,
+               coalesce(string_agg(k.w, ' ' ORDER BY k.p), '') AS text
+        FROM toks d LEFT JOIN kept k ON k.doc_id = d.doc_id
+        GROUP BY d.doc_id
+    """
+
+
 def _winnow_pairs_sql() -> str:
     """DuckDB twin of functions.dedup.winnow_pairs: self-join the chosen
     fingerprint sets, count shared fingerprints per ordered pair."""
@@ -1926,6 +2009,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": _lm_score_sql(),
         "doc_distinct_sketch": _hll_sql(),
         "dedup_winnow_pairs": _winnow_pairs_sql(),
+        "doc_dup_spans": _dup_spans_sql(),
+        "doc_strip_dup_spans": _strip_dup_spans_sql(),
         "doc_mixture": _mixture_sql(),
         "doc_bloom_decontam": _bloom_sql(),
         "doc_repetition": """

@@ -877,3 +877,269 @@ def _doc_shingles_vec(batch: pa.Table, n: int = SHINGLE_N):
         distinct.column("doc_id").to_numpy(zero_copy_only=False),
         distinct.column("s").combine_chunks(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (suffix-style dedup, token granularity)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_N = 12
+
+
+def _md5_hash64(s: str) -> int:
+    """Signed int64 from the first 8 md5 bytes — the same md5-prefix
+    reinterpretation as ``exact_dedup``'s ``fp_key``, so the DuckDB twin
+    can group by the gram string (md5-prefix collisions are the shared,
+    negligible caveat)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16) - (1 << 63)
+
+
+def ngram_pos_rows_batch(batch: pa.Table, n: int = DUP_SPAN_N) -> pa.Table:
+    """documents → one row per (gram hash, doc_id, token position) for
+    EVERY token n-gram occurrence (positional, NOT distinct — repeats
+    within a doc are duplicates too).  Docs shorter than ``n`` tokens
+    emit nothing.  Vectorized windows (shifted slices of the flattened
+    token stream, like ``_doc_shingles_vec``); md5 runs once per
+    distinct-in-block gram value."""
+    empty = pa.table(
+        {
+            "h": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    tok_lists = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    if isinstance(tok_lists, pa.ChunkedArray):
+        tok_lists = tok_lists.combine_chunks()
+    flat = tok_lists.values
+    offsets = np.asarray(tok_lists.offsets).astype(np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    total = len(flat)
+    if total < n:
+        return empty
+    pos = np.arange(total - n + 1)
+    valid = parent[pos] == parent[pos + n - 1]
+    starts = pos[valid]
+    if len(starts) == 0:
+        return empty
+    parts = [
+        pc.take(flat, pa.array(starts + j, type=pa.int64())) for j in range(n)
+    ]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    doc_idx = parent[starts]
+    local_pos = starts - offsets[:-1][doc_idx]
+    cache: dict[str, int] = {}
+    hashes = [
+        cache.get(g) or cache.setdefault(g, _md5_hash64(g))
+        for g in grams.to_pylist()
+    ]
+    return pa.table(
+        {
+            "h": pa.array(hashes, type=pa.int64()),
+            "doc_id": pa.array(doc_ids[doc_idx], type=pa.int64()),
+            "pos": pa.array(local_pos, type=pa.int64()),
+        }
+    )
+
+
+def _h_count_partial(batch: pa.Table) -> pa.Table:
+    """Map-side combine: postings → (h, c) per block."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "h": pa.array([], type=pa.int64()),
+                "c": pa.array([], type=pa.int64()),
+            }
+        )
+    out = batch.select(["h"]).group_by(["h"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "h": out.column("h"),
+            "c": out.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def _span_islands(n: int):
+    """Per-partition gaps-and-islands: marked (doc_id, pos) rows →
+    maximal merged spans (doc_id, start_tok, end_tok).  Each marked
+    position covers tokens [pos, pos+n); sorted within a doc, interval
+    ends are monotone, so a pairwise gap test merges correctly."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "start_tok": pa.array([], type=pa.int64()),
+                "end_tok": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return empty
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        p = t.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        brk = np.empty(len(d), dtype=bool)
+        brk[0] = True
+        brk[1:] = (d[1:] != d[:-1]) | ((p[1:] - p[:-1]) > n)
+        starts_idx = np.flatnonzero(brk)
+        last_idx = np.r_[starts_idx[1:] - 1, len(p) - 1]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts_idx], type=pa.int64()),
+                "start_tok": pa.array(p[starts_idx], type=pa.int64()),
+                "end_tok": pa.array(p[last_idx] + n, type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2):
+    """documents → (doc_id, start_tok, end_tok): maximal token spans
+    covered by n-grams occurring ≥ ``min_count`` times ACROSS the corpus
+    (within-doc repeats included) — the exact substring-duplication
+    detector of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (2022), at token granularity.
+
+    Plan: positional n-gram postings (one row per occurrence) →
+    map-side-combined grouped count per gram hash → hot-gram set
+    (count ≥ min_count) → semi-join postings against the hot set →
+    per-doc gaps-and-islands merge, hash-partitioned on doc_id.  Every
+    stage is an int64-keyed exchange or a vectorized block map; nothing
+    touches the driver.  At 100 TB the posting exchange is the cost
+    (one row per token) — the same bound as any n-gram count — and a
+    boilerplate df cap composes exactly like :func:`winnow_pairs`'s
+    ``max_df``.
+    """
+    from ..shuffle import hash_grouped, hash_partitioned, local_hash_join
+
+    posts = docs.map_batches(
+        ngram_pos_rows_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
+    ).materialize()  # consumed by the count AND the semi-join probe
+    counts = hash_grouped(
+        posts.map_batches(_h_count_partial, batch_format="pyarrow"),
+        ["h"],
+        [("c", "sum")],
+        rename={"c_sum": "c"},
+    )
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": t.column("h")
+                .combine_chunks()
+                .filter(pc.greater_equal(t.column("c").combine_chunks(),
+                                         min_count))
+            }
+        )
+
+    hot = counts.map_batches(hot_only, batch_format="pyarrow")
+    marked = local_hash_join(
+        posts,
+        hot,
+        on=["h"],
+        left_schema=pa.schema(
+            [("h", pa.int64()), ("doc_id", pa.int64()), ("pos", pa.int64())]
+        ),
+        right_schema=pa.schema([("h", pa.int64())]),
+        how="semi",
+    )
+    return hash_partitioned(
+        marked.map_batches(
+            lambda t: t.select(["doc_id", "pos"]), batch_format="pyarrow"
+        ),
+        ["doc_id"],
+        _span_islands(n),
+    )
+
+
+def _strip_spans_fn(t: pa.Table) -> pa.Table:
+    """Per-partition rebuild: (doc_id, text, start_tok?, end_tok?) join
+    rows → (doc_id, text) with covered tokens removed.  Coverage is one
+    prefix-sum over a ±1 delta array indexed by global token position;
+    per-doc strings rebuild through a ListArray + ``binary_join`` — no
+    per-row Python."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+        }
+    )
+    if len(t) == 0 or "doc_id" not in t.column_names:
+        return empty
+    d = t.column("doc_id").to_numpy(zero_copy_only=False)
+    uniq, first_idx = np.unique(d, return_index=True)
+    texts = pc.take(
+        t.column("text").combine_chunks(),
+        pa.array(first_idx, type=pa.int64()),
+    )
+    tok_lists = pc.split_pattern(texts, " ")
+    if isinstance(tok_lists, pa.ChunkedArray):
+        tok_lists = tok_lists.combine_chunks()
+    flat = tok_lists.values
+    offsets = np.asarray(tok_lists.offsets).astype(np.int64)
+    sp = t.filter(pc.is_valid(t.column("start_tok")))
+    delta = np.zeros(len(flat) + 1, dtype=np.int64)
+    if len(sp):
+        sd = sp.column("doc_id").to_numpy(zero_copy_only=False)
+        ss = sp.column("start_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        se = sp.column("end_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        di = np.searchsorted(uniq, sd)
+        np.add.at(delta, offsets[di] + ss, 1)
+        np.add.at(delta, offsets[di] + se, -1)
+    covered = np.cumsum(delta[:-1]) > 0
+    keep = ~covered
+    counts = offsets[1:] - offsets[:-1]
+    parent = np.repeat(np.arange(len(uniq), dtype=np.int64), counts)
+    kept_counts = np.bincount(parent[keep], minlength=len(uniq))
+    new_offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+    kept_flat = flat.filter(pa.array(keep))
+    la = pa.ListArray.from_arrays(
+        pa.array(new_offsets, type=pa.int32()), kept_flat
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq, type=pa.int64()),
+            "text": pc.binary_join(la, " "),
+        }
+    )
+
+
+def strip_dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2):
+    """documents → (doc_id, text) with every corpus-duplicated token
+    span removed — the destructive half of Lee et al.'s exact substring
+    dedup (ALL occurrences cut, not keep-one; remaining tokens re-join
+    on single spaces, the corpus's canonical form).
+
+    One extra int64 exchange over :func:`dup_spans`: the span table
+    left-joins back onto the documents (``local_hash_join`` on doc_id)
+    and a hash-partitioned vectorized pass rebuilds each doc's text via
+    a ±1 coverage prefix-sum and an Arrow list join.  Docs with no
+    duplicated spans pass through verbatim.
+    """
+    from ..shuffle import hash_partitioned, local_hash_join
+
+    spans = dup_spans(docs, n=n, min_count=min_count)
+    joined = local_hash_join(
+        docs.select_columns(["doc_id", "text"]),
+        spans,
+        on=["doc_id"],
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("start_tok", pa.int64()),
+                ("end_tok", pa.int64()),
+            ]
+        ),
+        how="left_outer",
+    )
+    return hash_partitioned(joined, ["doc_id"], _strip_spans_fn)

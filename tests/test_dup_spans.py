@@ -1,0 +1,81 @@
+"""Semantics of the exact duplicated-substring span detector
+(`dedup.dup_spans` / `strip_dup_spans`): within-doc repeats count,
+overlapping n-gram hits merge into maximal spans, and stripping cuts
+ALL occurrences while leaving clean docs byte-identical."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from promptner_ray.functions import dedup
+
+N = 4  # small n so the fixtures stay readable
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+def test_cross_doc_duplicate_span_merges(ray_session):
+    # docs 1 and 2 share a 6-token run -> three overlapping 4-grams
+    # each, merged into ONE maximal span per doc
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        (3, "lone words that repeat nothing at all whatsoever today"),
+    ]
+    spans = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in dedup.dup_spans(_docs(rows), n=N).take_all()
+    }
+    assert spans == {(1, 2, 8), (2, 0, 6)}
+
+
+def test_within_doc_repeat_counts_as_duplicate(ray_session):
+    # the 4-gram "a b c d" appears twice INSIDE doc 1 (positions 0 and 6)
+    rows = [
+        (1, "a b c d x y a b c d z w"),
+        (2, "totally different words with no overlap here at all"),
+    ]
+    spans = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in dedup.dup_spans(_docs(rows), n=N).take_all()
+    }
+    assert spans == {(1, 0, 4), (1, 6, 10)}
+
+
+def test_strip_cuts_all_occurrences_and_leaves_clean_docs(ray_session):
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"one two {shared} three four five six"),
+        (2, f"{shared} seven eight nine ten eleven"),
+        (3, "lone words that repeat nothing at all whatsoever today"),
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.strip_dup_spans(_docs(rows), n=N).take_all()
+    }
+    assert got[1] == "one two three four five six"
+    assert got[2] == "seven eight nine ten eleven"
+    assert got[3] == rows[2][1]  # untouched doc round-trips verbatim
+
+
+def test_strip_fully_covered_doc_becomes_empty(ray_session):
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c d"),
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.strip_dup_spans(_docs(rows), n=N).take_all()
+    }
+    assert got == {1: "", 2: ""}
