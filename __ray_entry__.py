@@ -715,6 +715,20 @@ def _embed_cluster(sf_dir: str):
     return similarity.cluster_assign(_read(sf_dir, "embeddings"), cent_ref)
 
 
+def _embed_semdedup(sf_dir: str):
+    """SemDeDup: cluster with the exported centroids, keep only vectors
+    with no smaller-id cosine-≥-τ neighbor in the same cell — the
+    id-greedy deterministic keep rule, replayed by the oracle as a
+    NOT EXISTS over the identical cell assignment."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    similarity.ensure_centroid_export(sf_dir)
+    cent_ref = ray.put(similarity.train_centroids(sf_dir))
+    return similarity.semantic_dedup(_read(sf_dir, "embeddings"), cent_ref)
+
+
 def _knn_ivf(sf_dir: str):
     """IVF ANN: sample-trained centroids, ingest-time cell assignment,
     candidate-pruned top-k probe.  The centroids are exported so the SQL
@@ -962,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_lsh": _knn_lsh,
         "embed_knn_ivf": _knn_ivf,
         "embed_cluster": _embed_cluster,
+        "embed_semdedup": _embed_semdedup,
         "embed_cosine_pairs_ivf": _cosine_pairs_ivf,
         # --- multimodal plumbing (documents-as-binary) ---------------
         "multimodal_features": lambda sf: multimodal.media_features(
@@ -1894,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
     from promptner_ray.functions.similarity import (
         IVF_NPROBE,
         PAIR_ASSIGN_CELLS,
+        SEMDEDUP_THRESHOLD,
         ensure_centroid_export,
         ensure_plane_export,
     )
@@ -2391,6 +2407,27 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(
                     a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                   >= {COSINE_THRESHOLD}
+        """,
+        # SemDeDup keep rule over the exported-centroid assignment:
+        # drop a vector iff a smaller-id same-cell vector is within the
+        # cosine ball — the engine's id-greedy rule as a NOT EXISTS
+        "embed_semdedup": f"""
+            WITH cent AS (SELECT cell, centroid
+                          FROM read_parquet('{_centroids}')),
+            assign AS (
+              SELECT e.vec_id, e.embedding, (
+                SELECT c.cell FROM cent c
+                ORDER BY list_cosine_similarity(
+                  e.embedding::DOUBLE[], c.centroid) DESC, c.cell ASC
+                LIMIT 1) AS cell
+              FROM embeddings e)
+            SELECT a.vec_id, a.cell, NOT EXISTS (
+              SELECT 1 FROM assign b
+              WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                AND list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    >= {SEMDEDUP_THRESHOLD}) AS keep
+            FROM assign a
         """,
         # IVF ANN replay over the exported centroid table: cell
         # assignment = argmax cosine (sim DESC, cell ASC — the np.argmax

@@ -704,3 +704,74 @@ def cluster_assign(embeddings, cent_ref):
     return ivf_assign(embeddings, cent_ref).select_columns(
         ["vec_id", "cell"]
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster, then keep-lowest-id per ε-ball
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def _semdedup_partition(threshold: float):
+    """Per-partition keep rule over (vec_id, embedding, cell) rows:
+    drop a vector iff some SMALLER-id vector in the SAME cell is within
+    the cosine ε-ball — the deterministic (id-greedy) variant of
+    SemDeDup's keep-one-per-neighborhood, replayable as a SQL
+    ``NOT EXISTS``.  Per distinct cell one Gram matmul; cells are whole
+    within a partition because the exchange keys on ``cell``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "cell": pa.array([], type=pa.int32()),
+                "keep": pa.array([], type=pa.bool_()),
+            }
+        )
+        if len(t) == 0 or "vec_id" not in t.column_names:
+            return empty
+        ids, mat = _batch_matrix(t)
+        cells = t.column("cell").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ids), dtype=bool)
+        for c in np.unique(cells):
+            idx = np.flatnonzero(cells == c)
+            if len(idx) < 2:
+                continue
+            order = idx[np.argsort(ids[idx], kind="stable")]
+            sims = _cosine(mat[order], mat[order])
+            # row i drops iff any EARLIER (smaller-id) row j has
+            # sims[i, j] >= threshold — the strict lower triangle
+            drop = np.any(
+                np.tril(sims >= threshold, k=-1), axis=1
+            )
+            keep[order[drop]] = False
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cell": pa.array(cells.astype(np.int32), type=pa.int32()),
+                "keep": pa.array(keep, type=pa.bool_()),
+            }
+        )
+
+    return fn
+
+
+def semantic_dedup(embeddings, cent_ref, threshold: float = SEMDEDUP_THRESHOLD):
+    """embeddings → (vec_id, cell, keep): SemDeDup (Abbas et al. 2023)
+    semantic near-dedup — cluster with sample-trained spherical k-means,
+    then within each cluster keep only vectors with no smaller-id
+    neighbor at cosine ≥ threshold.
+
+    The quadratic Gram step runs PER CLUSTER (the whole point of
+    SemDeDup: cluster count scales with the corpus so cells stay
+    bounded), and clusters are co-located by a ``cell``-keyed exchange —
+    per-worker memory is O(largest cell), never O(N).  Assignment
+    streams map-only with the centroid matrix broadcast once.
+    """
+    from ..shuffle import hash_partitioned
+
+    assigned = ivf_assign(embeddings, cent_ref)
+    return hash_partitioned(
+        assigned, ["cell"], _semdedup_partition(threshold)
+    )

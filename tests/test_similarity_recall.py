@@ -211,3 +211,34 @@ def test_cosine_pairs_blocked_exact_unsorted_blocks(ray_session):
         for t in np.nonzero(sims[iu] >= threshold)[0]
     }
     assert exact and got == exact
+
+
+def test_semantic_dedup_matches_numpy_reference(ray_session, clustered):
+    """semantic_dedup's keep set equals the id-greedy rule computed
+    brute-force in numpy over the SAME cell assignment — and on the
+    tightly-clustered fixture it must actually drop a large fraction."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    ids, mat, ds = clustered
+    cent = similarity.train_centroids_from_matrix(mat, n_centroids=32)
+    cent_ref = ray.put(cent)
+    # 64-dim noise at 0.1 relative puts within-cluster cosine near 0.6
+    threshold = 0.55
+    out = similarity.semantic_dedup(ds, cent_ref, threshold=threshold)
+    got = {r["vec_id"]: (r["cell"], r["keep"]) for r in out.take_all()}
+    # numpy reference: same assignment (argmax cosine, first-max ties)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cells = np.argmax(norm @ cent.T, axis=1)
+    sims = norm @ norm.T
+    expect_keep = {}
+    for i in range(len(ids)):
+        same = (cells == cells[i]) & (ids < ids[i])
+        expect_keep[int(ids[i])] = not bool((sims[i, same] >= threshold).any())
+    assert len(got) == len(ids)
+    for vid, (cell, keep) in got.items():
+        assert cell == int(cells[vid])
+        assert keep == expect_keep[vid], vid
+    n_drop = sum(1 for k in expect_keep.values() if not k)
+    assert n_drop > len(ids) * 0.2  # clusters are tight; many near-dups
