@@ -912,6 +912,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_cap": lambda sf: urls.domain_cap(_docs(sf)),
         "doc_tfidf": lambda sf: vectorize.tfidf(_docs(sf)),
         "doc_lm_score": lambda sf: vectorize.lm_score(_docs(sf)),
+        # DSIR importance weights (hashed-unigram target/raw log ratio)
+        # and the deterministic top-k selection over them
+        "doc_dsir": lambda sf: vectorize.dsir_scores(_docs(sf)),
+        "doc_dsir_select": lambda sf: vectorize.dsir_select(_docs(sf)),
         "doc_distinct_sketch": lambda sf: hll.hll_registers(_docs(sf)),
         "dedup_winnow_pairs": lambda sf: dedup.winnow_pairs(_docs(sf)),
         # exact duplicated-substring spans (Lee et al. 2022 style, token
@@ -1871,6 +1875,18 @@ def _lm_score_sql() -> str:
     return sql_lm_score()
 
 
+def _dsir_sql() -> str:
+    from promptner_ray.functions.vectorize import sql_dsir_scores
+
+    return sql_dsir_scores()
+
+
+def _dsir_select_sql() -> str:
+    from promptner_ray.functions.vectorize import sql_dsir_select
+
+    return sql_dsir_select()
+
+
 def _mixture_sql() -> str:
     from promptner_ray.functions.sampling import sql_mixture_resample
 
@@ -2023,6 +2039,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_domain_cap": _domain_cap_sql(),
         "doc_tfidf": _tfidf_sql(),
         "doc_lm_score": _lm_score_sql(),
+        "doc_dsir": _dsir_sql(),
+        "doc_dsir_select": _dsir_select_sql(),
         "doc_distinct_sketch": _hll_sql(),
         "dedup_winnow_pairs": _winnow_pairs_sql(),
         "doc_dup_spans": _dup_spans_sql(),

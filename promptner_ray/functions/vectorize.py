@@ -315,3 +315,140 @@ def sql_lm_score(dim: int = DIM) -> str:
                  AS avg_logprob
         FROM tf, lm
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+DSIR_KEEP_K = 100
+
+
+def dsir_scores(docs, dim: int = DIM, target_lang: str = DSIR_TARGET_LANG):
+    """documents → (doc_id, n_tokens, log_ratio, avg_log_ratio): hashed
+    n-gram importance weights ``log p_target − log p_raw`` — Data
+    Selection via Importance Resampling (DSIR, Xie et al. 2023) with
+    the feature distributions estimated as hashed UNIGRAM LMs (the
+    paper's hashed-ngram estimator at n=1).  ``p_target`` trains on the
+    docs whose ``lang`` equals ``target_lang``; ``p_raw`` on the whole
+    corpus.
+
+    Three streaming passes, each reducing to ``dim`` scalars (two LM
+    "trainings", then a stateless scoring map with the per-bucket log
+    ratios shipped as literals) — no shuffle, no broadcast table, the
+    same corpus-size-independent shape as :func:`lm_score`.  Buckets
+    unseen in either distribution contribute 0 (the engine's explicit
+    smoothing rule, mirrored by the SQL twin's CASE).  Floats are
+    oracle-EXACT: fixed-order accumulation + libm ``log`` ≡ DuckDB
+    ``ln``.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    target = docs.map_batches(
+        lambda t, lang=target_lang: t.filter(
+            pc.equal(t.column("lang"), lang)
+        ),
+        batch_format="pyarrow",
+    )
+    t_total, t_counts = corpus_bucket_totals(target, dim=dim)
+    r_total, r_counts = corpus_bucket_totals(docs, dim=dim)
+    logr = [
+        (math.log(tc / t_total) - math.log(rc / r_total))
+        if tc > 0 and t_total > 0 and rc > 0 and r_total > 0
+        else 0.0
+        for tc, rc in zip(t_counts, r_counts)
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = hashed_tf_batch(batch, dim=dim)
+        mat = [
+            tf.column(f"b{b}").to_numpy(zero_copy_only=False)
+            for b in range(dim)
+        ]
+        n_tokens = np.zeros(len(tf), dtype=np.int64)
+        for col in mat:
+            n_tokens += col
+        acc = np.zeros(len(tf), dtype=np.float64)
+        for b in range(dim):  # fixed order == SQL's left-assoc sum
+            acc = acc + mat[b].astype(np.float64) * logr[b]
+        avg = np.where(n_tokens > 0, acc / np.maximum(n_tokens, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": tf.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "log_ratio": pa.array(acc, type=pa.float64()),
+                "avg_log_ratio": pa.array(avg, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_select(docs, k: int = DSIR_KEEP_K, dim: int = DIM,
+                target_lang: str = DSIR_TARGET_LANG):
+    """documents → the ``k`` most target-like docs by DSIR weight
+    (avg_log_ratio DESC, doc_id ASC — deterministic, so the SQL twin is
+    a plain ORDER BY ... LIMIT).  Selection is a per-block partial
+    top-k then one tiny merge (``n_blocks × k`` rows through a
+    ``repartition(1)``) — the same no-sort pattern as
+    ``similarity.knn_topk``; nothing corpus-sized moves."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        avg = t.column("avg_log_ratio").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -avg))[:k]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    scored = dsir_scores(docs, dim=dim, target_lang=target_lang)
+    return (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def sql_dsir_scores(dim: int = DIM,
+                    target_lang: str = DSIR_TARGET_LANG) -> str:
+    """DuckDB twin of :func:`dsir_scores`: same buckets, same CASE
+    smoothing, same fixed-order float accumulation."""
+    csum = ", ".join(f"sum(b{b})::BIGINT AS c{b}" for b in range(dim))
+    tot = "sum(" + " + ".join(f"b{b}" for b in range(dim)) + ")::BIGINT"
+    w = ", ".join(
+        f"CASE WHEN tgt.c{b} > 0 AND tgt.total > 0"
+        f" AND raw.c{b} > 0 AND raw.total > 0"
+        f" THEN ln(tgt.c{b}::DOUBLE / tgt.total::DOUBLE)"
+        f" - ln(raw.c{b}::DOUBLE / raw.total::DOUBLE)"
+        f" ELSE 0.0 END AS w{b}"
+        for b in range(dim)
+    )
+    ntok = " + ".join(f"b{b}" for b in range(dim))
+    acc = " + ".join(f"b{b} * w{b}" for b in range(dim))
+    return f"""
+        WITH tf AS ({sql_hashed_tf(dim)}),
+        tgt AS (SELECT {csum}, {tot} AS total
+                FROM tf JOIN documents USING (doc_id)
+                WHERE lang = '{target_lang}'),
+        raw AS (SELECT {csum}, {tot} AS total FROM tf),
+        w AS (SELECT {w} FROM tgt, raw)
+        SELECT doc_id, ({ntok})::BIGINT AS n_tokens,
+               ({acc})::DOUBLE AS log_ratio,
+               CASE WHEN {ntok} > 0
+                    THEN ({acc}) / ({ntok})::DOUBLE ELSE 0.0 END
+                 AS avg_log_ratio
+        FROM tf, w
+    """
+
+
+def sql_dsir_select(k: int = DSIR_KEEP_K, dim: int = DIM,
+                    target_lang: str = DSIR_TARGET_LANG) -> str:
+    """DuckDB twin of :func:`dsir_select`: the scores are bit-exact, so
+    the deterministic (avg DESC, doc_id ASC) top-k is a plain LIMIT."""
+    return f"""
+        SELECT * FROM ({sql_dsir_scores(dim, target_lang)})
+        ORDER BY avg_log_ratio DESC, doc_id ASC LIMIT {k}
+    """
