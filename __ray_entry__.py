@@ -994,6 +994,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_nation_counts": lambda sf: relational.customer_nation_counts(
             _read(sf, "customer"), _nation_ref(sf)
         ),
+        # Q5-shaped narrowing join chain with fixed-point-exact revenue
+        "revenue_by_nation": lambda sf: relational.revenue_by_nation(
+            _read(sf, "lineitem"),
+            _read(sf, "orders"),
+            _read(sf, "customer"),
+            _nation_ref(sf),
+        ),
         "events_tumbling": lambda sf: relational.events_tumbling(
             _read(sf, "events")
         ),
@@ -2560,6 +2567,21 @@ def oracle_sql() -> dict[str, str]:
         "customer_nation_counts": """
             SELECT n.n_name, count(*)::BIGINT AS n_customers
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        # Q5-shaped rollup; revenue in fixed-point int64 (cents ×
+        # (100 − discount%)) summed exactly, divided by 10^4 once —
+        # identical double on both engines
+        "revenue_by_nation": """
+            SELECT n.n_name AS nation,
+                   (sum(round(l.l_extendedprice * 100)::BIGINT
+                        * (100 - round(l.l_discount * 100)::BIGINT))::DOUBLE
+                    / 10000.0) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
         "events_tumbling": """

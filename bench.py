@@ -288,7 +288,10 @@ def _operator_suite() -> dict[str, float]:
         "dedup_minhash_lsh",
         "dedup_jaccard_pairs",
         "dedup_simhash_pairs",
+        "doc_dup_spans",
+        "doc_dsir_select",
         "embed_knn",
+        "embed_semdedup",
         "embed_knn_lsh",
         "embed_knn_ivf",
         "embed_cosine_pairs",

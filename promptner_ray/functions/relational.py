@@ -499,3 +499,191 @@ def grouped_quantiles(
         ),
         num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style multi-join: revenue by nation (lineitem ⋈ orders ⋈ customer ⋈ nation)
+# ---------------------------------------------------------------------------
+
+def _li_rev_partial(batch: pa.Table) -> pa.Table:
+    """lineitem → (l_orderkey, fp, n) map-side combine.  Revenue is
+    fixed-point int64 — cents × (100 − discount%), both factors exact
+    after rounding the cents-granular doubles — so the distributed sum
+    commutes bit-exactly and the final ``/ 10⁴`` division happens once,
+    identically in both engines."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "fp": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+    fp = np.round(price * 100).astype(np.int64) * (
+        100 - np.round(disc * 100).astype(np.int64)
+    )
+    t = pa.table(
+        {
+            "l_orderkey": batch.column("l_orderkey"),
+            "fp": pa.array(fp, type=pa.int64()),
+        }
+    )
+    out = t.group_by(["l_orderkey"]).aggregate(
+        [("fp", "sum"), ([], "count_all")]
+    )
+    return pa.table(
+        {
+            "l_orderkey": out.column("l_orderkey"),
+            "fp": out.column("fp_sum"),
+            "n": out.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def revenue_by_nation(lineitem, orders, customer, nation_ref):
+    """TPC-H Q5-shaped rollup: (nation, revenue, n_items) — revenue =
+    Σ l_extendedprice·(1−l_discount) over lineitem ⋈ orders ⋈ customer
+    ⋈ nation.
+
+    The join chain narrows at every hop, so each exchange moves only
+    the surviving key+measure columns: lineitem pre-aggregates per
+    order IN-BLOCK (orderkeys are clustered in the file), joins orders
+    projected to (orderkey, custkey), re-combines per customer, joins
+    customer projected to (custkey, nationkey), re-combines per nation
+    (25 rows), and resolves names from the broadcast nation dict —
+    the dimension-table pattern: big side never re-shuffled wider than
+    (key, fp, n).  Fixed-point int64 revenue keeps the float output
+    hash-exact against the SQL twin."""
+    import ray
+
+    from ..shuffle import hash_grouped, local_hash_join
+
+    li = hash_grouped(
+        lineitem.map_batches(_li_rev_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("fp", "sum"), ("n", "sum")],
+        rename={"fp_sum": "fp", "n_sum": "n"},
+    )
+    ord_keys = orders.select_columns(["o_orderkey", "o_custkey"]).rename_columns(
+        {"o_orderkey": "l_orderkey"}
+    )
+    li_cust = local_hash_join(
+        li,
+        ord_keys,
+        on=["l_orderkey"],
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("fp", pa.int64()),
+             ("n", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    def _cust_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], type=pa.int64()),
+                    "fp": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        out = t.group_by(["o_custkey"]).aggregate(
+            [("fp", "sum"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "o_custkey": out.column("o_custkey"),
+                "fp": out.column("fp_sum"),
+                "n": out.column("n_sum"),
+            }
+        )
+
+    per_cust = hash_grouped(
+        li_cust.map_batches(_cust_partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("fp", "sum"), ("n", "sum")],
+        rename={"fp_sum": "fp", "n_sum": "n"},
+    )
+    cust_keys = customer.select_columns(
+        ["c_custkey", "c_nationkey"]
+    ).rename_columns({"c_custkey": "o_custkey"})
+    per_nationkey = local_hash_join(
+        per_cust,
+        cust_keys,
+        on=["o_custkey"],
+        left_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("fp", pa.int64()),
+             ("n", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    def _nat_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "c_nationkey": pa.array([], type=pa.int64()),
+                    "fp": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        out = t.group_by(["c_nationkey"]).aggregate(
+            [("fp", "sum"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "c_nationkey": out.column("c_nationkey"),
+                "fp": out.column("fp_sum"),
+                "n": out.column("n_sum"),
+            }
+        )
+
+    per_nation = hash_grouped(
+        per_nationkey.map_batches(_nat_partial, batch_format="pyarrow"),
+        ["c_nationkey"],
+        [("fp", "sum"), ("n", "sum")],
+        rename={"fp_sum": "fp", "n_sum": "n"},
+    )
+
+    class _NameResolver:
+        def __init__(self, nation_ref) -> None:
+            self.names: dict[int, str] = ray.get(nation_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "c_nationkey" not in t.column_names:
+                return pa.table(
+                    {
+                        "nation": pa.array([], type=pa.string()),
+                        "revenue": pa.array([], type=pa.float64()),
+                        "n_items": pa.array([], type=pa.int64()),
+                    }
+                )
+            keys = t.column("c_nationkey").to_pylist()
+            fp = t.column("fp").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "nation": pa.array(
+                        [self.names.get(k, "UNKNOWN") for k in keys],
+                        type=pa.string(),
+                    ),
+                    "revenue": pa.array(
+                        fp.astype(np.float64) / 10000.0, type=pa.float64()
+                    ),
+                    "n_items": t.column("n"),
+                }
+            )
+
+    return per_nation.map_batches(
+        _NameResolver,
+        fn_constructor_kwargs={"nation_ref": nation_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
