@@ -836,6 +836,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _docs(sf_dir: str):
         return _read(sf_dir, "documents")
 
+    def _doc_wave(sf_dir: str, parity: int):
+        """Deterministic doc_id-parity wave split (vectorized batch
+        filter) — the documents-table twin of the pages `_wave_filter`."""
+        import pyarrow.compute as pc
+
+        return _docs(sf_dir).map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(
+                    pc.bit_wise_and(t.column("doc_id").combine_chunks(), 1),
+                    p,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
     def _emb(sf_dir: str):
         return _read(sf_dir, "embeddings")
 
@@ -970,6 +985,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same clusters on the BSP actor-pool plan; same oracle
         "dedup_components_bsp": _dedup_components_bsp,
         "dedup_minhash_keep": lambda sf: dedup.minhash_dedup(_docs(sf)),
+        # incremental cross-wave near-dedup: odd-doc_id "new crawl"
+        # filtered against the even-doc_id "prior crawl"'s band buckets
+        "dedup_minhash_incremental": lambda sf: dedup.minhash_incremental(
+            _doc_wave(sf, 0), _doc_wave(sf, 1)
+        ),
         # --- similarity search (embeddings) --------------------------
         "embed_knn": lambda sf: similarity.knn_topk(
             _emb(sf), _qref(sf), k=KNN_K
@@ -1996,6 +2016,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg db ON y = db.node
             WHERE common >= 2
         """
+    # incremental cross-wave filter: same band buckets as the pairs SQL,
+    # keyed by the same int64 md5 digest the engine exchanges on
+    minhash_incremental_sql = f"""
+            WITH {shingles},
+            mh AS (
+              SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+              FROM sh, UNNEST(generate_series(0, 11)) AS p(i)
+              GROUP BY doc_id, i),
+            bands AS (
+              SELECT doc_id,
+                     {_sql_hash64("(i // 3)::VARCHAR || '|' || "
+                                  "string_agg(h, ',' ORDER BY i)")} AS bkey
+              FROM mh GROUP BY doc_id, i // 3),
+            old AS (SELECT DISTINCT bkey FROM bands WHERE doc_id % 2 = 0),
+            hits AS (
+              SELECT DISTINCT doc_id FROM bands
+              WHERE doc_id % 2 = 1
+                AND bkey IN (SELECT bkey FROM old))
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM hits)
+        """
     minhash_pairs_sql = f"""
             WITH {shingles},
             mh AS (
@@ -2363,6 +2405,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE ninter::DOUBLE / (sa.n + sb.n - ninter) >= {JACCARD_THRESHOLD}
         """,
         "dedup_minhash_lsh": minhash_pairs_sql,
+        "dedup_minhash_incremental": minhash_incremental_sql,
         # near-dup clusters: min-reachable-id per node via a recursive CTE
         # — the independent ground truth for the engine's iterative
         # label-propagation connected components

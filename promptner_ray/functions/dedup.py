@@ -1143,3 +1143,95 @@ def strip_dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2):
         how="left_outer",
     )
     return hash_partitioned(joined, ["doc_id"], _strip_spans_fn)
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-wave MinHash dedup (continuous-crawl filter)
+# ---------------------------------------------------------------------------
+
+def _md5_key64(s: str) -> int:
+    """First 8 md5 bytes as SIGNED big-endian int64 — the
+    ``surface_hash64`` convention, so the SQL twin is the existing
+    ``_sql_hash64`` two's-complement wrap."""
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8")).digest()[:8], "big", signed=True
+    )
+
+
+def _band_keys_batch(batch: pa.Table,
+                     num_perm: int = NUM_PERM,
+                     band_rows: int = BAND_ROWS) -> pa.Table:
+    """documents → (doc_id, bkey): int64 digest per LSH band bucket.
+    The digest (not the bucket string) is the exchange/join key on BOTH
+    engines, so an md5-prefix collision — however unlikely — produces
+    the same answer on both sides."""
+    bands = band_rows_batch(batch, num_perm=num_perm, band_rows=band_rows)
+    cache: dict[str, int] = {}
+    keys = [
+        cache.get(b) or cache.setdefault(b, _md5_key64(b))
+        for b in bands.column("bucket").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": bands.column("doc_id"),
+            "bkey": pa.array(keys, type=pa.int64()),
+        }
+    )
+
+
+def minhash_incremental(prior_docs, new_docs,
+                        num_perm: int = NUM_PERM,
+                        band_rows: int = BAND_ROWS):
+    """new_docs → (doc_id,) survivors: new-crawl docs with NO LSH band
+    bucket collision against the prior crawl — the incremental
+    near-dedup filter of a continuous ingestion pipeline (the prior
+    corpus is summarized by its band buckets, never rescanned as text;
+    within-wave dedup remains :func:`minhash_dedup`).
+
+    Plan: band-key rows for both waves (4 int64 rows per doc at the
+    default 4 bands), distinct prior buckets via one grouped pass, a
+    semi-join marking collided new docs, and an anti-join producing
+    survivors — all int64-keyed exchanges sized to the band tables, so
+    at 10^12 prior docs the state this operator carries is the banded
+    bucket set, the same asymptotics as maintaining any LSH index.
+    """
+    from ..shuffle import hash_grouped, local_hash_join
+
+    kw = {"num_perm": num_perm, "band_rows": band_rows}
+    b0 = hash_grouped(
+        prior_docs.map_batches(
+            _band_keys_batch, fn_kwargs=kw, batch_format="pyarrow"
+        ).map_batches(
+            lambda t: t.select(["bkey"]), batch_format="pyarrow"
+        ),
+        ["bkey"],
+        [],
+    )
+    b1 = new_docs.map_batches(
+        _band_keys_batch, fn_kwargs=kw, batch_format="pyarrow"
+    )
+    hit_rows = local_hash_join(
+        b1,
+        b0,
+        on=["bkey"],
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("bkey", pa.int64())]
+        ),
+        right_schema=pa.schema([("bkey", pa.int64())]),
+        how="semi",
+    )
+    hits = hash_grouped(
+        hit_rows.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+        ),
+        ["doc_id"],
+        [],
+    )
+    return local_hash_join(
+        new_docs.select_columns(["doc_id"]),
+        hits,
+        on=["doc_id"],
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+        how="anti",
+    )
