@@ -820,6 +820,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from promptner_ray.functions import (
         bloom,
+        decontam,
         dedup,
         hll,
         multimodal,
@@ -988,6 +989,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental cross-wave near-dedup: odd-doc_id "new crawl"
         # filtered against the even-doc_id "prior crawl"'s band buckets
         "dedup_minhash_incremental": lambda sf: dedup.minhash_incremental(
+            _doc_wave(sf, 0), _doc_wave(sf, 1)
+        ),
+        # fraction of each new-wave doc's 3-grams unseen in the prior
+        # wave — distributed semi-join, never a broadcast (the "prior"
+        # side is half the corpus)
+        "doc_novelty": lambda sf: decontam.novelty_scores(
             _doc_wave(sf, 0), _doc_wave(sf, 1)
         ),
         # --- similarity search (embeddings) --------------------------
@@ -2406,6 +2413,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": minhash_pairs_sql,
         "dedup_minhash_incremental": minhash_incremental_sql,
+        # cross-wave 3-gram novelty: same shingle convention, same
+        # signed-int64 md5 gram digest as the engine's semi-join key
+        "doc_novelty": f"""
+            WITH {shingles},
+            k AS (SELECT doc_id, {_sql_hash64('s')} AS gkey FROM sh),
+            old AS (SELECT DISTINCT gkey FROM k WHERE doc_id % 2 = 0),
+            nw AS (SELECT doc_id, gkey FROM k WHERE doc_id % 2 = 1),
+            tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams
+                    FROM nw GROUP BY doc_id),
+            seen AS (SELECT doc_id, count(*)::BIGINT AS n_seen
+                     FROM nw WHERE gkey IN (SELECT gkey FROM old)
+                     GROUP BY doc_id)
+            SELECT t.doc_id, t.n_grams,
+                   coalesce(s.n_seen, 0)::BIGINT AS n_seen,
+                   1.0 - coalesce(s.n_seen, 0)::DOUBLE
+                       / t.n_grams::DOUBLE AS novelty
+            FROM tot t LEFT JOIN seen s USING (doc_id)
+        """,
         # near-dup clusters: min-reachable-id per node via a recursive CTE
         # — the independent ground truth for the engine's iterative
         # label-propagation connected components

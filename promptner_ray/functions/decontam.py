@@ -184,3 +184,137 @@ def decontaminate(
         how="anti",
         num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-wave n-gram novelty: how much of each new doc the corpus has seen
+# ---------------------------------------------------------------------------
+
+def _gram_key_rows_batch(batch: pa.Table, n: int = NGRAM_N) -> pa.Table:
+    """docs → one row per (doc_id, distinct gram digest, per-doc gram
+    count).  Vectorized windows (``dedup._doc_shingles_vec``, same
+    shorter-than-n whole-text fallback as the SQL shingles CTE); the
+    digest is the signed big-endian md5 int64 (``_sql_hash64``'s twin)
+    so BOTH engines join on the identical key."""
+    from .dedup import _doc_shingles_vec, _md5_key64
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "gkey": pa.array([], type=pa.int64()),
+            "tot": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    ids, grams = _doc_shingles_vec(batch, n)
+    if len(ids) == 0:
+        return empty
+    cache: dict[str, int] = {}
+    keys = [
+        cache.get(g) or cache.setdefault(g, _md5_key64(g))
+        for g in grams.to_pylist()
+    ]
+    uniq, inv, cnt = np.unique(ids, return_inverse=True, return_counts=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "gkey": pa.array(keys, type=pa.int64()),
+            "tot": pa.array(cnt[inv], type=pa.int64()),
+        }
+    )
+
+
+def novelty_scores(prior_docs, new_docs, n: int = NGRAM_N):
+    """new_docs → (doc_id, n_grams, n_seen, novelty): the fraction of
+    each new doc's distinct word n-grams UNSEEN in the prior corpus —
+    the memorization-risk / freshness metric of a continuous ingestion
+    pipeline (novelty 0 = the corpus already contains every phrase of
+    this doc; 1 = entirely new text).
+
+    Unlike :func:`contaminated_docs` (whose benchmark side is small by
+    premise and broadcast), the prior side here is HALF THE CORPUS, so
+    the overlap check is a distributed int64 semi-join against the
+    prior wave's distinct gram digests — per-worker memory O(block) at
+    any corpus size.  The novelty division runs on identical integers
+    in both engines, so the float column is hash-exact.
+    """
+    from ..shuffle import hash_grouped, local_hash_join
+
+    g0 = hash_grouped(
+        prior_docs.map_batches(
+            _gram_key_rows_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
+        ).map_batches(lambda t: t.select(["gkey"]), batch_format="pyarrow"),
+        ["gkey"],
+        [],
+    )
+    rows = new_docs.map_batches(
+        _gram_key_rows_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
+    ).materialize()  # consumed by the totals pass AND the semi-join
+    totals = hash_grouped(
+        rows.map_batches(
+            lambda t: t.select(["doc_id", "tot"]), batch_format="pyarrow"
+        ),
+        ["doc_id", "tot"],
+        [],
+        hash_cols=["doc_id"],
+    )
+    seen_rows = local_hash_join(
+        rows,
+        g0,
+        on=["gkey"],
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("gkey", pa.int64()),
+             ("tot", pa.int64())]
+        ),
+        right_schema=pa.schema([("gkey", pa.int64())]),
+        how="semi",
+    )
+    seen = hash_grouped(
+        seen_rows.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+        ),
+        ["doc_id"],
+        [([], "count_all")],
+        rename={"count_all": "n_seen"},
+    )
+    joined = local_hash_join(
+        totals,
+        seen,
+        on=["doc_id"],
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("tot", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_seen", pa.int64())]
+        ),
+        how="left_outer",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_grams": pa.array([], type=pa.int64()),
+                    "n_seen": pa.array([], type=pa.int64()),
+                    "novelty": pa.array([], type=pa.float64()),
+                }
+            )
+        tot = t.column("tot").to_numpy(zero_copy_only=False)
+        seen_np = pc.fill_null(
+            t.column("n_seen").combine_chunks(), 0
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(tot, type=pa.int64()),
+                "n_seen": pa.array(seen_np, type=pa.int64()),
+                "novelty": pa.array(
+                    1.0 - seen_np.astype(np.float64) / tot.astype(np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
