@@ -195,6 +195,55 @@ def _top_hub(edges) -> int:
     return int(best["entity_id"])
 
 
+def _top_hubs(edges, k: int) -> list[int]:
+    """Top-k hubs by (out-weight DESC, entity_id ASC) — the same
+    per-block partial-top-k + constant-size driver merge as
+    :func:`_top_hub`, generalized for the personalized-PageRank seed
+    set (SQL twin: ``ORDER BY w_out DESC, entity_id ASC LIMIT k``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from promptner_ray.functions.graphops import node_degrees
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "entity_id": pa.array([], type=pa.int64()),
+                    "w_out": pa.array([], type=pa.int64()),
+                }
+            )
+        e = t.column("entity_id").to_numpy(zero_copy_only=False)
+        w = t.column("w_out").to_numpy(zero_copy_only=False)
+        idx = np.lexsort((e, -w))[:k]
+        return pa.table(
+            {
+                "entity_id": pa.array(e[idx], type=pa.int64()),
+                "w_out": pa.array(w[idx], type=pa.int64()),
+            }
+        )
+
+    partials = (
+        node_degrees(edges)
+        .map_batches(topk_block, batch_format="pyarrow")
+        .take_all()  # ≤ k rows per block — constant-size
+    )
+    best = sorted(partials, key=lambda r: (-r["w_out"], r["entity_id"]))[:k]
+    return [int(r["entity_id"]) for r in best]
+
+
+def _kg_ppr(sf_dir: str):
+    """Personalized PageRank from the top-2 hubs: importance relative
+    to the seed entities (related-entity expansion / neighborhood
+    curation).  Same fixed-point arithmetic as kg_pagerank with seeded
+    init/teleport/dangling, so the SQL unroll differs only in the seed
+    CASEs."""
+    from promptner_ray.functions.graphops import pagerank
+
+    edges = _kg_edges(sf_dir).materialize()
+    return pagerank(edges, seeds=_top_hubs(edges, 2))
+
+
 def _kg_reachability(sf_dir: str):
     """Directed BFS hop distances from the top hub (max out-weight,
     min-id tie-break): the "what does the busiest entity influence in
@@ -1123,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: int64 fixed-point mass makes the distributed result
         # order-independent, so the unrolled SQL replay hash-matches
         "kg_pagerank": _kg_pagerank,
+        "kg_ppr": _kg_ppr,
         # same ranks on the BSP actor-pool plan (graphbsp.py): the
         # iterative-analytics scale path, checked by the same oracle
         "kg_pagerank_bsp": _kg_pagerank_bsp,
@@ -1291,6 +1341,69 @@ def _pagerank_sql(iters: int = 8, damping: float = 0.85) -> str:
            FROM nodes nd LEFT JOIN c{i} c ON c.entity_id = nd.entity_id)"""
         )
         # power-of-two divisor: BIGINT / DOUBLE division is exact
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT entity_id, fp / {float(PR_SCALE)} AS rank FROM r{iters}"""
+    )
+
+
+def _ppr_sql(iters: int = 8, damping: float = 0.85, n_seeds: int = 2) -> str:
+    """SQL twin of :func:`_kg_ppr`: the :func:`_pagerank_sql` unroll
+    with initial mass, teleport, and dangling share gated to the seed
+    set (top ``n_seeds`` hubs by w_out DESC, entity_id ASC — the same
+    deterministic pick as ``_top_hubs``)."""
+    from promptner_ray.functions.graphops import PR_SCALE
+
+    dnum = round(damping * 1000)
+    seed = "entity_id IN (SELECT entity_id FROM seeds)"
+    parts = [
+        f"""tr AS (SELECT subj, pred, obj
+           FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+    edg AS MATERIALIZED (
+      SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+             {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+             count(*)::BIGINT AS weight
+      FROM tr GROUP BY 1, 2, 3),
+    ends AS (SELECT subj_id AS entity_id, weight AS w_out FROM edg
+             UNION ALL SELECT obj_id, 0 FROM edg),
+    nodes AS MATERIALIZED (SELECT entity_id, sum(w_out)::BIGINT AS w_out
+              FROM ends GROUP BY entity_id),
+    seeds AS MATERIALIZED (
+           SELECT entity_id FROM nodes
+           ORDER BY w_out DESC, entity_id ASC LIMIT {n_seeds}),
+    ns AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM seeds),
+    r0 AS MATERIALIZED (
+           SELECT entity_id,
+             CASE WHEN {seed}
+                  THEN {PR_SCALE} // (SELECT c FROM ns) ELSE 0 END AS fp,
+             w_out
+           FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+           SELECT coalesce(sum(fp), 0)::BIGINT AS m
+           FROM r{i} WHERE w_out = 0),
+    c{i} AS MATERIALIZED (
+             SELECT e.obj_id AS entity_id,
+                    sum((r.fp * e.weight) // r.w_out)::BIGINT AS s
+             FROM edg e JOIN r{i} r ON r.entity_id = e.subj_id
+             GROUP BY 1),
+    r{i + 1} AS MATERIALIZED (
+           SELECT nd.entity_id,
+               (CASE WHEN nd.{seed}
+                 THEN ({1000 - dnum} * {PR_SCALE})
+                        // (1000 * (SELECT c FROM ns)) ELSE 0 END)
+             + ({dnum} * (coalesce(c.s, 0)
+                  + CASE WHEN nd.{seed}
+                    THEN (SELECT m FROM d{i}) // (SELECT c FROM ns)
+                    ELSE 0 END)) // 1000
+               AS fp,
+               nd.w_out
+           FROM nodes nd LEFT JOIN c{i} c ON c.entity_id = nd.entity_id)"""
+        )
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -2923,6 +3036,7 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point PageRank: integer mass commutes, so the unrolled
         # integer-op replay hash-matches the distributed result exactly
         "kg_pagerank": _pagerank_sql(),
+        "kg_ppr": _ppr_sql(),
         # the BSP plan's integer ops are identical, so its oracle is
         # literally the same unrolled replay
         "kg_pagerank_bsp": _pagerank_sql(),

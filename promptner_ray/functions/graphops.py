@@ -1238,11 +1238,21 @@ def pagerank(
     iters: int = 8,
     damping: float = 0.85,
     num_partitions: int | None = None,
+    seeds: "list[int] | None" = None,
 ):
     """edges(subj_id, obj_id, weight, …) → (entity_id, rank): weighted
     PageRank with uniform dangling-mass redistribution — the standard
     entity-importance score over the constructed graph (hub ranking,
     canonical-entity selection, crawl prioritization).
+
+    ``seeds`` switches to PERSONALIZED PageRank: initial mass, the
+    teleport term, and the dangling redistribution all go to the seed
+    set instead of all nodes (the "importance relative to these
+    entities" score — neighborhood curation, related-entity expansion).
+    ``seeds=None`` is bit-identical to the original op (same denominator
+    n_nodes everywhere), so the existing oracle stays valid.  The seed
+    list is a handful of int64 ids shipped as task literals — never a
+    broadcast table.
 
     Fully distributed iterations: each round joins current ranks onto
     the edge list by source (``shuffle.local_hash_join`` — the rank
@@ -1292,17 +1302,27 @@ def pagerank(
         num_partitions=num_partitions,
     ).materialize()
     n_nodes = deg.count()
-    init_fp = PR_SCALE // n_nodes
-    base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_nodes)
+    seeds_arr = (
+        np.unique(np.asarray(seeds, dtype=np.int64))
+        if seeds is not None
+        else None
+    )
+    n_base = n_nodes if seeds_arr is None else len(seeds_arr)
+    init_fp = PR_SCALE // n_base
+    base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_base)
 
     def init_rank(batch: pa.Table) -> pa.Table:
+        ids = batch.column("entity_id").to_numpy(zero_copy_only=False)
+        if seeds_arr is None:
+            fp = np.full(len(batch), init_fp, dtype=np.int64)
+        else:
+            fp = np.where(np.isin(ids, seeds_arr), init_fp, 0).astype(
+                np.int64
+            )
         return pa.table(
             {
                 "entity_id": batch.column("entity_id"),
-                "rank_fp": pa.array(
-                    np.full(len(batch), init_fp, dtype=np.int64),
-                    type=pa.int64(),
-                ),
+                "rank_fp": pa.array(fp, type=pa.int64()),
                 "w_out": batch.column("w_out"),
             }
         )
@@ -1410,11 +1430,22 @@ def pagerank(
             rename={"c_sum": "c", "w_out_max": "w_out"},
             num_partitions=num_partitions,
         )
-        dang_share = dangling // n_nodes
+        dang_share = dangling // n_base
 
         def finish(batch: pa.Table) -> pa.Table:
             c = batch.column("c").to_numpy(zero_copy_only=False)
-            fp = base_fp + (dnum * (c + dang_share)) // 1000
+            if seeds_arr is None:
+                fp = base_fp + (dnum * (c + dang_share)) // 1000
+            else:
+                is_seed = np.isin(
+                    batch.column("entity_id").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    seeds_arr,
+                )
+                fp = np.where(is_seed, base_fp, 0) + (
+                    dnum * (c + np.where(is_seed, dang_share, 0))
+                ) // 1000
             return pa.table(
                 {
                     "entity_id": batch.column("entity_id"),

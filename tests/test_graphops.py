@@ -491,3 +491,29 @@ def test_label_propagation_two_cliques(ray_session) -> None:
     )
     cc = connected_components(pairs).to_pandas()["component"].unique()
     assert list(cc) == [0]
+
+
+def test_personalized_pagerank_concentrates_on_seed_side(ray_session) -> None:
+    """seeds= gates initial mass, teleport, and dangling share to the
+    seed set: nodes unreachable from the seeds get rank ~0, and the
+    seed component carries (almost) all the mass — while seeds=None
+    remains the uniform op."""
+    # two disconnected 3-cycles: {1,2,3} and {10,11,12}
+    edges = [
+        (1, 2, 1), (2, 3, 1), (3, 1, 1),
+        (10, 11, 1), (11, 12, 1), (12, 10, 1),
+    ]
+    ds = ray.data.from_arrow(_edge_table(edges))
+    ppr = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(ds, seeds=[1]).take_all()
+    }
+    assert sum(ppr.values()) > 0.99  # fixed-point floor loses < 1e-12
+    assert ppr[10] == 0.0 and ppr[11] == 0.0 and ppr[12] == 0.0
+    assert ppr[1] > ppr[2] > 0 and ppr[3] > 0
+    uni = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(ds).take_all()
+    }
+    # uniform op: the two symmetric components split the mass evenly
+    assert abs(sum(uni[n] for n in (10, 11, 12)) - 0.5) < 1e-9
