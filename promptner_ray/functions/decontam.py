@@ -239,18 +239,22 @@ def novelty_scores(prior_docs, new_docs, n: int = NGRAM_N):
     any corpus size.  The novelty division runs on identical integers
     in both engines, so the float column is hash-exact.
     """
-    from ..shuffle import hash_grouped, local_hash_join
+    from ..shuffle import hash_grouped, local_hash_join, sized_partitions
 
+    rows = new_docs.map_batches(
+        _gram_key_rows_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
+    ).materialize()  # consumed by the totals pass AND the semi-join
+    # both waves are the same order of magnitude — size every exchange
+    # from the (already materialized, free to count) new-wave gram rows
+    parts = sized_partitions(rows.count(), None)
     g0 = hash_grouped(
         prior_docs.map_batches(
             _gram_key_rows_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
         ).map_batches(lambda t: t.select(["gkey"]), batch_format="pyarrow"),
         ["gkey"],
         [],
+        num_partitions=parts,
     )
-    rows = new_docs.map_batches(
-        _gram_key_rows_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
-    ).materialize()  # consumed by the totals pass AND the semi-join
     totals = hash_grouped(
         rows.map_batches(
             lambda t: t.select(["doc_id", "tot"]), batch_format="pyarrow"
@@ -258,6 +262,7 @@ def novelty_scores(prior_docs, new_docs, n: int = NGRAM_N):
         ["doc_id", "tot"],
         [],
         hash_cols=["doc_id"],
+        num_partitions=parts,
     )
     seen_rows = local_hash_join(
         rows,
@@ -269,6 +274,7 @@ def novelty_scores(prior_docs, new_docs, n: int = NGRAM_N):
         ),
         right_schema=pa.schema([("gkey", pa.int64())]),
         how="semi",
+        num_partitions=parts,
     )
     seen = hash_grouped(
         seen_rows.map_batches(
@@ -277,6 +283,7 @@ def novelty_scores(prior_docs, new_docs, n: int = NGRAM_N):
         ["doc_id"],
         [([], "count_all")],
         rename={"count_all": "n_seen"},
+        num_partitions=parts,
     )
     joined = local_hash_join(
         totals,
@@ -289,6 +296,7 @@ def novelty_scores(prior_docs, new_docs, n: int = NGRAM_N):
             [("doc_id", pa.int64()), ("n_seen", pa.int64())]
         ),
         how="left_outer",
+        num_partitions=parts,
     )
 
     def finish(t: pa.Table) -> pa.Table:

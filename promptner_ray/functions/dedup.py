@@ -1000,7 +1000,8 @@ def _span_islands(n: int):
     return fn
 
 
-def dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2):
+def dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2,
+              num_partitions: int | None = None):
     """documents → (doc_id, start_tok, end_tok): maximal token spans
     covered by n-grams occurring ≥ ``min_count`` times ACROSS the corpus
     (within-doc repeats included) — the exact substring-duplication
@@ -1017,16 +1018,26 @@ def dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2):
     boilerplate df cap composes exactly like :func:`winnow_pairs`'s
     ``max_df``.
     """
-    from ..shuffle import hash_grouped, hash_partitioned, local_hash_join
+    from ..shuffle import (
+        hash_grouped,
+        hash_partitioned,
+        local_hash_join,
+        sized_partitions,
+    )
 
     posts = docs.map_batches(
         ngram_pos_rows_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
     ).materialize()  # consumed by the count AND the semi-join probe
+    # exchanges sized to the (already materialized, so free to count)
+    # posting table — a tiny corpus takes the n=1 fast path instead of
+    # paying CPU-count sort exchanges per stage
+    parts = sized_partitions(posts.count(), num_partitions)
     counts = hash_grouped(
         posts.map_batches(_h_count_partial, batch_format="pyarrow"),
         ["h"],
         [("c", "sum")],
         rename={"c_sum": "c"},
+        num_partitions=parts,
     )
 
     def hot_only(t: pa.Table) -> pa.Table:
@@ -1049,6 +1060,7 @@ def dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2):
         ),
         right_schema=pa.schema([("h", pa.int64())]),
         how="semi",
+        num_partitions=parts,
     )
     return hash_partitioned(
         marked.map_batches(
@@ -1056,6 +1068,7 @@ def dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2):
         ),
         ["doc_id"],
         _span_islands(n),
+        num_partitions=parts,
     )
 
 
@@ -1111,7 +1124,8 @@ def _strip_spans_fn(t: pa.Table) -> pa.Table:
     )
 
 
-def strip_dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2):
+def strip_dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2,
+                    num_partitions: int | None = None):
     """documents → (doc_id, text) with every corpus-duplicated token
     span removed — the destructive half of Lee et al.'s exact substring
     dedup (ALL occurrences cut, not keep-one; remaining tokens re-join
@@ -1123,11 +1137,17 @@ def strip_dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2):
     a ±1 coverage prefix-sum and an Arrow list join.  Docs with no
     duplicated spans pass through verbatim.
     """
-    from ..shuffle import hash_partitioned, local_hash_join
+    from ..shuffle import hash_partitioned, local_hash_join, sized_partitions
 
-    spans = dup_spans(docs, n=n, min_count=min_count)
+    base = docs.select_columns(["doc_id", "text"]).materialize()
+    # the doc-keyed join/rebuild exchanges move ~one row per doc (+ one
+    # per span); the posting-sized exchanges inside dup_spans size
+    # themselves independently
+    parts = sized_partitions(base.count(), num_partitions)
+    spans = dup_spans(base, n=n, min_count=min_count,
+                      num_partitions=num_partitions)
     joined = local_hash_join(
-        docs.select_columns(["doc_id", "text"]),
+        base,
         spans,
         on=["doc_id"],
         left_schema=pa.schema(
@@ -1141,8 +1161,10 @@ def strip_dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2):
             ]
         ),
         how="left_outer",
+        num_partitions=parts,
     )
-    return hash_partitioned(joined, ["doc_id"], _strip_spans_fn)
+    return hash_partitioned(joined, ["doc_id"], _strip_spans_fn,
+                            num_partitions=parts)
 
 
 # ---------------------------------------------------------------------------
@@ -1181,7 +1203,8 @@ def _band_keys_batch(batch: pa.Table,
 
 def minhash_incremental(prior_docs, new_docs,
                         num_perm: int = NUM_PERM,
-                        band_rows: int = BAND_ROWS):
+                        band_rows: int = BAND_ROWS,
+                        num_partitions: int | None = None):
     """new_docs → (doc_id,) survivors: new-crawl docs with NO LSH band
     bucket collision against the prior crawl — the incremental
     near-dedup filter of a continuous ingestion pipeline (the prior
@@ -1195,9 +1218,16 @@ def minhash_incremental(prior_docs, new_docs,
     at 10^12 prior docs the state this operator carries is the banded
     bucket set, the same asymptotics as maintaining any LSH index.
     """
-    from ..shuffle import hash_grouped, local_hash_join
+    from ..shuffle import hash_grouped, local_hash_join, sized_partitions
 
     kw = {"num_perm": num_perm, "band_rows": band_rows}
+    b1 = new_docs.map_batches(
+        _band_keys_batch, fn_kwargs=kw, batch_format="pyarrow"
+    ).materialize()  # consumed by the semi-join AND (free) to size plans
+    # band rows per doc are constant, and the two waves are the same
+    # order of magnitude — size every exchange from the new wave's
+    # (already materialized) band table
+    parts = sized_partitions(b1.count(), num_partitions)
     b0 = hash_grouped(
         prior_docs.map_batches(
             _band_keys_batch, fn_kwargs=kw, batch_format="pyarrow"
@@ -1206,9 +1236,7 @@ def minhash_incremental(prior_docs, new_docs,
         ),
         ["bkey"],
         [],
-    )
-    b1 = new_docs.map_batches(
-        _band_keys_batch, fn_kwargs=kw, batch_format="pyarrow"
+        num_partitions=parts,
     )
     hit_rows = local_hash_join(
         b1,
@@ -1219,6 +1247,7 @@ def minhash_incremental(prior_docs, new_docs,
         ),
         right_schema=pa.schema([("bkey", pa.int64())]),
         how="semi",
+        num_partitions=parts,
     )
     hits = hash_grouped(
         hit_rows.map_batches(
@@ -1226,6 +1255,7 @@ def minhash_incremental(prior_docs, new_docs,
         ),
         ["doc_id"],
         [],
+        num_partitions=parts,
     )
     return local_hash_join(
         new_docs.select_columns(["doc_id"]),
@@ -1234,4 +1264,5 @@ def minhash_incremental(prior_docs, new_docs,
         left_schema=pa.schema([("doc_id", pa.int64())]),
         right_schema=pa.schema([("doc_id", pa.int64())]),
         how="anti",
+        num_partitions=parts,
     )

@@ -558,13 +558,18 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
     hash-exact against the SQL twin."""
     import ray
 
-    from ..shuffle import hash_grouped, local_hash_join
+    from ..shuffle import hash_grouped, local_hash_join, sized_partitions
 
+    # the biggest exchange moves one (orderkey, fp, n) row per order;
+    # lineitem.count() on a parquet read is metadata-only, so sizing
+    # the plan to the fact table is free
+    parts = sized_partitions(lineitem.count(), None)
     li = hash_grouped(
         lineitem.map_batches(_li_rev_partial, batch_format="pyarrow"),
         ["l_orderkey"],
         [("fp", "sum"), ("n", "sum")],
         rename={"fp_sum": "fp", "n_sum": "n"},
+        num_partitions=parts,
     )
     ord_keys = orders.select_columns(["o_orderkey", "o_custkey"]).rename_columns(
         {"o_orderkey": "l_orderkey"}
@@ -581,6 +586,7 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
             [("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]
         ),
         how="inner",
+        num_partitions=parts,
     )
 
     def _cust_partial(t: pa.Table) -> pa.Table:
@@ -608,6 +614,7 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
         ["o_custkey"],
         [("fp", "sum"), ("n", "sum")],
         rename={"fp_sum": "fp", "n_sum": "n"},
+        num_partitions=parts,
     )
     cust_keys = customer.select_columns(
         ["c_custkey", "c_nationkey"]
@@ -624,6 +631,7 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
             [("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]
         ),
         how="inner",
+        num_partitions=parts,
     )
 
     def _nat_partial(t: pa.Table) -> pa.Table:
@@ -651,6 +659,7 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
         ["c_nationkey"],
         [("fp", "sum"), ("n", "sum")],
         rename={"fp_sum": "fp", "n_sum": "n"},
+        num_partitions=parts,
     )
 
     class _NameResolver:
