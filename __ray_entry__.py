@@ -244,6 +244,16 @@ def _kg_ppr(sf_dir: str):
     return pagerank(edges, seeds=_top_hubs(edges, 2))
 
 
+def _kg_ppr_bsp(sf_dir: str):
+    """Same personalized ranks, BSP actor-pool plan — bit-identical
+    fixed-point arithmetic, so the oracle SQL is literally
+    `_ppr_sql()` again (the one-oracle-two-plans pattern)."""
+    from promptner_ray.functions.graphbsp import pagerank_bsp
+
+    edges = _kg_edges(sf_dir).materialize()
+    return pagerank_bsp(edges, seeds=_top_hubs(edges, 2))
+
+
 def _kg_reachability(sf_dir: str):
     """Directed BFS hop distances from the top hub (max out-weight,
     min-id tie-break): the "what does the busiest entity influence in
@@ -1173,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order-independent, so the unrolled SQL replay hash-matches
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
+        "kg_ppr_bsp": _kg_ppr_bsp,
         # same ranks on the BSP actor-pool plan (graphbsp.py): the
         # iterative-analytics scale path, checked by the same oracle
         "kg_pagerank_bsp": _kg_pagerank_bsp,
@@ -3037,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         # integer-op replay hash-matches the distributed result exactly
         "kg_pagerank": _pagerank_sql(),
         "kg_ppr": _ppr_sql(),
+        "kg_ppr_bsp": _ppr_sql(),
         # the BSP plan's integer ops are identical, so its oracle is
         # literally the same unrolled replay
         "kg_pagerank_bsp": _pagerank_sql(),

@@ -127,11 +127,23 @@ class _PRShard:
             self.jbounds = np.zeros(self.n_parts + 1, dtype=np.int64)
         return len(self.ids)
 
-    def reset(self, init_fp: int) -> None:
+    def reset(self, init_fp: int, seeds=None) -> None:
         """Re-initialize the rank vector — lets one sharded handle run
         many independent PageRank invocations (different iteration
-        counts / damping) without re-paying the partition exchange."""
-        self.rank_fp = np.full(len(self.ids), init_fp, dtype=np.int64)
+        counts / damping) without re-paying the partition exchange.
+        ``seeds`` (a small id list) switches to personalized mode:
+        initial mass, teleport, and dangling share apply only to the
+        seed-owned rows (mask stored per shard for ``gather``)."""
+        if seeds is None:
+            self.seed_mask = None
+            self.rank_fp = np.full(len(self.ids), init_fp, dtype=np.int64)
+        else:
+            self.seed_mask = np.isin(
+                self.ids, np.asarray(sorted(seeds), dtype=np.int64)
+            )
+            self.rank_fp = np.where(
+                self.seed_mask, init_fp, 0
+            ).astype(np.int64)
 
     def structure(self):
         """The static dst-id vector of every outgoing message — shipped
@@ -203,7 +215,12 @@ class _PRShard:
             if len(all_c):
                 sc = all_c[self.g_order]
                 c_node[self.g_target] = np.add.reduceat(sc, self.g_starts)
-        self.rank_fp = base_fp + (dnum * (c_node + dang_share)) // 1000
+        if getattr(self, "seed_mask", None) is None:
+            self.rank_fp = base_fp + (dnum * (c_node + dang_share)) // 1000
+        else:
+            self.rank_fp = np.where(self.seed_mask, base_fp, 0) + (
+                dnum * (c_node + np.where(self.seed_mask, dang_share, 0))
+            ) // 1000
         return None
 
     def result(self) -> pa.Table:
@@ -776,27 +793,30 @@ class PageRankBSP:
             ]
         )
 
-    def run(self, iters: int = 8, damping: float = 0.85):
+    def run(self, iters: int = 8, damping: float = 0.85, seeds=None):
         """One full PageRank: reset ranks, ``iters`` scatter/gather
         rounds, return the (entity_id, rank) Dataset.  Bit-identical to
-        :func:`graphops.pagerank` at any partition count."""
+        :func:`graphops.pagerank` at any partition count — including
+        the ``seeds=`` personalized variant (seeded init/teleport/
+        dangling; same fixed-point ops, same oracle)."""
         import ray
 
         if not self.actors:
             raise RuntimeError("PageRankBSP handle is closed")
         n_parts, n_nodes = self.n_parts, self.n_nodes
         dnum = round(damping * 1000)
-        init_fp = PR_SCALE // n_nodes
-        base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_nodes)
+        n_base = n_nodes if seeds is None else len(set(seeds))
+        init_fp = PR_SCALE // n_base
+        base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_base)
 
-        ray.get([a.reset.remote(init_fp) for a in self.actors])
+        ray.get([a.reset.remote(init_fp, seeds) for a in self.actors])
         for _ in range(iters):
             scat = [
                 a.scatter.options(num_returns=n_parts + 1).remote()
                 for a in self.actors
             ]
             dangling = sum(ray.get([s[-1] for s in scat]))
-            dang_share = dangling // n_nodes
+            dang_share = dangling // n_base
             ray.get(
                 [
                     self.actors[j].gather.remote(
@@ -1067,15 +1087,17 @@ def pagerank_bsp(
     iters: int = 8,
     damping: float = 0.85,
     num_partitions: int | None = None,
+    seeds=None,
 ):
     """edges(subj_id, obj_id, weight, …) → (entity_id, rank):
-    bit-identical to :func:`graphops.pagerank`, computed on a BSP actor
-    pool — the scale path for iterative graph analytics (see module
-    docstring for the plan and why Ray Data's per-round exchanges
-    anti-scale here).  One-shot convenience over :class:`PageRankBSP`;
+    bit-identical to :func:`graphops.pagerank` (including the
+    ``seeds=`` personalized variant), computed on a BSP actor pool —
+    the scale path for iterative graph analytics (see module docstring
+    for the plan and why Ray Data's per-round exchanges anti-scale
+    here).  One-shot convenience over :class:`PageRankBSP`;
     iterate-many callers should hold the handle instead."""
     with PageRankBSP(edges, num_partitions=num_partitions) as h:
-        return h.run(iters=iters, damping=damping)
+        return h.run(iters=iters, damping=damping, seeds=seeds)
 
 
 def bfs_bsp(
