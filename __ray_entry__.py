@@ -991,6 +991,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and the deterministic top-k selection over them
         "doc_dsir": lambda sf: vectorize.dsir_scores(_docs(sf)),
         "doc_dsir_select": lambda sf: vectorize.dsir_select(_docs(sf)),
+        # paper-faithful DSIR: Gumbel-top-k resampling with md5-derived
+        # deterministic noise (bit-exact cross-engine)
+        "doc_dsir_sample": lambda sf: vectorize.dsir_sample(_docs(sf)),
         "doc_distinct_sketch": lambda sf: hll.hll_registers(_docs(sf)),
         "dedup_winnow_pairs": lambda sf: dedup.winnow_pairs(_docs(sf)),
         # exact duplicated-substring spans (Lee et al. 2022 style, token
@@ -2045,6 +2048,12 @@ def _dsir_select_sql() -> str:
     return sql_dsir_select()
 
 
+def _dsir_sample_sql() -> str:
+    from promptner_ray.functions.vectorize import sql_dsir_sample
+
+    return sql_dsir_sample()
+
+
 def _mixture_sql() -> str:
     from promptner_ray.functions.sampling import sql_mixture_resample
 
@@ -2221,6 +2230,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": _lm_score_sql(),
         "doc_dsir": _dsir_sql(),
         "doc_dsir_select": _dsir_select_sql(),
+        "doc_dsir_sample": _dsir_sample_sql(),
         "doc_distinct_sketch": _hll_sql(),
         "dedup_winnow_pairs": _winnow_pairs_sql(),
         "doc_dup_spans": _dup_spans_sql(),

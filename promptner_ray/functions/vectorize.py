@@ -452,3 +452,75 @@ def sql_dsir_select(k: int = DSIR_KEEP_K, dim: int = DIM,
         SELECT * FROM ({sql_dsir_scores(dim, target_lang)})
         ORDER BY avg_log_ratio DESC, doc_id ASC LIMIT {k}
     """
+
+
+def _dsir_gumbel_key(doc_id: int, log_ratio: float) -> float:
+    """Deterministic Gumbel-perturbed key: ``log w + G`` where
+    ``G = −ln(−ln(u))`` and ``u ∈ (0,1)`` derives from md5 of the doc
+    id.  Every step is bit-identical in DuckDB: the md5-prefix integer
+    mod ``2⁵³−1`` (+1) is exact, division by 2⁵³ is exact (power-of-two
+    denominator), and libm ``log`` ≡ DuckDB ``ln`` on equal doubles
+    (``np.log``'s SIMD path differs in the last ulp — hence the scalar
+    loop; one call per DOC, not per token)."""
+    import math
+
+    h = int.from_bytes(
+        hashlib.md5(f"dsir:{doc_id}".encode("utf-8")).digest()[:8], "big"
+    )
+    u = (h % ((1 << 53) - 1) + 1) / float(1 << 53)
+    return log_ratio + (-math.log(-math.log(u)))
+
+
+def dsir_sample(docs, k: int = DSIR_KEEP_K, dim: int = DIM,
+                target_lang: str = DSIR_TARGET_LANG):
+    """documents → k docs drawn by Gumbel-top-k importance resampling —
+    the paper-faithful DSIR sampler (sampling WITHOUT replacement with
+    probability ∝ exp(log w), via the Gumbel-max trick), made
+    deterministic by deriving the Gumbel noise from md5(doc_id) so the
+    SQL twin is a plain ORDER BY.
+
+    Same plan shape as :func:`dsir_select`: the scoring map appends the
+    perturbed key, a per-block partial top-k keeps ``k`` candidates per
+    block, and one tiny merge finishes — nothing corpus-sized moves and
+    every float is bit-exact cross-engine."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        lr = t.column("log_ratio").to_pylist()
+        key = [_dsir_gumbel_key(i, r) for i, r in zip(ids, lr)]
+        return t.append_column("key", pa.array(key, type=pa.float64()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:k]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    scored = dsir_scores(docs, dim=dim, target_lang=target_lang)
+    return (
+        scored.map_batches(add_key, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def sql_dsir_sample(k: int = DSIR_KEEP_K, dim: int = DIM,
+                    target_lang: str = DSIR_TARGET_LANG) -> str:
+    """DuckDB twin of :func:`dsir_sample`: the identical md5-derived
+    Gumbel key (integer mod + exact power-of-two division + ln chain),
+    then ORDER BY key DESC, doc_id LIMIT k."""
+    u = (
+        "((('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 16))"
+        "::UBIGINT % 9007199254740991::UBIGINT + 1)::DOUBLE"
+        " / 9007199254740992.0)"
+    )
+    return f"""
+        WITH s AS ({sql_dsir_scores(dim, target_lang)})
+        SELECT doc_id, n_tokens, log_ratio, avg_log_ratio,
+               (log_ratio + (-ln(-ln({u}))))::DOUBLE AS key
+        FROM s
+        ORDER BY key DESC, doc_id ASC LIMIT {k}
+    """
