@@ -1070,6 +1070,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_ivf": _knn_ivf,
         "embed_cluster": _embed_cluster,
         "embed_semdedup": _embed_semdedup,
+        "embed_quantize": lambda sf: similarity.quantize_embeddings(
+            _emb(sf)
+        ),
         "embed_cosine_pairs_ivf": _cosine_pairs_ivf,
         # --- multimodal plumbing (documents-as-binary) ---------------
         "multimodal_features": lambda sf: multimodal.media_features(
@@ -2052,6 +2055,12 @@ def _dsir_sample_sql() -> str:
     from promptner_ray.functions.vectorize import sql_dsir_sample
 
     return sql_dsir_sample()
+
+
+def _quantize_sql() -> str:
+    from promptner_ray.functions.similarity import sql_quantize
+
+    return sql_quantize()
 
 
 def _mixture_sql() -> str:
@@ -3059,6 +3068,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(),
         "kg_ppr": _ppr_sql(),
         "kg_ppr_bsp": _ppr_sql(),
+        "embed_quantize": _quantize_sql(),
         # the BSP plan's integer ops are identical, so its oracle is
         # literally the same unrolled replay
         "kg_pagerank_bsp": _pagerank_sql(),

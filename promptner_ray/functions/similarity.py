@@ -775,3 +775,77 @@ def semantic_dedup(embeddings, cent_ref, threshold: float = SEMDEDUP_THRESHOLD):
     return hash_partitioned(
         assigned, ["cell"], _semdedup_partition(threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 symmetric quantization (the ANN memory-compression pass)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(embeddings):
+    """embeddings → (vec_id, dim_idx, code): symmetric per-dimension
+    int8 quantization — ``code = floor(x / maxabs_d · 127 + 0.5)`` with
+    ``maxabs_d`` the corpus-wide per-dimension |x| maximum.  The memory
+    / bandwidth-compression pass in front of a large ANN index (4× over
+    float32, 8× over float64).
+
+    Two streaming passes: a constant-size reduce (one ``dim``-wide
+    maxabs row per block, folded by Ray's native Max — the corpus never
+    re-reads), then a stateless coding map with the scales shipped as
+    literals.  Long output layout (one row per vector×dimension) keeps
+    the value-hash comparison list-free.  Every arithmetic step is a
+    single IEEE op on identical doubles (float32 widens exactly; max
+    commutes; ``floor(x+0.5)`` in place of round dodges the half-even
+    vs half-away divergence), so codes are bit-exact cross-engine.
+    """
+
+    def maxabs_partial(batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        m = np.abs(mat).max(axis=0) if len(mat) else None
+        if m is None:
+            return pa.table({})
+        return pa.table(
+            {f"m{d}": pa.array([m[d]], type=pa.float64())
+             for d in range(mat.shape[1])}
+        )
+
+    first = embeddings.take(1)[0]["embedding"]
+    dim = len(first)
+    agg = embeddings.map_batches(
+        maxabs_partial, batch_format="pyarrow"
+    ).max([f"m{d}" for d in range(dim)])
+    scales = np.array(
+        [agg[f"max(m{d})"] for d in range(dim)], dtype=np.float64
+    )
+
+    def code(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        n, d = mat.shape
+        q = np.floor(mat / scales * 127.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d), type=pa.int64()),
+                "dim_idx": pa.array(
+                    np.tile(np.arange(d, dtype=np.int64), n),
+                    type=pa.int64(),
+                ),
+                "code": pa.array(q.reshape(-1), type=pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(code, batch_format="pyarrow")
+
+
+def sql_quantize(dim: int = 64) -> str:
+    """DuckDB twin of :func:`quantize_embeddings`: same maxabs reduce,
+    same ``floor(x/maxabs·127 + 0.5)`` chain over the same doubles."""
+    return f"""
+        WITH x AS (
+          SELECT vec_id,
+                 generate_subscripts(embedding, 1) - 1 AS dim_idx,
+                 unnest(embedding)::DOUBLE AS v
+          FROM embeddings),
+        s AS (SELECT dim_idx, max(abs(v)) AS maxabs FROM x GROUP BY dim_idx)
+        SELECT x.vec_id, x.dim_idx,
+               floor(x.v / s.maxabs * 127.0 + 0.5)::BIGINT AS code
+        FROM x JOIN s ON x.dim_idx = s.dim_idx
+    """
