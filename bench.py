@@ -290,14 +290,19 @@ def _operator_suite() -> dict[str, float]:
         "dedup_simhash_pairs",
         "doc_dup_spans",
         "doc_dsir_select",
+        "doc_dsir_sample",
+        "doc_novelty",
+        "dedup_minhash_incremental",
         "embed_knn",
         "embed_semdedup",
+        "embed_quantize",
         "embed_knn_lsh",
         "embed_knn_ivf",
         "embed_cosine_pairs",
         "multimodal_features",
         "lineitem_stats",
         "customer_nation_counts",
+        "revenue_by_nation",
         "events_tumbling",
     ]
     qs = entrymod.queries()
