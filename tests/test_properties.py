@@ -297,3 +297,83 @@ def test_winnow_vectorized_equals_scalar(texts) -> None:
         i: set(winnow_fingerprints(t)) for i, t in enumerate(texts)
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_dup_span_kernels_match_bruteforce(token_docs) -> None:
+    """The dup-span kernel composition (positional postings → global
+    count → marked positions → gaps-and-islands merge) equals a direct
+    brute-force computation on a tiny vocabulary (where collisions
+    between docs are common).  The distributed glue around these
+    kernels is covered by the DuckDB oracle parity suite."""
+    import collections
+
+    import pyarrow as pa
+
+    from promptner_ray.functions.dedup import (
+        _span_islands,
+        ngram_pos_rows_batch,
+    )
+
+    n = 3
+    texts = [" ".join(toks) for toks in token_docs]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    posts = ngram_pos_rows_batch(batch, n=n)
+    counts = collections.Counter(posts.column("h").to_pylist())
+    marked = posts.filter(
+        pa.array(
+            [counts[h] >= 2 for h in posts.column("h").to_pylist()],
+            type=pa.bool_(),
+        )
+    )
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in _span_islands(n)(
+            marked.select(["doc_id", "pos"])
+        ).to_pylist()
+    }
+
+    # brute force: every n-gram occurrence, duplicated iff its exact
+    # token tuple occurs >= 2 times anywhere (note: text round-trips
+    # through a single-space join, so split(" ") re-yields the tokens)
+    occs = collections.Counter()
+    per_doc: dict[int, list[int]] = {}
+    for d, toks in enumerate(token_docs):
+        toks = " ".join(toks).split(" ")  # the kernel's view of the doc
+        for p in range(len(toks) - n + 1):
+            occs[tuple(toks[p : p + n])] += 1
+    for d, toks in enumerate(token_docs):
+        toks = " ".join(toks).split(" ")
+        per_doc[d] = [
+            p
+            for p in range(len(toks) - n + 1)
+            if occs[tuple(toks[p : p + n])] >= 2
+        ]
+    want = set()
+    for d, ps in per_doc.items():
+        start = prev = None
+        for p in ps:
+            if start is None:
+                start = prev = p
+            elif p - prev > n:
+                want.add((d, start, prev + n))
+                start = prev = p
+            else:
+                prev = p
+        if start is not None:
+            want.add((d, start, prev + n))
+    assert got == want
