@@ -547,30 +547,27 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
     Σ l_extendedprice·(1−l_discount) over lineitem ⋈ orders ⋈ customer
     ⋈ nation.
 
-    The join chain narrows at every hop, so each exchange moves only
-    the surviving key+measure columns: lineitem pre-aggregates per
-    order IN-BLOCK (orderkeys are clustered in the file), joins orders
-    projected to (orderkey, custkey), re-combines per customer, joins
-    customer projected to (custkey, nationkey), re-combines per nation
-    (25 rows), and resolves names from the broadcast nation dict —
-    the dimension-table pattern: big side never re-shuffled wider than
-    (key, fp, n).  Fixed-point int64 revenue keeps the float output
-    hash-exact against the SQL twin."""
+    Three exchanges total — the two join co-locations plus one tiny
+    final group — because every aggregation is folded INTO the hops:
+    lineitem combines per order in-block (one partial row per
+    block×order), the join exchange on orderkey co-locates those rows
+    anyway so a separate pre-aggregation exchange would only move the
+    same rows twice, the join output re-combines per customer in-block
+    before the custkey join, and the (≤ nations × blocks) nation
+    partials collapse through one grouped pass.  Names resolve from
+    the broadcast nation dict — the dimension-table pattern: the big
+    side is never re-shuffled wider than (key, fp, n).  Fixed-point
+    int64 revenue keeps the float output hash-exact against the SQL
+    twin."""
     import ray
 
     from ..shuffle import hash_grouped, local_hash_join, sized_partitions
 
-    # the biggest exchange moves one (orderkey, fp, n) row per order;
+    # the joins move one (key, fp, n) partial row per block×key;
     # lineitem.count() on a parquet read is metadata-only, so sizing
     # the plan to the fact table is free
     parts = sized_partitions(lineitem.count(), None)
-    li = hash_grouped(
-        lineitem.map_batches(_li_rev_partial, batch_format="pyarrow"),
-        ["l_orderkey"],
-        [("fp", "sum"), ("n", "sum")],
-        rename={"fp_sum": "fp", "n_sum": "n"},
-        num_partitions=parts,
-    )
+    li = lineitem.map_batches(_li_rev_partial, batch_format="pyarrow")
     ord_keys = orders.select_columns(["o_orderkey", "o_custkey"]).rename_columns(
         {"o_orderkey": "l_orderkey"}
     )
@@ -590,7 +587,7 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
     )
 
     def _cust_partial(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
+        if len(t) == 0 or "o_custkey" not in t.column_names:
             return pa.table(
                 {
                     "o_custkey": pa.array([], type=pa.int64()),
@@ -609,18 +606,11 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
             }
         )
 
-    per_cust = hash_grouped(
-        li_cust.map_batches(_cust_partial, batch_format="pyarrow"),
-        ["o_custkey"],
-        [("fp", "sum"), ("n", "sum")],
-        rename={"fp_sum": "fp", "n_sum": "n"},
-        num_partitions=parts,
-    )
     cust_keys = customer.select_columns(
         ["c_custkey", "c_nationkey"]
     ).rename_columns({"c_custkey": "o_custkey"})
     per_nationkey = local_hash_join(
-        per_cust,
+        li_cust.map_batches(_cust_partial, batch_format="pyarrow"),
         cust_keys,
         on=["o_custkey"],
         left_schema=pa.schema(
@@ -635,7 +625,7 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
     )
 
     def _nat_partial(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
+        if len(t) == 0 or "c_nationkey" not in t.column_names:
             return pa.table(
                 {
                     "c_nationkey": pa.array([], type=pa.int64()),
@@ -654,12 +644,13 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
             }
         )
 
+    # ≤ nations × blocks partial rows — one tiny grouped pass
     per_nation = hash_grouped(
         per_nationkey.map_batches(_nat_partial, batch_format="pyarrow"),
         ["c_nationkey"],
         [("fp", "sum"), ("n", "sum")],
         rename={"fp_sum": "fp", "n_sum": "n"},
-        num_partitions=parts,
+        num_partitions=1,
     )
 
     class _NameResolver:
