@@ -1059,6 +1059,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": lambda sf: decontam.novelty_scores(
             _doc_wave(sf, 0), _doc_wave(sf, 1)
         ),
+        # per-(source, lang) curation dashboard rollup
+        "doc_quality_by_source": lambda sf: textstats.quality_by_source(
+            _docs(sf)
+        ),
         # --- similarity search (embeddings) --------------------------
         "embed_knn": lambda sf: similarity.knn_topk(
             _emb(sf), _qref(sf), k=KNN_K
@@ -2223,6 +2227,30 @@ def oracle_sql() -> dict[str, str]:
                AND (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) < 0.3
                AND (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END) < 0.5) AS passes
             FROM base
+        """,
+        # per-(source, lang) curation dashboard: same quality
+        # predicates, integer sums divided once (exact both engines)
+        "doc_quality_by_source": f"""
+            WITH base AS (
+              SELECT source, lang,
+                len(string_split(text,' '))::BIGINT AS n_tokens,
+                length(text)::BIGINT AS n_chars,
+                (length(text) - length(regexp_replace(text, '{punct}', '', 'g')))::BIGINT AS n_punct,
+                len(list_filter(string_split(text,' '), x -> x IN ({stop_list})))::BIGINT AS n_stop
+              FROM documents),
+            f AS (
+              SELECT source, lang, n_tokens, n_chars, n_punct,
+                (n_tokens >= 5 AND n_tokens <= 5000
+                 AND (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) < 0.3
+                 AND (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END) < 0.5) AS p
+              FROM base)
+            SELECT source, lang, count(*)::BIGINT AS n_docs,
+              sum(n_tokens)::DOUBLE / count(*)::DOUBLE AS avg_tokens,
+              sum(n_punct)::DOUBLE / greatest(sum(n_chars), 1)::DOUBLE
+                AS punct_rate,
+              sum(CASE WHEN p THEN 1 ELSE 0 END)::DOUBLE
+                / count(*)::DOUBLE AS pass_rate
+            FROM f GROUP BY source, lang
         """,
         "doc_tokens": (
             "SELECT doc_id, unnest(string_split(text,' ')) AS token "

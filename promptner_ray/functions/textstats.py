@@ -479,3 +479,126 @@ def _winnow_fps_vec(
     )
     uniq = np.unique(pairs, axis=0)
     return doc_ids[uniq[:, 0].astype(np.int64)], uniq[:, 1]
+
+
+def quality_by_source_batch(batch: pa.Table) -> pa.Table:
+    """Map-side combine for the per-(source, lang) quality dashboard:
+    integer sums + pass counts per group, one Arrow grouped pass."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "skey": pa.array([], type=pa.int64()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "sum_tokens": pa.array([], type=pa.int64()),
+                "sum_chars": pa.array([], type=pa.int64()),
+                "sum_punct": pa.array([], type=pa.int64()),
+                "n_pass": pa.array([], type=pa.int64()),
+            }
+        )
+    import hashlib
+
+    q = quality_batch(batch)
+    t = pa.table(
+        {
+            "source": batch.column("source"),
+            "lang": batch.column("lang"),
+            "n_tokens": q.column("n_tokens"),
+            "n_chars": q.column("n_chars"),
+            "n_punct": q.column("n_punct"),
+            "p": q.column("passes").cast(pa.int64()),
+        }
+    )
+    out = t.group_by(["source", "lang"]).aggregate(
+        [([], "count_all"), ("n_tokens", "sum"), ("n_chars", "sum"),
+         ("n_punct", "sum"), ("p", "sum")]
+    )
+    # int64 digest of the string group key — the numeric exchange key
+    # (the exact_dedup fp_key idiom)
+    skey = [
+        int.from_bytes(
+            hashlib.md5(f"{s}|{l}".encode("utf-8")).digest()[:8],
+            "big", signed=True,
+        )
+        for s, l in zip(
+            out.column("source").to_pylist(), out.column("lang").to_pylist()
+        )
+    ]
+    return pa.table(
+        {
+            "source": out.column("source"),
+            "lang": out.column("lang"),
+            "skey": pa.array(skey, type=pa.int64()),
+            "n_docs": out.column("count_all").cast(pa.int64()),
+            "sum_tokens": out.column("n_tokens_sum"),
+            "sum_chars": out.column("n_chars_sum"),
+            "sum_punct": out.column("n_punct_sum"),
+            "n_pass": out.column("p_sum"),
+        }
+    )
+
+
+def quality_by_source(docs):
+    """documents → per (source, lang): doc count, token/char/punct sums,
+    pass count, and exact-integer-derived means/rates — the corpus
+    curation dashboard (which slices of the crawl are worth keeping).
+
+    Map-side combine per block then one grouped Sum over the (tiny)
+    source×lang key space; the float columns divide integer sums once
+    at the end, so they are bit-exact against the SQL twin at any
+    block order."""
+    import numpy as np
+
+    from ..shuffle import hash_grouped
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "n_docs" not in t.column_names:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "lang": pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "avg_tokens": pa.array([], type=pa.float64()),
+                    "punct_rate": pa.array([], type=pa.float64()),
+                    "pass_rate": pa.array([], type=pa.float64()),
+                }
+            )
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+        st = t.column("sum_tokens").to_numpy(zero_copy_only=False)
+        sc = t.column("sum_chars").to_numpy(zero_copy_only=False)
+        sp = t.column("sum_punct").to_numpy(zero_copy_only=False)
+        np_ = t.column("n_pass").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "lang": t.column("lang"),
+                "n_docs": t.column("n_docs"),
+                "avg_tokens": pa.array(
+                    st / nd.astype(np.float64), type=pa.float64()
+                ),
+                "punct_rate": pa.array(
+                    sp / np.maximum(sc, 1).astype(np.float64),
+                    type=pa.float64(),
+                ),
+                "pass_rate": pa.array(
+                    np_ / nd.astype(np.float64), type=pa.float64()
+                ),
+            }
+        )
+
+    # the exchange moves blocks × groups partial rows, routed on the
+    # int64 source|lang digest carried from the partial (string keys
+    # cannot hash-route directly — the exact_dedup fp_key idiom)
+    merged = hash_grouped(
+        docs.map_batches(quality_by_source_batch, batch_format="pyarrow"),
+        ["source", "lang", "skey"],
+        [("n_docs", "sum"), ("sum_tokens", "sum"), ("sum_chars", "sum"),
+         ("sum_punct", "sum"), ("n_pass", "sum")],
+        rename={"n_docs_sum": "n_docs", "sum_tokens_sum": "sum_tokens",
+                "sum_chars_sum": "sum_chars", "sum_punct_sum": "sum_punct",
+                "n_pass_sum": "n_pass"},
+        hash_cols=["skey"],
+        num_partitions=1,
+    )
+    return merged.map_batches(finish, batch_format="pyarrow")
