@@ -99,8 +99,13 @@ def doc_features_batch(batch: pa.Table) -> pa.Table:
 
 def clean_corpus(docs, lang: str = "en", num_partitions: int | None = None):
     """documents → surviving (doc_id, n_tokens, lang_pred) rows."""
-    from ..shuffle import hash_grouped, local_hash_join
+    from ..shuffle import hash_grouped, local_hash_join, sized_partitions
 
+    if num_partitions is None:
+        # every exchange here moves ≤ one row per doc; a parquet-backed
+        # count is metadata-only, so sizing the plan to the corpus is
+        # free (tiny inputs take the n=1 fast path)
+        num_partitions = sized_partitions(docs.count(), None)
     feats = docs.map_batches(doc_features_batch, batch_format="pyarrow")
     keepers = hash_grouped(
         feats.select_columns(["fp_key", "doc_id"]),
@@ -196,8 +201,12 @@ def curate_corpus(
     """
     from ..functions.dedup import minhash_lsh_pairs
     from ..functions.graphops import connected_components
-    from ..shuffle import hash_grouped, local_hash_join
+    from ..shuffle import hash_grouped, local_hash_join, sized_partitions
 
+    if num_partitions is None:
+        # same sizing rule as clean_corpus — all exchanges are ≤ one
+        # row per doc, and a parquet count is free
+        num_partitions = sized_partitions(docs.count(), None)
     feats = docs.map_batches(curation_features_batch, batch_format="pyarrow")
     keepers = hash_grouped(
         feats.select_columns(["fp_key", "doc_id"]),
@@ -272,7 +281,9 @@ def curate_corpus(
         how="semi",
         num_partitions=num_partitions,
     )
-    comps = connected_components(minhash_lsh_pairs(sdocs))
+    comps = connected_components(
+        minhash_lsh_pairs(sdocs), num_partitions=num_partitions
+    )
 
     def to_losers(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t.column("doc_id"), t.column("component")))
