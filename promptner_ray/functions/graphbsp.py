@@ -1172,7 +1172,7 @@ def label_propagation_bsp(
     then runs the vote-combiner loop on the sharded handle."""
     from .graphops import _und_and_degrees
 
-    und, _deg = _und_and_degrees(edges_ds, num_partitions)
+    und, _deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
 
     def doubled(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "a" not in t.column_names:
@@ -1216,7 +1216,7 @@ def k_core_bsp(
     handle's directed shard layout."""
     from .graphops import _und_and_degrees
 
-    und, _deg = _und_and_degrees(edges_ds, num_partitions)
+    und, _deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
 
     def doubled(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "a" not in t.column_names:

@@ -264,10 +264,16 @@ def _und_and_degrees(edges_ds, num_partitions: int | None = None):
     undirected (a, b) pairs (self-loops dropped, a < b) and per-node
     undirected degree (node, d).  Both materialized — each feeds
     multiple consumers downstream, so pin them to the (spillable)
-    object store and execute the lineage once."""
+    object store and execute the lineage once.  Returns
+    ``(und, deg, parts)`` — the data-sized partition count
+    (:func:`_iter_partitions` over the edge count) that the chained
+    per-node stages should reuse, so toy graphs skip the CPU-count
+    sort exchanges everywhere downstream too."""
     import numpy as np
 
     from ..shuffle import hash_grouped
+
+    num_partitions = _iter_partitions(edges_ds.count(), num_partitions)
 
     def to_und(t: pa.Table) -> pa.Table:
         s = t.column("subj_id").to_numpy(zero_copy_only=False)
@@ -317,7 +323,7 @@ def _und_and_degrees(edges_ds, num_partitions: int | None = None):
         rename={"c_sum": "d"},
         num_partitions=num_partitions,
     ).materialize()
-    return und, deg
+    return und, deg, num_partitions
 
 
 def triangle_counts(edges_ds, num_partitions: int | None = None):
@@ -336,7 +342,7 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
     int64-keyed ``local_hash_join``s; nothing graph-sized touches the
     driver.
     """
-    und, deg = _und_and_degrees(edges_ds, num_partitions)
+    und, deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
     return _per_node_triangles(und, deg, num_partitions)
 
 
@@ -1514,7 +1520,7 @@ def neighbor_jaccard(
 
     from ..shuffle import hash_grouped, local_hash_join
 
-    und, deg = _und_and_degrees(edges_ds, num_partitions)
+    und, deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
 
     def to_adj(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "a" not in t.column_names:
@@ -1701,7 +1707,7 @@ def adamic_adar(
 
     from ..shuffle import hash_grouped, local_hash_join
 
-    und, deg = _und_and_degrees(edges_ds, num_partitions)
+    und, deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
 
     def to_adj(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "a" not in t.column_names:
@@ -1865,7 +1871,7 @@ def clustering_coefficient(edges_ds, num_partitions: int | None = None):
 
     from ..shuffle import local_hash_join
 
-    und, deg = _und_and_degrees(edges_ds, num_partitions)
+    und, deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
     tri = _per_node_triangles(und, deg, num_partitions)
 
     def eligible(t: pa.Table) -> pa.Table:
@@ -1935,7 +1941,7 @@ def label_propagation(
 
     from ..shuffle import hash_grouped, hash_partitioned, local_hash_join
 
-    und, _deg = _und_and_degrees(edges_ds, num_partitions)
+    und, _deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
 
     def to_adj(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "a" not in t.column_names:
