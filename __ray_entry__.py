@@ -296,11 +296,15 @@ def _kg_alias_pairs(sf_dir: str):
 
     from promptner_ray.functions.editsim import alias_pairs, with_typo_variants
 
-    surfaces = _kg_links(sf_dir).map_batches(
+    from promptner_ray.shuffle import sized_partitions
+
+    links = _kg_links(sf_dir)
+    parts = sized_partitions(links.count(), None)
+    surfaces = links.map_batches(
         lambda t: pa.table({"surface": t.column("surface_norm")}),
         batch_format="pyarrow",
     )
-    return alias_pairs(with_typo_variants(surfaces))
+    return alias_pairs(with_typo_variants(surfaces), num_partitions=parts)
 
 
 def _kg_alias_clusters(sf_dir: str):
@@ -314,12 +318,18 @@ def _kg_alias_clusters(sf_dir: str):
     from promptner_ray.functions.editsim import alias_pairs, with_typo_variants
     from promptner_ray.functions.graphops import connected_components
 
-    surfaces = _kg_links(sf_dir).map_batches(
+    from promptner_ray.shuffle import sized_partitions
+
+    links = _kg_links(sf_dir)
+    parts = sized_partitions(links.count(), None)
+    surfaces = links.map_batches(
         lambda t: pa.table({"surface": t.column("surface_norm")}),
         batch_format="pyarrow",
     )
-    pairs = alias_pairs(with_typo_variants(surfaces))
-    cc = connected_components(pairs, a="entity_a", b="entity_b")
+    pairs = alias_pairs(with_typo_variants(surfaces), num_partitions=parts)
+    cc = connected_components(
+        pairs, a="entity_a", b="entity_b", num_partitions=parts
+    )
     return cc.map_batches(
         lambda t: pa.table(
             {
@@ -494,15 +504,18 @@ def _kg_edges_incremental(sf_dir: str):
     independently, then merged — must equal the batch ``edg`` table
     exactly (the oracle IS the batch SQL)."""
     from promptner_ray.pipelines import kg
+    from promptner_ray.shuffle import sized_partitions
 
     triples = _kg_triples(sf_dir)
+    parts = sized_partitions(triples.count(), None)
     waves = [
         kg.edges(
-            triples.map_batches(_wave_filter(p), batch_format="pyarrow")
+            triples.map_batches(_wave_filter(p), batch_format="pyarrow"),
+            num_partitions=parts,
         )
         for p in (0, 1)
     ]
-    return kg.merge_edge_tables(*waves)
+    return kg.merge_edge_tables(*waves, num_partitions=parts)
 
 
 def _kg_edge_diff(sf_dir: str):
@@ -511,15 +524,20 @@ def _kg_edge_diff(sf_dir: str):
     vanished), the incremental-maintenance signal for cache
     invalidation and re-scoring."""
     from promptner_ray.pipelines import kg
+    from promptner_ray.shuffle import sized_partitions
 
     triples = _kg_triples(sf_dir)
+    # cached-export read → metadata-only count; size the per-wave edge
+    # aggregation and both diff joins to the data
+    parts = sized_partitions(triples.count(), None)
     old, new = [
         kg.edges(
-            triples.map_batches(_wave_filter(p), batch_format="pyarrow")
+            triples.map_batches(_wave_filter(p), batch_format="pyarrow"),
+            num_partitions=parts,
         )
         for p in (0, 1)
     ]
-    return kg.edge_diff(old, new)
+    return kg.edge_diff(old, new, num_partitions=parts)
 
 
 def _cc_outlinks(sf_dir: str):

@@ -636,11 +636,15 @@ def minhash_dedup(docs, num_perm: int = NUM_PERM, band_rows: int = BAND_ROWS):
     """
     import pyarrow.compute as pc
 
-    from ..shuffle import local_hash_join
+    from ..shuffle import local_hash_join, sized_partitions
     from .graphops import connected_components
 
+    # every exchange moves ≤ one row per doc (pairs are sparser still);
+    # a parquet-backed count is metadata-only
+    parts = sized_partitions(docs.count(), None)
     comps = connected_components(
-        minhash_lsh_pairs(docs, num_perm=num_perm, band_rows=band_rows)
+        minhash_lsh_pairs(docs, num_perm=num_perm, band_rows=band_rows),
+        num_partitions=parts,
     )
 
     def to_losers(t: pa.Table) -> pa.Table:
@@ -662,7 +666,7 @@ def minhash_dedup(docs, num_perm: int = NUM_PERM, band_rows: int = BAND_ROWS):
         left_schema=id_schema,
         right_schema=id_schema,
         how="anti",
-        num_partitions=_pair_join_partitions(),
+        num_partitions=parts,
     )
 
 

@@ -181,7 +181,7 @@ def links(mentions_ds):
     )
 
 
-def edges(triples_ds):
+def edges(triples_ds, num_partitions: int | None = None):
     """Two-level edge dedup/weighting: vectorized map-side combine per
     block, then a hash-partitioned Arrow grouped Sum
     (``shuffle.hash_grouped`` — edge keys are high-cardinality, so the
@@ -200,6 +200,7 @@ def edges(triples_ds):
         # partition on the numeric endpoints only — a function of the
         # group key, which is all correctness needs
         hash_cols=["subj_id", "obj_id"],
+        num_partitions=num_partitions,
     )
 
 
