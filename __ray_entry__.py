@@ -280,8 +280,12 @@ def _kg_walk_pairs(sf_dir: str):
     """Skip-gram (center, context, n) pairs from the deterministic walk
     corpus — the embedding-trainer input stream."""
     from promptner_ray.functions.graphops import random_walks, walk_pairs
+    from promptner_ray.shuffle import sized_partitions
 
-    return walk_pairs(random_walks(_kg_edges_raw(sf_dir)))
+    walks = random_walks(_kg_edges_raw(sf_dir)).materialize()
+    return walk_pairs(
+        walks, num_partitions=sized_partitions(walks.count(), None)
+    )
 
 
 def _kg_alias_pairs(sf_dir: str):

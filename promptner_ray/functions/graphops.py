@@ -1148,8 +1148,9 @@ def edge_pmi(edges_ds, num_partitions: int | None = None):
 
     import numpy as np
 
-    from ..shuffle import local_hash_join
+    from ..shuffle import local_hash_join, sized_partitions
 
+    num_partitions = sized_partitions(edges_ds.count(), num_partitions)
     degs = node_degrees(edges_ds, num_partitions=num_partitions)
     total_w = int(edges_ds.sum("weight"))
 

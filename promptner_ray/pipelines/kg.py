@@ -251,8 +251,11 @@ def edge_times(triples_ds, pages_ds, num_partitions: int | None = None):
     construction), then a hash-partitioned grouped Min/Max/Sum on the
     edge key.  Timestamps stay int64 epoch-µs end to end.
     """
-    from ..shuffle import hash_grouped, local_hash_join
+    from ..shuffle import hash_grouped, local_hash_join, sized_partitions
 
+    if num_partitions is None:
+        # triples arrive from a cached stage export (metadata count)
+        num_partitions = sized_partitions(triples_ds.count(), None)
     partials = triples_ds.map_batches(
         partial_edge_url_counts, batch_format="pyarrow"
     )
