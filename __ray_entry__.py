@@ -1105,6 +1105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)
         ).select_columns(["doc_id", "n_bytes", "fp"]),
         "multimodal_decode": lambda sf: multimodal.media_features(_docs(sf)),
+        # exact asset dedup over the payload fingerprint, through the
+        # actor-pool decode stage
+        "multimodal_dedup": lambda sf: multimodal.media_dedup(_docs(sf)),
         # --- relational demos (TPC-H-ish tables) ---------------------
         "lineitem_stats": lambda sf: relational.lineitem_stats(
             _read(sf, "lineitem")
@@ -2816,6 +2819,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
             "md5(text) AS fp FROM documents"
+        ),
+        "multimodal_dedup": (
+            "SELECT md5(text) AS fp, min(doc_id)::BIGINT AS doc_id, "
+            "count(*)::BIGINT AS n_dups FROM documents GROUP BY md5(text)"
         ),
         "lineitem_stats": """
             SELECT l_returnflag, l_linestatus,

@@ -112,3 +112,57 @@ def media_features(docs, batch_size: int = 64, concurrency: int = 2):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def media_dedup(docs, batch_size: int = 64, concurrency: int = 2):
+    """documents → (fp, doc_id=keeper, n_dups): exact dedup over the
+    media payload fingerprint — byte-identical assets (re-hosted
+    images, mirrored files) collapse to one keeper per md5, the
+    standard first pass of any multimodal ingestion pipeline.
+
+    The fingerprints come through the ACTOR-POOL feature stage (so this
+    exercises the binary-payload plumbing end to end), then the same
+    map-side-combine → int64-digest-routed grouped Min/Sum plan as
+    ``dedup.exact_dedup`` — the exchange moves one row per distinct
+    asset per block, never payload bytes."""
+    from ..shuffle import hash_grouped, sized_partitions
+
+    parts = sized_partitions(docs.count(), None)
+    feats = media_features(
+        docs, batch_size=batch_size, concurrency=concurrency
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "fp": pa.array([], type=pa.string()),
+                    "fp_key": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_dups": pa.array([], type=pa.int64()),
+                }
+            )
+        out = t.select(["fp", "doc_id"]).group_by(["fp"]).aggregate(
+            [("doc_id", "min"), ([], "count_all")]
+        )
+        fps = out.column("fp").to_pylist()
+        return pa.table(
+            {
+                "fp": out.column("fp"),
+                "fp_key": pa.array(
+                    [int(f[:16], 16) - (1 << 63) for f in fps],
+                    type=pa.int64(),
+                ),
+                "doc_id": out.column("doc_id_min"),
+                "n_dups": out.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return hash_grouped(
+        feats.map_batches(partial, batch_format="pyarrow"),
+        ["fp"],
+        [("doc_id", "min"), ("n_dups", "sum")],
+        rename={"doc_id_min": "doc_id", "n_dups_sum": "n_dups"},
+        hash_cols=["fp_key"],
+        num_partitions=parts,
+    )
