@@ -371,6 +371,50 @@ def _kg_edge_times(sf_dir: str):
     return kg.edge_times(_kg_triples(sf_dir), _pages(sf_dir))
 
 
+def _kg_edges_asof(sf_dir: str):
+    """Temporal KG snapshot: the edges already asserted at the corpus
+    midpoint instant — (subj_id, pred, obj_id, first_seen, weight) for
+    edges with first_seen ≤ T where T = (min + max)/2 of the page
+    crawl timestamps (two scalar aggregates; integer midpoint, so both
+    engines compute the identical cut).  The time-travel face of
+    :func:`kg.edge_times` — "what did the graph know as of T"."""
+    import pyarrow.compute as pc
+
+    from promptner_ray.pipelines import kg
+
+    pages = _pages(sf_dir)
+
+    def ts_minmax(t):
+        import pyarrow as pa
+
+        ts = t.column("warc_ts").cast(pa.timestamp("us")).cast(pa.int64())
+        if len(ts) == 0:
+            return pa.table(
+                {
+                    "lo": pa.array([], type=pa.int64()),
+                    "hi": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(ts).as_py()], type=pa.int64()),
+                "hi": pa.array([pc.max(ts).as_py()], type=pa.int64()),
+            }
+        )
+
+    bounds = pages.map_batches(ts_minmax, batch_format="pyarrow").materialize()
+    t_cut = (int(bounds.min("lo")) + int(bounds.max("hi"))) // 2
+    et = kg.edge_times(_kg_triples(sf_dir), pages)
+
+    def asof(t):
+        kept = t.filter(pc.less_equal(t.column("first_seen"), t_cut))
+        return kept.select(
+            ["subj_id", "pred", "obj_id", "first_seen", "weight"]
+        )
+
+    return et.map_batches(asof, batch_format="pyarrow")
+
+
 def _kg_pmi(sf_dir: str):
     from promptner_ray.functions.graphops import edge_pmi
 
@@ -1173,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": _kg_degrees,
         # temporal edges: first/last crawl timestamp asserting each edge
         "kg_edge_times": _kg_edge_times,
+        "kg_edges_asof": _kg_edges_asof,
         # PMI edge re-weighting vs the weighted-degree null model
         "kg_pmi": _kg_pmi,
         # per-node triangle counts (degree-ordered orientation)
@@ -3086,6 +3131,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS weight
             FROM tr JOIN pg USING (url)
             GROUP BY 1, 2, 3
+        """,
+        # time-travel snapshot: edge_times filtered at the integer
+        # midpoint of the corpus crawl-timestamp span
+        "kg_edges_asof": f"""
+            WITH tr AS (SELECT url, subj, pred, obj
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            pg AS (SELECT url, epoch_us(warc_ts)::BIGINT AS ts
+                   FROM read_parquet('{_CORPUS_GLOB}')),
+            cut AS (SELECT (min(ts) + max(ts)) // 2 AS t FROM pg),
+            et AS (
+              SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+                     {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+                     min(pg.ts) AS first_seen,
+                     count(*)::BIGINT AS weight
+              FROM tr JOIN pg USING (url)
+              GROUP BY 1, 2, 3)
+            SELECT subj_id, pred, obj_id, first_seen, weight
+            FROM et WHERE first_seen <= (SELECT t FROM cut)
         """,
         # PMI: exact int64 products cast to DOUBLE, one division, ln —
         # the identical op sequence the Ray scorer performs with libm
