@@ -1100,6 +1100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fraction=0.25,
             seed=7,
         ),
+        # deterministic content-addressed train/val/test assignment
+        "doc_split": lambda sf: sampling.train_val_test(
+            _docs(sf).select_columns(["doc_id", "source"])
+        ),
         # --- dedup (documents) ---------------------------------------
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dedup_jaccard_pairs": lambda sf: dedup.jaccard_pairs(
@@ -2396,6 +2400,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE {_sql_hash_sample_predicate()}
         """,
+        "doc_split": _doc_split_sql(),
         # corpus n-gram statistics: same strict 3-token windows as
         # decontamination; occurrences (not per-doc distinct) counted
         "doc_ngram_counts": """
@@ -3415,3 +3420,12 @@ def _sql_hash_sample_predicate():
     from promptner_ray.functions.sampling import sql_hash_sample_predicate
 
     return sql_hash_sample_predicate("doc_id::VARCHAR", 0.25, seed=7)
+
+
+def _doc_split_sql() -> str:
+    from promptner_ray.functions.sampling import sql_split_expr
+
+    return (
+        f"SELECT doc_id, source, {sql_split_expr('doc_id::VARCHAR')} "
+        "AS split FROM documents"
+    )

@@ -233,3 +233,64 @@ def sql_mixture_resample(weights: dict[str, float] | None = None,
                unnest(generate_series(0, cnt - 1)) AS copy_idx
         FROM c WHERE cnt > 0
     """
+
+
+SPLIT_SEED = 0
+SPLIT_CUTS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def split_batch(batch: pa.Table, key: str = "doc_id",
+                cuts=SPLIT_CUTS, seed: int = SPLIT_SEED) -> pa.Table:
+    """rows → rows + ``split``: deterministic content-addressed
+    train/val/test assignment.  Each row's md5 bucket (the
+    :func:`hash_sample` hash, mod ``MOD``) falls into one of the
+    cumulative ``cuts`` ranges — the same properties as hash_sample
+    (reproducible across engines/cluster sizes, stable under
+    repartitioning, and ALIGNED across any tables sharing the key, so
+    derived rows land in their document's split)."""
+    if len(batch) == 0:
+        return batch.append_column("split", pa.array([], type=pa.string()))
+    buckets = [
+        int.from_bytes(
+            hashlib.md5(f"{k}:{seed}".encode("utf-8")).digest()[:8], "big"
+        )
+        % MOD
+        for k in batch.column(key).to_pylist()
+    ]
+    bounds = []
+    acc = 0.0
+    for name, frac in cuts:
+        acc += frac
+        bounds.append((name, int(acc * MOD)))
+    labels = []
+    for b in buckets:
+        for name, hi in bounds:
+            if b < hi:
+                labels.append(name)
+                break
+        else:  # float-rounding headroom: the last cut owns the tail
+            labels.append(bounds[-1][0])
+    return batch.append_column("split", pa.array(labels, type=pa.string()))
+
+
+def train_val_test(ds, key: str = "doc_id", cuts=SPLIT_CUTS,
+                   seed: int = SPLIT_SEED):
+    """Dataset → Dataset + ``split`` column (stateless map, no shuffle)."""
+    return ds.map_batches(
+        split_batch,
+        fn_kwargs={"key": key, "cuts": cuts, "seed": seed},
+        batch_format="pyarrow",
+    )
+
+
+def sql_split_expr(key_expr: str, cuts=SPLIT_CUTS,
+                   seed: int = SPLIT_SEED) -> str:
+    """DuckDB twin of the split assignment: same md5 bucket, same
+    cumulative cut points."""
+    u = f"(('0x' || substr(md5({key_expr} || ':{seed}'), 1, 16))::UBIGINT % {MOD})"
+    acc = 0.0
+    cases = []
+    for name, frac in cuts[:-1]:
+        acc += frac
+        cases.append(f"WHEN {u} < {int(acc * MOD)} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{cuts[-1][0]}' END"
