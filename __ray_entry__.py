@@ -999,7 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
-    return {
+    q = {
         # --- text analysis (documents) -------------------------------
         "doc_token_stats": lambda sf: _docs(sf).map_batches(
             textstats.token_stats_batch, batch_format="pyarrow"
@@ -1276,6 +1276,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eval": _kg_eval,
         "kg_eval_f1": _kg_eval_f1,
         "kg_typed_mentions": _kg_typed_mentions,
+    }
+    # The driver's correctness gate compares exactly the FIRST 50 entries of
+    # this dict against their DuckDB oracles at sf0.01.  Rounds 1-3 declared
+    # the doc_*/dedup_* block first, so the kg_*/events_*/embed_*/cc_* tail
+    # never earned a driver row (VERDICT r3 item #1).  Declare the 50 most
+    # important never-driver-green queries first; everything else (all green
+    # in prior CORRECTNESS_r*.json and mirrored by tests/test_oracle_parity)
+    # follows in the original order.  The 6 BSP twins and rows-only kg_eval
+    # are deferred: each BSP plan is bit-identical to its dataflow twin and
+    # shares its oracle in the in-repo parity suite.
+    first = [
+        # KG pipeline stages (failed in r01 pre-implementation, never re-run)
+        "kg_docs_text", "kg_sentences", "kg_mentions", "kg_triples",
+        "kg_links", "kg_nodes", "kg_edges", "kg_top_edges",
+        "kg_typed_mentions", "kg_eval_f1", "kg_sentence_dedup",
+        "kg_confusion", "kg_f1_counts",
+        # KG graph analytics (never had a driver row)
+        "kg_degrees", "kg_edge_times", "kg_edges_asof", "kg_pmi",
+        "kg_triangles", "kg_node_jaccard", "kg_adamic_adar",
+        "kg_entity_merge", "kg_clustering", "kg_kcore", "kg_reachability",
+        "kg_random_walks", "kg_walk_pairs", "kg_alias_pairs",
+        "kg_alias_clusters", "kg_communities", "kg_edges_incremental",
+        "kg_edge_diff", "kg_pagerank", "kg_ppr",
+        # web-graph connectors
+        "cc_outlinks", "cc_latest_snapshot",
+        # relational / events tail (never had a driver row)
+        "revenue_by_nation", "events_hopping", "events_asof_orders_part",
+        "events_range_orders", "events_range_orders_part", "events_topk",
+        "events_quantiles", "events_quantile_sketch", "events_user_sketch",
+        # ANN / embedding tail (failed r1/r2 pre-oracle, or never run)
+        "embed_semdedup", "embed_quantize", "embed_knn_lsh",
+        "embed_knn_ivf", "embed_cosine_pairs_ivf",
+        # multimodal keeper (never had a driver row)
+        "multimodal_dedup",
+    ]
+    assert len(first) == 50 and all(k in q for k in first), (
+        len(first), [k for k in first if k not in q])
+    return {k: q[k] for k in first} | {
+        k: v for k, v in q.items() if k not in set(first)
     }
 
 
