@@ -888,6 +888,9 @@ def _doc_shingles_vec(batch: pa.Table, n: int = SHINGLE_N):
 # ---------------------------------------------------------------------------
 
 DUP_SPAN_N = 12
+# strip_dup_spans caches the (doc_id, text) projection in the object store
+# only below this row count; above it, each consumer streams its own scan.
+STRIP_CACHE_MAX_ROWS = 2_000_000
 
 
 def _md5_hash64(s: str) -> int:
@@ -1117,8 +1120,11 @@ def _strip_spans_fn(t: pa.Table) -> pa.Table:
     kept_counts = np.bincount(parent[keep], minlength=len(uniq))
     new_offsets = np.concatenate(([0], np.cumsum(kept_counts)))
     kept_flat = flat.filter(pa.array(keep))
-    la = pa.ListArray.from_arrays(
-        pa.array(new_offsets, type=pa.int32()), kept_flat
+    # int64 offsets: a partition sized by sized_partitions (~200k docs)
+    # can exceed 2^31 tokens at web-scale doc lengths; LargeListArray
+    # keeps the rebuild safe and pc.binary_join accepts large_list.
+    la = pa.LargeListArray.from_arrays(
+        pa.array(new_offsets, type=pa.int64()), kept_flat
     )
     return pa.table(
         {
@@ -1143,11 +1149,20 @@ def strip_dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2,
     """
     from ..shuffle import hash_partitioned, local_hash_join, sized_partitions
 
-    base = docs.select_columns(["doc_id", "text"]).materialize()
+    # `base` is consumed twice (posting build inside dup_spans + the
+    # join-back).  Materializing the full (doc_id, text) column pins the
+    # whole corpus text in the object store — a scale-killer at 100 TB —
+    # so cache only below a size threshold (the same pattern as the
+    # kg edge-naming broadcast/join switch); above it the two consumers
+    # each run their own streaming scan of the source.
+    n_rows = docs.count()
+    base = docs.select_columns(["doc_id", "text"])
+    if n_rows <= STRIP_CACHE_MAX_ROWS:
+        base = base.materialize()
     # the doc-keyed join/rebuild exchanges move ~one row per doc (+ one
     # per span); the posting-sized exchanges inside dup_spans size
     # themselves independently
-    parts = sized_partitions(base.count(), num_partitions)
+    parts = sized_partitions(n_rows, num_partitions)
     spans = dup_spans(base, n=n, min_count=min_count,
                       num_partitions=num_partitions)
     joined = local_hash_join(

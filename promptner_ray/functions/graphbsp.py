@@ -145,6 +145,13 @@ class _PRShard:
                 self.seed_mask, init_fp, 0
             ).astype(np.int64)
 
+    def count_present(self, seeds) -> int:
+        """How many of ``seeds`` are nodes homed on this shard.  Shards
+        partition the node set disjointly, so summing across actors
+        counts the seeds that exist in the graph."""
+        uniq = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        return int(np.isin(uniq, self.ids).sum())
+
     def structure(self):
         """The static dst-id vector of every outgoing message — shipped
         once; later rounds send value vectors only."""
@@ -805,7 +812,21 @@ class PageRankBSP:
             raise RuntimeError("PageRankBSP handle is closed")
         n_parts, n_nodes = self.n_parts, self.n_nodes
         dnum = round(damping * 1000)
-        n_base = n_nodes if seeds is None else len(set(seeds))
+        if seeds is None:
+            n_base = n_nodes
+        else:
+            # normalize by seeds PRESENT in the graph (mirrors
+            # graphops.pagerank): an absent seed id must not shrink
+            # total rank mass below 1 or diverge from the SQL twin
+            n_base = sum(
+                ray.get(
+                    [a.count_present.remote(seeds) for a in self.actors]
+                )
+            )
+            if n_base == 0:
+                raise ValueError(
+                    "personalized pagerank: no seed id exists in the graph"
+                )
         init_fp = PR_SCALE // n_base
         base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_base)
 

@@ -1314,6 +1314,32 @@ def pagerank(
         if seeds is not None
         else None
     )
+    if seeds_arr is not None:
+        # Normalize by seeds PRESENT in the graph, not the raw seed list:
+        # an absent seed id would silently shrink total rank mass below 1
+        # and diverge from the SQL twin (whose seeds CTE only selects
+        # existing nodes).  deg is materialized, so membership is a
+        # constant-size bare-task reduce over its blocks.
+        import ray as _ray
+
+        def _present_block(t: pa.Table) -> np.ndarray:
+            if t.num_rows == 0 or "entity_id" not in t.column_names:
+                return seeds_arr[:0]
+            ids = t.column("entity_id").to_numpy(zero_copy_only=False)
+            return seeds_arr[np.isin(seeds_arr, ids)]
+
+        present_task = _ray.remote(num_cpus=0.25)(_present_block)
+        seeds_arr = np.unique(
+            np.concatenate(
+                _ray.get(
+                    [present_task.remote(r) for r in deg.to_arrow_refs()]
+                )
+            )
+        )
+        if len(seeds_arr) == 0:
+            raise ValueError(
+                "personalized pagerank: no seed id exists in the graph"
+            )
     n_base = n_nodes if seeds_arr is None else len(seeds_arr)
     init_fp = PR_SCALE // n_base
     base_fp = (1000 - dnum) * PR_SCALE // (1000 * n_base)

@@ -157,7 +157,19 @@ def _score_block_pair(
     self-pairs; on off-diagonal tiles each pair shows up once in
     whatever orientation the block order gives it (blocks are NOT
     assumed id-sorted), so every hit is kept and normalized to
-    (min, max)."""
+    (min, max).
+
+    Zero-row tiles short-circuit: Ray emits empty blocks from filters
+    and unions (see shuffle.py), and ``_batch_matrix`` cannot derive a
+    matrix width from an empty list column."""
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+        }
+    )
+    if tbl_a.num_rows == 0 or tbl_b.num_rows == 0:
+        return empty
     ids_a, mat_a = _batch_matrix(tbl_a)
     ids_b, mat_b = _batch_matrix(tbl_b)
     sims = _cosine(mat_a, mat_b)
@@ -817,10 +829,16 @@ def quantize_embeddings(embeddings):
         [agg[f"max(m{d})"] for d in range(dim)], dtype=np.float64
     )
 
+    # An all-zero dimension has maxabs 0; dividing by it yields NaN codes
+    # (int64-cast to -2^63) while the SQL twin errors on floor(NaN).  Define
+    # the case explicitly on both engines: zero scale → code 0 (every value
+    # in that dimension is exactly 0, so 0 is the faithful code).
+    safe_scales = np.where(scales > 0.0, scales, 1.0)
+
     def code(batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)
         n, d = mat.shape
-        q = np.floor(mat / scales * 127.0 + 0.5).astype(np.int64)
+        q = np.floor(mat / safe_scales * 127.0 + 0.5).astype(np.int64)
         return pa.table(
             {
                 "vec_id": pa.array(np.repeat(ids, d), type=pa.int64()),
@@ -846,6 +864,8 @@ def sql_quantize(dim: int = 64) -> str:
           FROM embeddings),
         s AS (SELECT dim_idx, max(abs(v)) AS maxabs FROM x GROUP BY dim_idx)
         SELECT x.vec_id, x.dim_idx,
-               floor(x.v / s.maxabs * 127.0 + 0.5)::BIGINT AS code
+               CASE WHEN s.maxabs > 0
+                    THEN floor(x.v / s.maxabs * 127.0 + 0.5)::BIGINT
+                    ELSE 0 END AS code
         FROM x JOIN s ON x.dim_idx = s.dim_idx
     """

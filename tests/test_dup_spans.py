@@ -79,3 +79,25 @@ def test_strip_fully_covered_doc_becomes_empty(ray_session):
         for r in dedup.strip_dup_spans(_docs(rows), n=N).take_all()
     }
     assert got == {1: "", 2: ""}
+
+
+def test_strip_lazy_path_matches_cached_path(ray_session, monkeypatch):
+    """Above STRIP_CACHE_MAX_ROWS the (doc_id, text) projection is NOT
+    materialized — each consumer streams its own scan.  Both paths must
+    produce identical stripped texts."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        (3, "lone words that repeat nothing at all whatsoever today"),
+    ]
+
+    def run():
+        return {
+            r["doc_id"]: r["text"]
+            for r in dedup.strip_dup_spans(_docs(rows), n=N).take_all()
+        }
+
+    cached = run()
+    monkeypatch.setattr(dedup, "STRIP_CACHE_MAX_ROWS", 0)
+    assert run() == cached

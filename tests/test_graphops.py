@@ -517,3 +517,51 @@ def test_personalized_pagerank_concentrates_on_seed_side(ray_session) -> None:
     }
     # uniform op: the two symmetric components split the mass evenly
     assert abs(sum(uni[n] for n in (10, 11, 12)) - 0.5) < 1e-9
+
+
+def test_personalized_pagerank_ignores_absent_seeds(ray_session) -> None:
+    """A seed id absent from the graph must not shrink total rank mass:
+    normalization uses seeds PRESENT in the node set (the SQL twin's
+    seeds CTE only ever selects existing nodes).  An all-absent seed
+    list is a loud error, not a silent zero-mass run."""
+    import pytest
+
+    edges = [(1, 2, 1), (2, 3, 1), (3, 1, 1)]
+    ds = ray.data.from_arrow(_edge_table(edges))
+    with_ghost = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(ds, seeds=[1, 999_999]).take_all()
+    }
+    clean = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(ds, seeds=[1]).take_all()
+    }
+    assert with_ghost == clean
+    assert sum(with_ghost.values()) > 0.99
+    with pytest.raises(ValueError, match="no seed id"):
+        pagerank(ds, seeds=[999_999]).take_all()
+
+
+def test_personalized_pagerank_bsp_ignores_absent_seeds(ray_session) -> None:
+    """BSP twin of the absent-seed normalization check."""
+    import pytest
+
+    from promptner_ray.functions.graphbsp import PageRankBSP
+
+    edges = [(1, 2, 1), (2, 3, 1), (3, 1, 1)]
+    ds = ray.data.from_arrow(_edge_table(edges))
+    h = PageRankBSP(ds, num_partitions=2)
+    try:
+        with_ghost = {
+            r["entity_id"]: r["rank"]
+            for r in h.run(seeds=[1, 999_999]).take_all()
+        }
+        clean = {
+            r["entity_id"]: r["rank"]
+            for r in h.run(seeds=[1]).take_all()
+        }
+        assert with_ghost == clean
+        with pytest.raises(ValueError, match="no seed id"):
+            h.run(seeds=[999_999])
+    finally:
+        h.close()

@@ -242,3 +242,71 @@ def test_semantic_dedup_matches_numpy_reference(ray_session, clustered):
         assert keep == expect_keep[vid], vid
     n_drop = sum(1 for k in expect_keep.values() if not k)
     assert n_drop > len(ids) * 0.2  # clusters are tight; many near-dups
+
+
+def test_cosine_pairs_survives_empty_blocks(ray_session):
+    """Filters/unions emit zero-row blocks (documented in shuffle.py);
+    the blocked tile plan must skip them, not IndexError in
+    _batch_matrix."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    rng = np.random.RandomState(5)
+    mat = rng.standard_normal((60, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat[1] = mat[0]  # one guaranteed pair
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "embedding": pa.array(
+                [row for row in mat], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    empty = tbl.slice(0, 0)
+    ds = ray.data.from_arrow([tbl.slice(0, 30), empty, tbl.slice(30, 30)])
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_pairs(ds, threshold=0.99).take_all()
+    }
+    assert (0, 1) in got
+
+
+def test_quantize_zero_dimension_codes_zero(ray_session):
+    """An all-zero dimension (maxabs 0) must code to 0 on BOTH engines,
+    never NaN→-2^63 on the Ray side / a floor(NaN) error in DuckDB."""
+    import duckdb
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    rng = np.random.RandomState(9)
+    mat = rng.standard_normal((20, 4))
+    mat[:, 2] = 0.0  # dead dimension
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(20, dtype=np.int64)),
+            "embedding": pa.array(
+                [row for row in mat.astype(np.float64)],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    got = (
+        similarity.quantize_embeddings(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["vec_id", "dim_idx"], ignore_index=True)
+    )
+    dead = got[got.dim_idx == 2]["code"]
+    assert (dead == 0).all()
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    want = (
+        con.execute(similarity.sql_quantize(dim=4))
+        .df()
+        .sort_values(["vec_id", "dim_idx"], ignore_index=True)
+    )
+    assert got[["vec_id", "dim_idx", "code"]].equals(
+        want[["vec_id", "dim_idx", "code"]]
+    )
