@@ -128,8 +128,14 @@ class _NationJoiner:
 
 
 def customer_nation_counts(customer, nation_ref):
-    """customer ⋈ nation (broadcast) → customers per nation name."""
-    from ray.data.aggregate import Sum
+    """customer ⋈ nation (broadcast) → customers per nation name.
+
+    The merge side is ≤ nations × blocks rows, so it collapses through
+    the single-partition :func:`shuffle.hash_grouped` fast path (one
+    clean block, one vectorized Arrow group_by) instead of Ray's native
+    sort-based ``groupby().aggregate(Sum)`` — the same swap that took
+    kg_links 14× faster (shuffle.py docstring)."""
+    from ..shuffle import hash_grouped
 
     partials = customer.map_batches(
         _NationJoiner,
@@ -137,8 +143,13 @@ def customer_nation_counts(customer, nation_ref):
         batch_format="pyarrow",
         concurrency=2,
     )
-    merged = partials.groupby("n_name").aggregate(Sum("n"))
-    return merged.rename_columns({"sum(n)": "n_customers"})
+    return hash_grouped(
+        partials,
+        ["n_name"],
+        [("n", "sum")],
+        rename={"n_sum": "n_customers"},
+        num_partitions=1,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -196,14 +207,28 @@ def _window_out(t):
 
 
 def events_tumbling(events):
-    """events → per (user_id, 1-hour tumbling window) event counts."""
-    from ray.data.aggregate import Sum
+    """events → per (user_id, 1-hour tumbling window) event counts.
 
+    Map-side combine per block, then one :func:`shuffle.hash_grouped`
+    exchange partitioned on user_id (window_start is a function of the
+    row, but every (user, window) group shares its user_id, so the
+    user partition wholly contains each group).  Partition count sizes
+    to the data — the native sort-based ``groupby().aggregate(Sum)``
+    this replaces cost a fixed multi-second exchange regardless of
+    input size (r3 driver: 8.6 s for 100k events)."""
+    from ..shuffle import hash_grouped, sized_partitions
+
+    parts = sized_partitions(events.count(), None)
     partials = events.map_batches(_window_partial, batch_format="pyarrow")
-    merged = partials.groupby(["user_id", "window_start"]).aggregate(Sum("n"))
-    return merged.rename_columns({"sum(n)": "n_events"}).map_batches(
-        _window_out, batch_format="pyarrow"
+    merged = hash_grouped(
+        partials,
+        ["user_id", "window_start"],
+        [("n", "sum")],
+        rename={"n_sum": "n_events"},
+        hash_cols=["user_id"],
+        num_partitions=parts,
     )
+    return merged.map_batches(_window_out, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -335,15 +360,22 @@ def events_hopping(events):
     size/hop covering windows map-side (bounded 4× row expansion, already
     block-combined), then the same native grouped Sum as the tumbling
     plan.  No state, no sort — overlap is handled by multi-assignment,
-    which is the scalable encoding of hopping windows.
+    which is the scalable encoding of hopping windows.  Merge plan is
+    :func:`events_tumbling`'s user-partitioned hash_grouped exchange.
     """
-    from ray.data.aggregate import Sum
+    from ..shuffle import hash_grouped, sized_partitions
 
+    parts = sized_partitions(events.count() * 4, None)  # ≤4 windows/event
     partials = events.map_batches(_hopping_partial, batch_format="pyarrow")
-    merged = partials.groupby(["user_id", "window_start"]).aggregate(Sum("n"))
-    return merged.rename_columns({"sum(n)": "n_events"}).map_batches(
-        _window_out, batch_format="pyarrow"
+    merged = hash_grouped(
+        partials,
+        ["user_id", "window_start"],
+        [("n", "sum")],
+        rename={"n_sum": "n_events"},
+        hash_cols=["user_id"],
+        num_partitions=parts,
     )
+    return merged.map_batches(_window_out, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -542,23 +574,172 @@ def _li_rev_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+# Below this many orders+customer rows the Q5 dimension sides broadcast
+# (one ray.put, read per actor) and lineitem is touched in a SINGLE
+# streaming pass; above it the partitioned join chain takes over.  Same
+# switch pattern as the kg edge-naming broadcast/join threshold.
+REVENUE_BROADCAST_MAX_DIM_ROWS = 5_000_000
+
+
 def revenue_by_nation(lineitem, orders, customer, nation_ref):
     """TPC-H Q5-shaped rollup: (nation, revenue, n_items) — revenue =
     Σ l_extendedprice·(1−l_discount) over lineitem ⋈ orders ⋈ customer
     ⋈ nation.
 
-    Three exchanges total — the two join co-locations plus one tiny
-    final group — because every aggregation is folded INTO the hops:
-    lineitem combines per order in-block (one partial row per
-    block×order), the join exchange on orderkey co-locates those rows
-    anyway so a separate pre-aggregation exchange would only move the
-    same rows twice, the join output re-combines per customer in-block
-    before the custkey join, and the (≤ nations × blocks) nation
-    partials collapse through one grouped pass.  Names resolve from
-    the broadcast nation dict — the dimension-table pattern: the big
-    side is never re-shuffled wider than (key, fp, n).  Fixed-point
-    int64 revenue keeps the float output hash-exact against the SQL
-    twin."""
+    Two plans behind a size switch (both bit-exact — fixed-point int64
+    revenue sums commute):
+
+    * **broadcast** (dimension sides ≤ ``REVENUE_BROADCAST_MAX_DIM_ROWS``
+      rows): orders→custkey and customer→nationkey ship once as sorted
+      int64 arrays via ``ray.put``; ONE streaming ``map_batches`` pass
+      over lineitem resolves nationkey per row (two searchsorted probes)
+      and emits ≤ nations rows per block — zero join exchanges.  At
+      driver/bench scale the measured wall is exchange-latency-bound,
+      so removing both exchanges is the whole win (r3's 18.5 s vs 9.9 s
+      discrepancy was this plan's two sort exchanges under bench-session
+      load).
+    * **partitioned** (above threshold — real TPC-H orders don't fit a
+      broadcast): three exchanges total, every aggregation folded INTO
+      the join hops; lineitem combines per order in-block, the join
+      output re-combines per customer in-block before the custkey join,
+      and the (≤ nations × blocks) nation partials collapse through one
+      grouped pass.  The big side is never re-shuffled wider than
+      (key, fp, n).
+    """
+    n_dim = orders.count() + customer.count()
+    if n_dim <= REVENUE_BROADCAST_MAX_DIM_ROWS:
+        return _revenue_broadcast(lineitem, orders, customer, nation_ref)
+    return _revenue_partitioned(lineitem, orders, customer, nation_ref)
+
+
+def _lookup_sorted(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+    """FK resolve against a sorted key array: (values, found-mask)."""
+    idx = np.searchsorted(keys, probe)
+    idx_c = np.minimum(idx, len(keys) - 1) if len(keys) else idx
+    found = (
+        (idx < len(keys)) & (keys[idx_c] == probe)
+        if len(keys)
+        else np.zeros(len(probe), dtype=bool)
+    )
+    return vals[idx_c] if len(keys) else probe, found
+
+
+class _NameResolver:
+    """(c_nationkey, fp, n) → (nation, revenue, n_items): resolve names
+    from the broadcast nation dict, divide the fixed-point sum once."""
+
+    def __init__(self, nation_ref) -> None:
+        import ray
+
+        self.names: dict[int, str] = ray.get(nation_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "c_nationkey" not in t.column_names:
+            return pa.table(
+                {
+                    "nation": pa.array([], type=pa.string()),
+                    "revenue": pa.array([], type=pa.float64()),
+                    "n_items": pa.array([], type=pa.int64()),
+                }
+            )
+        keys = t.column("c_nationkey").to_pylist()
+        fp = t.column("fp").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nation": pa.array(
+                    [self.names.get(k, "UNKNOWN") for k in keys],
+                    type=pa.string(),
+                ),
+                "revenue": pa.array(
+                    fp.astype(np.float64) / 10000.0, type=pa.float64()
+                ),
+                "n_items": t.column("n"),
+            }
+        )
+
+
+class _RevBroadcast:
+    """Stateful lineitem pass: fixed-point revenue per row, FK-resolve
+    orderkey→custkey→nationkey via broadcast sorted arrays, in-block
+    int64 group to ≤ nations rows.  Rows whose FK chain breaks are
+    dropped — inner-join semantics, identical to the partitioned plan."""
+
+    def __init__(self, dim_ref) -> None:
+        import ray
+
+        self.ok, self.oc, self.ck, self.cn = ray.get(dim_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "c_nationkey": pa.array([], type=pa.int64()),
+                    "fp": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        fp = np.round(price * 100).astype(np.int64) * (
+            100 - np.round(disc * 100).astype(np.int64)
+        )
+        okeys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        cust, ok_found = _lookup_sorted(self.ok, self.oc, okeys)
+        nat, ck_found = _lookup_sorted(self.ck, self.cn, cust)
+        keep = ok_found & ck_found
+        nat, fp = nat[keep], fp[keep]
+        uniq, inv = np.unique(nat, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(acc, inv, fp)  # exact int64 accumulation
+        return pa.table(
+            {
+                "c_nationkey": pa.array(uniq, type=pa.int64()),
+                "fp": pa.array(acc, type=pa.int64()),
+                "n": pa.array(
+                    np.bincount(inv).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+
+def _revenue_broadcast(lineitem, orders, customer, nation_ref):
+    import ray
+
+    from ..shuffle import hash_grouped
+
+    ot = orders.select_columns(["o_orderkey", "o_custkey"]).to_pandas()
+    ok = ot["o_orderkey"].to_numpy(dtype=np.int64)
+    oc = ot["o_custkey"].to_numpy(dtype=np.int64)
+    o = np.argsort(ok, kind="stable")
+    ct = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+    ck = ct["c_custkey"].to_numpy(dtype=np.int64)
+    cn = ct["c_nationkey"].to_numpy(dtype=np.int64)
+    c = np.argsort(ck, kind="stable")
+    dim_ref = ray.put((ok[o], oc[o], ck[c], cn[c]))
+    partials = lineitem.map_batches(
+        _RevBroadcast,
+        fn_constructor_kwargs={"dim_ref": dim_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    per_nation = hash_grouped(
+        partials,
+        ["c_nationkey"],
+        [("fp", "sum"), ("n", "sum")],
+        rename={"fp_sum": "fp", "n_sum": "n"},
+        num_partitions=1,
+    )
+    return per_nation.map_batches(
+        _NameResolver,
+        fn_constructor_kwargs={"nation_ref": nation_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+def _revenue_partitioned(lineitem, orders, customer, nation_ref):
     import ray
 
     from ..shuffle import hash_grouped, local_hash_join, sized_partitions
@@ -652,34 +833,6 @@ def revenue_by_nation(lineitem, orders, customer, nation_ref):
         rename={"fp_sum": "fp", "n_sum": "n"},
         num_partitions=1,
     )
-
-    class _NameResolver:
-        def __init__(self, nation_ref) -> None:
-            self.names: dict[int, str] = ray.get(nation_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if len(t) == 0 or "c_nationkey" not in t.column_names:
-                return pa.table(
-                    {
-                        "nation": pa.array([], type=pa.string()),
-                        "revenue": pa.array([], type=pa.float64()),
-                        "n_items": pa.array([], type=pa.int64()),
-                    }
-                )
-            keys = t.column("c_nationkey").to_pylist()
-            fp = t.column("fp").to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "nation": pa.array(
-                        [self.names.get(k, "UNKNOWN") for k in keys],
-                        type=pa.string(),
-                    ),
-                    "revenue": pa.array(
-                        fp.astype(np.float64) / 10000.0, type=pa.float64()
-                    ),
-                    "n_items": t.column("n"),
-                }
-            )
 
     return per_nation.map_batches(
         _NameResolver,
