@@ -2217,6 +2217,8 @@ def oracle_sql() -> dict[str, str]:
         pass  # no Ray session: the export must already exist on disk
     from promptner_ray.functions.similarity import (
         IVF_NPROBE,
+        LSH_CONFIDENT,
+        LSH_MARGIN_SCALE,
         PAIR_ASSIGN_CELLS,
         SEMDEDUP_THRESHOLD,
         ensure_centroid_export,
@@ -2847,9 +2849,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, nid, rank FROM scored WHERE rank <= {KNN_K}
         """,
         # LSH ANN replay over the exported hyperplanes: bucket = the
-        # 8-bit sign pattern of plane dot products, candidates = buckets
-        # within Hamming distance 2 of the query's (≡ the engine's own
-        # bucket + all 1- and 2-bit flips), then exact cosine top-k
+        # 12-bit sign pattern of plane dot products; query-directed
+        # multiprobe — a candidate must match the query's sign on its
+        # LSH_CONFIDENT highest-quantized-|margin| planes (margin rank:
+        # floor(|dot|·2^20) DESC, plane_id ASC — identical tie-break to
+        # the engine) — then exact cosine top-k over the candidates
         "embed_knn_lsh": f"""
             WITH pl AS (SELECT plane_id, plane
                         FROM read_parquet('{_planes}')),
@@ -2860,9 +2864,24 @@ def oracle_sql() -> dict[str, str]:
                          THEN (1::BIGINT << p.plane_id)
                          ELSE 0 END)::BIGINT AS bucket
               FROM embeddings e, pl p GROUP BY e.vec_id),
+            qmargin AS (
+              SELECT e.vec_id AS qid, p.plane_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor(abs(list_dot_product(
+                         e.embedding::DOUBLE[], p.plane)) * {LSH_MARGIN_SCALE})::BIGINT DESC,
+                         p.plane_id ASC) AS rn
+              FROM embeddings e, pl p
+              WHERE e.vec_id < {KNN_QUERIES}),
+            qmask AS (
+              SELECT qid,
+                     sum(1::BIGINT << plane_id)::BIGINT AS mask
+              FROM qmargin WHERE rn <= {LSH_CONFIDENT} GROUP BY qid),
             q AS (
-              SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket AS qb
-              FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+              SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket AS qb,
+                     m.mask
+              FROM embeddings e
+              JOIN b ON e.vec_id = b.vec_id
+              JOIN qmask m ON m.qid = e.vec_id
               WHERE e.vec_id < {KNN_QUERIES}),
             scored AS (
               SELECT q.qid, e.vec_id AS nid,
@@ -2871,7 +2890,7 @@ def oracle_sql() -> dict[str, str]:
                          q.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC,
                          e.vec_id) AS rank
               FROM q
-              JOIN b vb ON bit_count(xor(q.qb, vb.bucket)) <= 2
+              JOIN b vb ON (xor(q.qb, vb.bucket) & q.mask) = 0
               JOIN embeddings e ON e.vec_id = vb.vec_id
               WHERE e.vec_id != q.qid)
             SELECT qid, nid, rank FROM scored WHERE rank <= {KNN_K}

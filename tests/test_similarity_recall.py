@@ -106,25 +106,27 @@ def test_lsh_pruning_and_recall_floor(ray_session, clustered):
     qref = ray.put((ids[:N_QUERIES], mat[:N_QUERIES]))
     got = _got_topk(similarity.knn_lsh(ds, qref, k=K, dim=DIM))
     gt = _exact_topk(ids, mat)
-    # hyperplane LSH is the weaker index (kept for the SURVEY operator
-    # inventory); IVF above is the production path with the 0.9 gate
-    assert _recall(got, gt) >= 0.45
+    # query-directed multiprobe (agree on the LSH_CONFIDENT
+    # highest-margin planes): recall 0.8 at candidate fraction
+    # 2^-LSH_CONFIDENT — vs 0.45 for the old Hamming-≤2 probe at the
+    # same fraction.  IVF above remains the production path (0.9 gate).
+    assert _recall(got, gt) >= 0.8
 
     planes = similarity.lsh_planes(DIM)
     buckets = similarity._bucket_of(mat, planes)
     qb = similarity._bucket_of(mat[:N_QUERIES], planes)
+    proj = mat[:N_QUERIES] @ planes
+    mq = np.floor(
+        np.abs(proj) * similarity.LSH_MARGIN_SCALE
+    ).astype(np.int64)
     fracs = []
-    for b in qb:
-        s = {b}
-        for i in range(similarity.N_PLANES):
-            fi = np.uint32(1) << np.uint32(i)
-            s.add(b ^ fi)
-            for j in range(i + 1, similarity.N_PLANES):
-                s.add(b ^ fi ^ (np.uint32(1) << np.uint32(j)))
-        fracs.append(
-            np.isin(buckets, np.fromiter(s, dtype=np.uint32)).mean()
-        )
-    assert np.mean(fracs) < 0.25
+    for qi in range(N_QUERIES):
+        order = np.lexsort((np.arange(similarity.N_PLANES), -mq[qi]))
+        mask = np.uint32(0)
+        for p in order[: similarity.LSH_CONFIDENT]:
+            mask |= np.uint32(1) << np.uint32(p)
+        fracs.append((((buckets ^ qb[qi]) & mask) == 0).mean())
+    assert np.mean(fracs) < 0.20
 
 
 def test_cosine_pairs_ivf_recall(ray_session, clustered):
