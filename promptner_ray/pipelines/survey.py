@@ -361,6 +361,144 @@ def read_turk_batches(
     return ray.data.from_pandas(pd.concat(frames, ignore_index=True))
 
 
+# ---------------------------------------------------------------------------
+# MTurk submission/collection client (the gap between write_survey_csvs
+# and read_turk_batches)
+# ---------------------------------------------------------------------------
+
+_TURK_ANSWER_FIELDS = (
+    "l1correct", "l2correct", "better",
+    "l1missing", "l1extra", "l2missing", "l2extra",
+)
+
+
+def _no_network_transport(op: str, payload: dict) -> dict:
+    raise NotImplementedError(
+        "TurkSubmissionClient has no live transport in this environment "
+        "(no network): inject a transport callable wrapping the MTurk "
+        "requester API, or use LocalTurkTransport for a deterministic "
+        "in-process double.  The reference itself (eval.py:254-297) "
+        "worked from batch CSVs downloaded out of band."
+    )
+
+
+class LocalTurkTransport:
+    """Deterministic in-process stand-in for the MTurk requester API:
+    every submitted HIT is 'answered' immediately with hash-derived
+    worker judgments (the same ``_u01`` digest scheme the sampler and
+    assigner use), so the full submit → poll → download →
+    :func:`read_turk_batches` → :func:`aggregate_responses` loop is
+    executable and testable without a network."""
+
+    def __init__(self, seed: int = 0) -> None:
+        self.seed = seed
+        self._hits: dict[str, dict] = {}
+
+    def __call__(self, op: str, payload: dict) -> dict:
+        if op == "create_hit":
+            hit_id = f"HIT{len(self._hits):06d}"
+            self._hits[hit_id] = dict(payload)
+            return {"hit_id": hit_id}
+        if op == "list_assignments":
+            hit = self._hits[payload["hit_id"]]
+            ex_id = int(hit["inputs"]["id"])
+            w = int(hit["worker"])
+            ans = {
+                "l1correct": int(_u01("l1c", self.seed, ex_id, w) < 0.5),
+                "l2correct": int(_u01("l2c", self.seed, ex_id, w) < 0.5),
+                "better": 1 + int(_u01("bet", self.seed, ex_id, w) < 0.5),
+                "l1missing": (
+                    "a,b" if _u01("l1m", self.seed, ex_id, w) < 0.3 else ""
+                ),
+                "l1extra": "",
+                "l2missing": "",
+                "l2extra": (
+                    "c" if _u01("l2e", self.seed, ex_id, w) < 0.3 else ""
+                ),
+            }
+            return {
+                "assignments": [
+                    {"status": "Submitted", "answers": ans}
+                ]
+            }
+        raise ValueError(f"unknown op {op!r}")
+
+
+class TurkSubmissionClient:
+    """Submission/collection lifecycle for the paid-MTurk survey.
+
+    The reference's survey analysis (``eval.py:254-297``) starts from
+    batch-result CSVs a human downloaded from the MTurk console; this
+    client covers the two steps in between — submit one HIT per
+    (worker, example) assignment row, then collect the responses into
+    exactly the per-worker ``{turk_name}_{w}.csv`` layout
+    :func:`read_turk_batches` consumes.  The wire protocol is an
+    injected ``transport(op, payload) -> dict`` callable; the default
+    raises (no network in this environment — a half-implemented AWS
+    signer would be worse than an explicit seam).
+    """
+
+    def __init__(self, transport=None, title: str = "Compare entity lists",
+                 reward: str = "0.10") -> None:
+        self.transport = transport or _no_network_transport
+        self.title = title
+        self.reward = reward
+        # hit_id -> (worker, input row dict)
+        self._submitted: dict[str, tuple[int, dict]] = {}
+
+    def submit_hits(self, assignments_df: pd.DataFrame) -> list[str]:
+        """One HIT per assignment row (columns: ``worker`` + the survey
+        input columns).  Returns the created HIT ids in row order."""
+        hit_ids = []
+        input_cols = [c for c in assignments_df.columns if c != "worker"]
+        for _, row in assignments_df.iterrows():
+            inputs = {c: row[c] for c in input_cols}
+            resp = self.transport(
+                "create_hit",
+                {
+                    "title": self.title,
+                    "reward": self.reward,
+                    "worker": int(row["worker"]),
+                    "inputs": inputs,
+                },
+            )
+            self._submitted[resp["hit_id"]] = (int(row["worker"]), inputs)
+            hit_ids.append(resp["hit_id"])
+        return hit_ids
+
+    def collect_batches(
+        self, out_dir, turk_name: str = "survey_result"
+    ) -> list[str]:
+        """Poll every submitted HIT and write the per-worker batch-result
+        CSVs (``Input.*``/``Answer.*`` + minimal boilerplate) under
+        ``out_dir`` — the exact format :func:`read_turk_batches` reads."""
+        import pathlib
+
+        out_dir = pathlib.Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        rows_by_worker: dict[int, list[dict]] = {}
+        for hit_id, (worker, inputs) in self._submitted.items():
+            resp = self.transport("list_assignments", {"hit_id": hit_id})
+            for a in resp["assignments"]:
+                row = {
+                    "HITId": hit_id,
+                    "WorkerId": f"W{worker}",
+                    "AssignmentStatus": a.get("status", "Submitted"),
+                }
+                row.update({f"Input.{k}": v for k, v in inputs.items()})
+                row.update(
+                    {f"Answer.{k}": a["answers"].get(k, "")
+                     for k in _TURK_ANSWER_FIELDS}
+                )
+                rows_by_worker.setdefault(worker, []).append(row)
+        paths = []
+        for w in sorted(rows_by_worker):
+            p = str(out_dir / f"{turk_name}_{w}.csv")
+            pd.DataFrame(rows_by_worker[w]).to_csv(p, index=False)
+            paths.append(p)
+        return paths
+
+
 _BIN_METRICS = ("gptcorrect", "truecorrect", "gptbetter", "gptworse")
 _MEAN_METRICS = ("gptmissing", "gptextra", "truemissing", "trueextra")
 

@@ -243,3 +243,47 @@ def test_read_hf_hub_offline_gate():
         _pytest.skip("datasets installed: the live path would run")
     with _pytest.raises(ImportError, match="read_tagged_parquet"):
         read_hf_hub("conll2003")
+
+
+def test_turk_submission_client_closes_the_full_loop(ray_session, tmp_path):
+    """assignments → TurkSubmissionClient.submit_hits → collect_batches
+    → read_turk_batches → aggregate_responses: the whole paid-survey
+    lifecycle runs against the deterministic local transport, and the
+    default (no-network) transport refuses loudly."""
+    import pytest
+
+    from promptner_ray.pipelines.survey import (
+        LocalTurkTransport,
+        TurkSubmissionClient,
+        aggregate_responses,
+        read_turk_batches,
+    )
+
+    assignments = pd.DataFrame(
+        [
+            {"worker": w, "id": ex, "gptlist": 1 + (ex % 2),
+             "sentence": f"s{ex}"}
+            for ex in range(4)
+            for w in (0, 1, 2)
+        ]
+    )
+    client = TurkSubmissionClient(transport=LocalTurkTransport(seed=5))
+    hit_ids = client.submit_hits(assignments)
+    assert len(hit_ids) == len(assignments) == 12
+    paths = client.collect_batches(tmp_path)
+    assert [p.rsplit("_", 1)[1] for p in paths] == [
+        "0.csv", "1.csv", "2.csv"
+    ]
+
+    out = (
+        aggregate_responses(read_turk_batches(tmp_path), num_partitions=2)
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1, 2, 3]
+    assert (out["num"] == 3).all()  # 3 workers judged every example
+    assert set(out["gptcorrect"].unique()) <= {0, 1}
+
+    with pytest.raises(NotImplementedError, match="no network"):
+        TurkSubmissionClient().submit_hits(assignments.head(1))
