@@ -600,6 +600,32 @@ def _cc_latest_snapshot(sf_dir: str):
     return latest_snapshot(_pages(sf_dir))
 
 
+def _cc_anchor_texts(sf_dir: str):
+    """Per-target anchor-text profile — the web's alias/label signal for
+    entity canonicalization (how OTHER pages name the target)."""
+    from promptner_ray.functions.urls import anchor_texts
+
+    return anchor_texts(_pages(sf_dir))
+
+
+def _cc_section_graph(sf_dir: str):
+    """Site-section contraction of the page link graph (host-level
+    contraction on a multi-host corpus) — contracted map-side, one
+    data-sized exchange."""
+    from promptner_ray.functions.urls import section_graph
+
+    return section_graph(_pages(sf_dir))
+
+
+def _kg_hits(sf_dir: str):
+    """HITS hubs/authorities over the constructed KG — L1-normalized
+    fixed-point variant, bit-replayable by the DuckDB twin (same int64
+    op sequence; see graphops.hits)."""
+    from promptner_ray.functions.graphops import hits
+
+    return hits(_kg_edges(sf_dir))
+
+
 def _kg_export(sf_dir: str) -> str:
     """Materialize the KG stage tables once (cached) for the SQL oracles."""
     from promptner_ray.pipelines.export import ensure_kg_export
@@ -1263,6 +1289,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_outlinks": _cc_outlinks,
         # keep-newest-crawl per URL over (injected) multi-snapshot pages
         "cc_latest_snapshot": _cc_latest_snapshot,
+        # per-target anchor-text profile (alias/label signal for linking)
+        "cc_anchor_texts": _cc_anchor_texts,
+        # site-section contraction of the page graph (host-level rollup)
+        "cc_section_graph": _cc_section_graph,
+        # HITS hubs/authorities (same fixed-point replay discipline)
+        "kg_hits": _kg_hits,
         # oracle: int64 fixed-point mass makes the distributed result
         # order-independent, so the unrolled SQL replay hash-matches
         "kg_pagerank": _kg_pagerank,
@@ -1344,6 +1376,18 @@ def _sql_outlinks() -> str:
     from promptner_ray.functions.urls import sql_outlinks
 
     return sql_outlinks(_CORPUS_GLOB)
+
+
+def _sql_anchor_texts() -> str:
+    from promptner_ray.functions.urls import sql_anchor_texts
+
+    return sql_anchor_texts(_CORPUS_GLOB)
+
+
+def _sql_section_graph() -> str:
+    from promptner_ray.functions.urls import sql_section_graph
+
+    return sql_section_graph(_CORPUS_GLOB)
 
 
 def _sql_latest_snapshot() -> str:
@@ -1543,6 +1587,65 @@ def _ppr_sql(iters: int = 8, damping: float = 0.85, n_seeds: int = 2) -> str:
         + ",\n    ".join(parts)
         + f"""
     SELECT entity_id, fp / {float(PR_SCALE)} AS rank FROM r{iters}"""
+    )
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Exact SQL twin of :func:`graphops.hits` — the L1-normalized HITS
+    rounds unroll to (raw-sum, total, rescale) CTE triples per phase
+    replaying the identical int64 ops (``Σ fp·w`` then
+    ``raw // greatest(total // HITS_SCALE, 1)``)."""
+    from promptner_ray.functions.graphops import HITS_SCALE
+
+    s = HITS_SCALE
+    parts = [
+        f"""tr AS (SELECT subj, pred, obj
+           FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+    edg AS MATERIALIZED (
+      SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+             {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+             count(*)::BIGINT AS weight
+      FROM tr GROUP BY 1, 2, 3),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT entity_id FROM (
+        SELECT subj_id AS entity_id FROM edg
+        UNION ALL SELECT obj_id FROM edg)),
+    nn AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM nodes),
+    h0 AS MATERIALIZED (
+      SELECT entity_id, {s} // (SELECT c FROM nn) AS fp FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+      SELECT nd.entity_id, coalesce(sc.c, 0)::BIGINT AS c
+      FROM nodes nd LEFT JOIN (
+        SELECT e.obj_id AS entity_id,
+               sum(h.fp * e.weight)::BIGINT AS c
+        FROM edg e JOIN h{i} h ON h.entity_id = e.subj_id
+        GROUP BY 1) sc ON sc.entity_id = nd.entity_id),
+    ad{i} AS MATERIALIZED (
+      SELECT greatest(sum(c)::BIGINT // {s}, 1) AS d FROM ar{i}),
+    a{i + 1} AS MATERIALIZED (
+      SELECT entity_id, c // (SELECT d FROM ad{i}) AS fp FROM ar{i}),
+    hr{i} AS MATERIALIZED (
+      SELECT nd.entity_id, coalesce(sc.c, 0)::BIGINT AS c
+      FROM nodes nd LEFT JOIN (
+        SELECT e.subj_id AS entity_id,
+               sum(a.fp * e.weight)::BIGINT AS c
+        FROM edg e JOIN a{i + 1} a ON a.entity_id = e.obj_id
+        GROUP BY 1) sc ON sc.entity_id = nd.entity_id),
+    hd{i} AS MATERIALIZED (
+      SELECT greatest(sum(c)::BIGINT // {s}, 1) AS d FROM hr{i}),
+    h{i + 1} AS MATERIALIZED (
+      SELECT entity_id, c // (SELECT d FROM hd{i}) AS fp FROM hr{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT a.entity_id, a.fp / {float(s)} AS auth,
+           h.fp / {float(s)} AS hub
+    FROM a{iters} a JOIN h{iters} h USING (entity_id)"""
     )
 
 
@@ -3398,6 +3501,13 @@ def oracle_sql() -> dict[str, str]:
         # keep-newest-crawl: the deterministic snapshot expansion (md5
         # multiplicity) + a row_number window over the same rows
         "cc_latest_snapshot": _sql_latest_snapshot(),
+        # per-target anchor profile: both ANCHOR_PATTERN groups zipped
+        # by subscript, argmax replayed as a row_number window
+        "cc_anchor_texts": _sql_anchor_texts(),
+        # site-section contraction over the same href-resolution CTE
+        "cc_section_graph": _sql_section_graph(),
+        # HITS: the same fixed-point integer unroll idea as kg_pagerank
+        "kg_hits": _hits_sql(),
         # token-level confusion matrix: predicted BIO reconstructed in SQL
         # from mention spans, truth from the corpus gold table
         "kg_confusion": f"""

@@ -1513,6 +1513,212 @@ def pc_divide_exact(rank_fp: "pa.ChunkedArray | pa.Array"):
     )
 
 
+#: HITS score scale — smaller than PR_SCALE because each round's raw
+#: authority total is bounded by HITS_SCALE × max(w_out): 2³⁰ keeps that
+#: product (and the per-edge ``hub_fp * w`` term) far inside int64 for
+#: any node with out-weight below ~2³², while ``fp / HITS_SCALE`` stays
+#: an exact float64 conversion (power of two, fp < 2⁵³).
+HITS_SCALE = 1 << 30
+
+
+def hits(edges, iters: int = 5, num_partitions: int | None = None):
+    """edges(subj_id, obj_id, weight, …) → (entity_id, auth, hub):
+    weighted HITS hubs-and-authorities over the constructed KG — the
+    classic link-analysis complement to :func:`pagerank` (authorities =
+    entities many hub entities point at; hubs = entities whose relations
+    fan out to strong authorities).  Kleinberg 1999, L1-normalized
+    variant (normalization is a per-round uniform rescale, so the
+    *ranking* matches the textbook L2 variant while staying exactly
+    replayable in integer arithmetic).
+
+    Same determinism discipline as :func:`pagerank`: scores are int64
+    fixed-point in units of ``1/HITS_SCALE``; each round computes
+    ``auth_raw(v) = Σ_{(u,v,w)} hub_fp(u)·w`` with a rank→edge
+    ``local_hash_join`` plus one hash-partitioned grouped Sum, rescales
+    by the driver-scalar total (``fp = raw // max(total // HITS_SCALE,
+    1)`` — int ops only, so the DuckDB twin replays them verbatim), then
+    the mirror pass for hubs.  Driver state per round is one scalar per
+    phase; per-round exchanges: 2 joins + 2 grouped sums, all sized by
+    :func:`_iter_partitions`.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..shuffle import hash_grouped, local_hash_join
+
+    edge_tbl = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("subj_id").cast(pa.int64()),
+                "dst": t.column("obj_id").cast(pa.int64()),
+                "w": t.column("weight").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    num_partitions = _iter_partitions(edge_tbl.count(), num_partitions)
+    deg = node_degrees(
+        edge_tbl.map_batches(
+            lambda t: t.rename_columns(["subj_id", "obj_id", "weight"]),
+            batch_format="pyarrow",
+        ),
+        num_partitions=num_partitions,
+    ).materialize()
+    n_nodes = deg.count()
+    init_fp = HITS_SCALE // max(n_nodes, 1)
+
+    score_schema = pa.schema(
+        [("entity_id", pa.int64()), ("fp", pa.int64())]
+    )
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_id": batch.column("entity_id"),
+                "fp": pa.array(
+                    np.full(len(batch), init_fp, dtype=np.int64)
+                ),
+            }
+        )
+
+    hub = deg.map_batches(init_scores, batch_format="pyarrow").materialize()
+    auth = hub
+
+    def total_block(t: pa.Table) -> int:
+        # one scalar per block over the just-materialized raw sums —
+        # bare tasks, same rationale as pagerank's dangling reduce
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return 0
+        return int(t.column("c").to_numpy(zero_copy_only=False).sum())
+
+    total_task = ray.remote(num_cpus=0.25)(total_block)
+
+    zero_rows = deg.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t.column("entity_id"),
+                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def phase(scores, join_end: str, emit_end: str):
+        """raw(emit_end) = Σ over edges of scores(join_end) · w, every
+        node present (zero-row union folded into the one grouped Sum)."""
+        keyed = edge_tbl.map_batches(
+            lambda t, j=join_end, e=emit_end: pa.table(
+                {
+                    "entity_id": t.column(j),
+                    "other": t.column(e),
+                    "w": t.column("w"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = local_hash_join(
+            keyed,
+            scores,
+            on=["entity_id"],
+            left_schema=pa.schema(
+                [("entity_id", pa.int64()), ("other", pa.int64()),
+                 ("w", pa.int64())]
+            ),
+            right_schema=score_schema,
+            num_partitions=num_partitions,
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            w = batch.column("w").to_numpy(zero_copy_only=False)
+            fp = batch.column("fp").to_numpy(zero_copy_only=False)
+            if len(batch) and int(fp.max()) * int(w.max()) >= 2**62:
+                raise OverflowError(
+                    "hits fixed-point product would overflow int64; "
+                    "normalize edge weights first"
+                )
+            return pa.table(
+                {
+                    "entity_id": batch.column("other"),
+                    "c": pa.array(fp * w, type=pa.int64()),
+                }
+            )
+
+        raw = hash_grouped(
+            joined.map_batches(contrib, batch_format="pyarrow").union(
+                zero_rows
+            ),
+            ["entity_id"],
+            [("c", "sum")],
+            rename={"c_sum": "c"},
+            num_partitions=num_partitions,
+        ).materialize()
+        total = sum(
+            ray.get([total_task.remote(r) for r in raw.to_arrow_refs()])
+        )
+        # wraparound sentinel: Σ raw ≤ HITS_SCALE · max(w_out) stays
+        # below 2⁶² for any max out-weight < 2³²; a graph past that
+        # bound must be weight-normalized upstream, not silently wrapped
+        if not 0 <= total < 2**62:
+            raise OverflowError(
+                "hits round total out of int64 safety range; "
+                "normalize edge weights first"
+            )
+        div = max(total // HITS_SCALE, 1)
+
+        def rescale(batch: pa.Table) -> pa.Table:
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "entity_id": batch.column("entity_id"),
+                    "fp": pa.array(c // div, type=pa.int64()),
+                }
+            )
+
+        return raw.map_batches(
+            rescale, batch_format="pyarrow"
+        ).materialize()
+
+    for _ in range(iters):
+        auth = phase(hub, "src", "dst")
+        hub = phase(auth, "dst", "src")
+
+    final = local_hash_join(
+        auth.map_batches(
+            lambda t: t.rename_columns(["entity_id", "auth_fp"]),
+            batch_format="pyarrow",
+        ),
+        hub.map_batches(
+            lambda t: t.rename_columns(["entity_id", "hub_fp"]),
+            batch_format="pyarrow",
+        ),
+        on=["entity_id"],
+        left_schema=pa.schema(
+            [("entity_id", pa.int64()), ("auth_fp", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("entity_id", pa.int64()), ("hub_fp", pa.int64())]
+        ),
+        num_partitions=num_partitions,
+    )
+    scale = float(HITS_SCALE)
+    return final.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t.column("entity_id"),
+                # power-of-two divisor: the float64 conversion is exact
+                "auth": pc.divide(
+                    t.column("auth_fp").cast(pa.float64()), scale
+                ),
+                "hub": pc.divide(
+                    t.column("hub_fp").cast(pa.float64()), scale
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def neighbor_jaccard(
     edges_ds,
     max_pivot_degree: int = 256,

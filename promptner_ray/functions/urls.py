@@ -385,6 +385,318 @@ def sql_outlinks(corpus_glob: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# anchor-text aggregation: the per-target alias/label signal
+# ---------------------------------------------------------------------------
+
+# group 1 = href, group 2 = the anchor's inner HTML (to the first </a>,
+# single-line — the corpus renders anchors inline).  RE2-safe like
+# HREF_PATTERN so the DuckDB twin's regexp_extract_all matches 1:1.
+ANCHOR_PATTERN = HREF_PATTERN + "[^>]*?>(.*?)</a>"
+_ANCHOR_RE = re.compile(ANCHOR_PATTERN)
+_TAG_RE = re.compile(r"<[^>]*>")
+_TAG_SQL = "<[^>]*>"
+
+
+def _str_key64(col: pa.ChunkedArray) -> pa.Array:
+    """Signed int64 blake2b digest per string — the exchange key for
+    string-keyed groupings (the strings themselves never key a shuffle)."""
+    return pa.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                "big",
+                signed=True,
+            )
+            for s in col.to_pylist()
+        ],
+        type=pa.int64(),
+    )
+
+
+def anchor_rows_batch(batch: pa.Table) -> pa.Table:
+    """pages → block-combined (target_url, anchor, n, tgt_key) rows.
+
+    The anchor text is the web's free label signal for the link target —
+    the classic alias/surface-form source for entity canonicalization
+    (anchor ≈ how OTHER pages name the entity behind the URL).  Inner
+    markup is stripped (``<b>…</b>`` → text) and outer spaces trimmed;
+    href resolution is identical to :func:`outlink_rows_batch` (absolute
+    pass, root-relative joins the origin, dir-relative dropped — the
+    DuckDB twin drops the identical set)."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    tgt_out: list[str] = []
+    anchor_out: list[str] = []
+    for u, h in zip(urls, htmls):
+        text = (
+            h.decode("utf-8", "replace")
+            if isinstance(h, (bytes, bytearray))
+            else str(h)
+        )
+        m = _ORIGIN_RE.match(u)
+        origin = m.group(0) if m else ""
+        for href, inner in _ANCHOR_RE.findall(text):
+            if _ABS_RE.match(href):
+                tgt = href
+            elif href.startswith("/"):
+                tgt = origin + href
+            else:
+                continue
+            tgt_out.append(tgt)
+            anchor_out.append(_TAG_RE.sub("", inner).strip(" "))
+    tbl = pa.table(
+        {
+            "target_url": pa.array(tgt_out, type=pa.string()),
+            "anchor": pa.array(anchor_out, type=pa.string()),
+        }
+    )
+    local = tbl.group_by(["target_url", "anchor"]).aggregate(
+        [([], "count_all")]
+    )
+    return pa.table(
+        {
+            "target_url": local.column("target_url"),
+            "anchor": local.column("anchor"),
+            "n": local.column("count_all").cast(pa.int64()),
+            "tgt_key": _str_key64(local.column("target_url")),
+        }
+    )
+
+
+def anchor_texts(pages, num_partitions: int | None = None):
+    """pages → (target_url, top_anchor, top_n, n_links, n_texts): the
+    per-target anchor-text profile — most frequent anchor (ties break
+    lexicographically ASC, fully deterministic), its count, total
+    in-link count and distinct anchor-text count.
+
+    Two data-sized exchanges: a (target, anchor)-keyed grouped Sum over
+    the block-combined partials, then a target-keyed partition pass
+    whose per-partition argmax/rollup is one vectorized pyarrow
+    group_by + take — the target key is wholly contained in one
+    partition, so the local pick is global."""
+    import numpy as np
+
+    from ..shuffle import hash_grouped, hash_partitioned
+
+    partial = pages.select_columns(["url", "html"]).map_batches(
+        anchor_rows_batch, batch_format="pyarrow"
+    )
+    counts = hash_grouped(
+        partial,
+        ["target_url", "anchor", "tgt_key"],
+        [("n", "sum")],
+        rename={"n_sum": "n"},
+        hash_cols=["tgt_key"],
+        num_partitions=num_partitions,
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "target_url": pa.array([], type=pa.string()),
+                    "top_anchor": pa.array([], type=pa.string()),
+                    "top_n": pa.array([], type=pa.int64()),
+                    "n_links": pa.array([], type=pa.int64()),
+                    "n_texts": pa.array([], type=pa.int64()),
+                }
+            )
+        # argmax by (n DESC, anchor ASC) per target: one lexsort, then
+        # first-row-per-target on the sorted table
+        tgt = t.column("target_url").to_numpy(zero_copy_only=False)
+        anc = t.column("anchor").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((anc, -n, tgt))
+        st, sa, sn = tgt[order], anc[order], n[order]
+        first = np.ones(len(st), dtype=bool)
+        first[1:] = st[1:] != st[:-1]
+        sums = t.group_by(["target_url"]).aggregate(
+            [("n", "sum"), ([], "count_all")]
+        )
+        top = pa.table(
+            {
+                "target_url": pa.array(st[first], type=pa.string()),
+                "top_anchor": pa.array(sa[first], type=pa.string()),
+                "top_n": pa.array(sn[first], type=pa.int64()),
+            }
+        )
+        merged = top.join(sums, keys=["target_url"])
+        return pa.table(
+            {
+                "target_url": merged.column("target_url"),
+                "top_anchor": merged.column("top_anchor"),
+                "top_n": merged.column("top_n"),
+                "n_links": merged.column("n_sum").cast(pa.int64()),
+                "n_texts": merged.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return hash_partitioned(
+        counts, ["tgt_key"], per_part, num_partitions=num_partitions
+    )
+
+
+def sql_anchor_texts(corpus_glob: str) -> str:
+    """DuckDB twin of :func:`anchor_texts`: both capture groups of
+    ANCHOR_PATTERN extracted positionally (the two ``regexp_extract_all``
+    lists are index-aligned by construction) and zipped by subscript."""
+    pat_sql = ANCHOR_PATTERN.replace("'", "''")
+    return f"""
+        WITH pg AS (
+          SELECT url, decode(html) AS h
+          FROM read_parquet('{corpus_glob}')),
+        m AS (
+          SELECT url,
+                 regexp_extract_all(h, '{pat_sql}', 1) AS hrefs,
+                 regexp_extract_all(h, '{pat_sql}', 2) AS inners
+          FROM pg),
+        z AS (
+          SELECT url, unnest(hrefs) AS href,
+                 generate_subscripts(hrefs, 1) AS i, inners
+          FROM m),
+        res AS (
+          SELECT
+            CASE
+              WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://') THEN href
+              WHEN href LIKE '/%' THEN
+                regexp_extract(url, '{ORIGIN_PATTERN}') || href
+              ELSE NULL
+            END AS target_url,
+            trim(regexp_replace(inners[i], '{_TAG_SQL}', '', 'g'),
+                 ' ') AS anchor
+          FROM z),
+        counts AS (
+          SELECT target_url, anchor, count(*)::BIGINT AS n
+          FROM res WHERE target_url IS NOT NULL
+          GROUP BY target_url, anchor),
+        ranked AS (
+          SELECT target_url, anchor, n,
+                 row_number() OVER (PARTITION BY target_url
+                                    ORDER BY n DESC, anchor ASC) AS rk,
+                 sum(n) OVER (PARTITION BY target_url) AS tot,
+                 count(*) OVER (PARTITION BY target_url) AS nt
+          FROM counts)
+        SELECT target_url, anchor AS top_anchor, n AS top_n,
+               tot::BIGINT AS n_links, nt::BIGINT AS n_texts
+        FROM ranked WHERE rk = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# site-section graph: host/section-level contraction of the page graph
+# ---------------------------------------------------------------------------
+
+# first path segment after the origin — the host-level contraction key
+# on a single-host corpus (on the open web the same op contracts by
+# host: swap SECTION_PATTERN for ORIGIN_PATTERN)
+SECTION_PATTERN = ORIGIN_PATTERN + r"/([^/?#]*)"
+_SECTION_RE = re.compile(SECTION_PATTERN)
+
+
+def _section_of(url: str) -> str:
+    m = _SECTION_RE.match(url)
+    return m.group(1) if m else ""
+
+
+def section_rows_batch(batch: pa.Table) -> pa.Table:
+    """pages → block-combined (src_section, dst_section, n) edges: the
+    graph-contraction pass (page graph → site-section graph).  Resolution
+    matches :func:`outlink_rows_batch`; sections are extracted BEFORE the
+    block-local combine, so a block of 10⁴ pages leaves as a handful of
+    section-pair rows — the contraction happens map-side, and the
+    exchange moves only the contracted rows."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    src_out: list[str] = []
+    dst_out: list[str] = []
+    for u, h in zip(urls, htmls):
+        text = (
+            h.decode("utf-8", "replace")
+            if isinstance(h, (bytes, bytearray))
+            else str(h)
+        )
+        m = _ORIGIN_RE.match(u)
+        origin = m.group(0) if m else ""
+        src_sec = _section_of(u)
+        for href in _HREF_RE.findall(text):
+            if _ABS_RE.match(href):
+                tgt = href
+            elif href.startswith("/"):
+                tgt = origin + href
+            else:
+                continue
+            src_out.append(src_sec)
+            dst_out.append(_section_of(tgt))
+    tbl = pa.table(
+        {
+            "src_section": pa.array(src_out, type=pa.string()),
+            "dst_section": pa.array(dst_out, type=pa.string()),
+        }
+    )
+    local = tbl.group_by(["src_section", "dst_section"]).aggregate(
+        [([], "count_all")]
+    )
+    return pa.table(
+        {
+            "src_section": local.column("src_section"),
+            "dst_section": local.column("dst_section"),
+            "n": local.column("count_all").cast(pa.int64()),
+            "src_key": _str_key64(local.column("src_section")),
+            "dst_key": _str_key64(local.column("dst_section")),
+        }
+    )
+
+
+def section_graph(pages, num_partitions: int | None = None):
+    """pages → (src_section, dst_section, n): the contracted site-section
+    link graph — one weighted edge per section pair.  One data-sized
+    exchange over the already-contracted block partials."""
+    from ..shuffle import hash_grouped
+
+    partial = pages.select_columns(["url", "html"]).map_batches(
+        section_rows_batch, batch_format="pyarrow"
+    )
+    return hash_grouped(
+        partial,
+        ["src_section", "dst_section"],
+        [("n", "sum")],
+        rename={"n_sum": "n"},
+        hash_cols=["src_key", "dst_key"],
+        num_partitions=num_partitions,
+    )
+
+
+def sql_section_graph(corpus_glob: str) -> str:
+    """DuckDB twin of :func:`section_graph`."""
+    href_sql = HREF_PATTERN.replace("'", "''")
+    sec_sql = SECTION_PATTERN.replace("'", "''")
+    return f"""
+        WITH pg AS (
+          SELECT url, decode(html) AS h
+          FROM read_parquet('{corpus_glob}')),
+        hrefs AS (
+          SELECT url, unnest(regexp_extract_all(h, '{href_sql}', 1)) AS href
+          FROM pg),
+        res AS (
+          SELECT url AS src_url,
+            CASE
+              WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://') THEN href
+              WHEN href LIKE '/%' THEN
+                regexp_extract(url, '{ORIGIN_PATTERN}') || href
+              ELSE NULL
+            END AS target_url
+          FROM hrefs)
+        SELECT coalesce(regexp_extract(src_url, '{sec_sql}', 1), '')
+                 AS src_section,
+               coalesce(regexp_extract(target_url, '{sec_sql}', 1), '')
+                 AS dst_section,
+               count(*)::BIGINT AS n
+        FROM res WHERE target_url IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # snapshot collapse: keep the latest crawl of every URL
 # ---------------------------------------------------------------------------
 

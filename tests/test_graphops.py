@@ -565,3 +565,73 @@ def test_personalized_pagerank_bsp_ignores_absent_seeds(ray_session) -> None:
             h.run(seeds=[999_999])
     finally:
         h.close()
+
+
+def _numpy_hits(edges, iters=5):
+    """Float L1-normalized HITS — the textbook semantics graphops.hits
+    quantizes.  Compared on per-node SHARES (value/Σ) because the
+    fixed-point rescale ``raw // max(total // S, 1)`` normalizes the
+    total only up to a per-round uniform factor in [1, 2)."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    hub = np.full(n, 1.0 / n)
+    auth = np.zeros(n)
+    for _ in range(iters):
+        auth = np.zeros(n)
+        for s, t, w in edges:
+            auth[idx[t]] += hub[idx[s]] * w
+        auth /= auth.sum()
+        hub = np.zeros(n)
+        for s, t, w in edges:
+            hub[idx[s]] += auth[idx[t]] * w
+        hub /= hub.sum()
+    return (
+        dict(zip(nodes, auth / auth.sum())),
+        dict(zip(nodes, hub / hub.sum())),
+    )
+
+
+def test_hits_matches_numpy_reference(ray_session) -> None:
+    from promptner_ray.functions.graphops import hits
+
+    rng = np.random.default_rng(7)
+    edges = []
+    seen = set()
+    for _ in range(80):
+        s, t = rng.integers(0, 18, 2)
+        if s != t and (int(s), int(t)) not in seen:
+            seen.add((int(s), int(t)))
+            edges.append((int(s), int(t), int(rng.integers(1, 5))))
+    edges.append((4, 30, 2))  # node 30: authority only (no out-edges)
+    df = hits(ray.data.from_arrow(_edge_table(edges))).to_pandas()
+    got_auth = df.set_index("entity_id")["auth"].to_dict()
+    got_hub = df.set_index("entity_id")["hub"].to_dict()
+    want_auth, want_hub = _numpy_hits(edges)
+    assert set(got_auth) == set(want_auth)
+    ta = sum(got_auth.values())
+    th = sum(got_hub.values())
+    # 2^-30 fixed-point quantization accumulated over 5 rounds
+    assert all(
+        abs(got_auth[k] / ta - want_auth[k]) < 1e-5 for k in want_auth
+    )
+    assert all(
+        abs(got_hub[k] / th - want_hub[k]) < 1e-5 for k in want_hub
+    )
+
+
+def test_hits_star_graph_roles(ray_session) -> None:
+    """Sources of a star are pure hubs, the center a pure authority."""
+    from promptner_ray.functions.graphops import hits
+
+    edges = [(i, 99, 1) for i in range(5)] + [(99, 100, 1)]
+    df = hits(ray.data.from_arrow(_edge_table(edges))).to_pandas()
+    byid = df.set_index("entity_id")
+    assert byid["auth"].idxmax() == 99
+    # every spoke is an equally-top hub; the center's hub score is the
+    # (weaker) 99->100 path
+    hubs = byid["hub"]
+    assert all(hubs[i] == hubs[0] for i in range(5))
+    assert hubs[0] > hubs[99] >= 0
+    # the pure-sink node 100 has zero hub mass, nonzero authority
+    assert hubs[100] == 0.0 and byid["auth"][100] > 0

@@ -290,3 +290,78 @@ def test_grouped_hll_estimate_accuracy(ray_session) -> None:
         regs.sort_values(key, ignore_index=True)
         .equals(re8.sort_values(key, ignore_index=True))
     )
+
+
+def _tiny_pages():
+    import pyarrow as pa
+    import ray
+
+    html = {
+        "https://ex.test/a/1": (
+            '<p><a href="/t/x">Alpha</a> <a href="/t/x">Beta</a> '
+            '<a href="https://other.test/z"><b>Bold</b> label</a> '
+            '<a href="rel/skip">dropped</a></p>'
+        ),
+        "https://ex.test/b/2": (
+            '<a href="/t/x">Alpha</a> <a href="/t/y">Gamma</a>'
+        ),
+    }
+    tbl = pa.table(
+        {
+            "url": pa.array(list(html)),
+            "html": pa.array(
+                [v.encode() for v in html.values()], type=pa.binary()
+            ),
+        }
+    )
+    return ray.data.from_arrow(tbl)
+
+
+def test_anchor_texts_argmax_and_markup_strip(ray_session) -> None:
+    from promptner_ray.functions.urls import anchor_texts
+
+    rows = {
+        r["target_url"]: r for r in anchor_texts(_tiny_pages()).take_all()
+    }
+    x = rows["https://ex.test/t/x"]
+    # Alpha appears twice (once per page), Beta once -> argmax Alpha
+    assert x["top_anchor"] == "Alpha" and x["top_n"] == 2
+    assert x["n_links"] == 3 and x["n_texts"] == 2
+    # inner markup stripped from the absolute-href anchor
+    assert rows["https://other.test/z"]["top_anchor"] == "Bold label"
+    # dir-relative hrefs dropped entirely
+    assert not any("rel/skip" in t for t in rows)
+
+
+def test_anchor_texts_tie_breaks_lexicographic(ray_session) -> None:
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.functions.urls import anchor_texts
+
+    tbl = pa.table(
+        {
+            "url": pa.array(["https://ex.test/p/1"]),
+            "html": pa.array(
+                [b'<a href="/t">zeta</a><a href="/t">alpha</a>'],
+                type=pa.binary(),
+            ),
+        }
+    )
+    rows = anchor_texts(ray.data.from_arrow(tbl)).take_all()
+    assert rows[0]["top_anchor"] == "alpha" and rows[0]["top_n"] == 1
+
+
+def test_section_graph_contracts_counts(ray_session) -> None:
+    from promptner_ray.functions.urls import section_graph
+
+    got = {
+        (r["src_section"], r["dst_section"]): r["n"]
+        for r in section_graph(_tiny_pages()).take_all()
+    }
+    # page /a/1: three kept links -> t, t, z(other host, section z)
+    # page /b/2: two links -> t, t
+    assert got[("a", "t")] == 2
+    assert got[("b", "t")] == 2
+    assert got[("a", "z")] == 1
+    assert sum(got.values()) == 5
