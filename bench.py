@@ -193,6 +193,24 @@ def _build_web_edges(corpus_root: pathlib.Path):
     return web_edges(pages).materialize()
 
 
+def _web_page_ops(corpus_root: pathlib.Path) -> dict[str, float]:
+    """Anchor-text aggregation + site-section contraction over the full
+    bench corpus HTML (same read shape as the outlink extraction)."""
+    from promptner_ray.functions.urls import anchor_texts, section_graph
+    from promptner_ray.sources.corpus import read_pages
+
+    out: dict[str, float] = {}
+    for name, fn in (
+        ("cc_anchor_texts", anchor_texts),
+        ("cc_section_graph", section_graph),
+    ):
+        pages = read_pages(corpus_root, columns=["url", "html"])
+        t0 = time.monotonic()
+        fn(pages).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
 def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     """Graph analytics over the REAL web graph (≥10⁶ edges), not the
     KG toy: PageRank / k-core / walks / triangles / degrees over the
@@ -210,6 +228,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     from promptner_ray.functions.graphops import (
         bfs_hops,
         connected_components,
+        hits,
         k_core,
         node_degrees,
         pagerank,
@@ -253,6 +272,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         ("web_random_walks", random_walks),
         ("web_random_walks_bsp", random_walks_bsp),
         ("web_triangles", triangle_counts),
+        ("web_hits", lambda e: hits(e, iters=pr_iters)),
     ):
         t0 = time.monotonic()
         fn(edges).count()
@@ -324,6 +344,7 @@ def run_bench(headline_only: bool = False) -> dict:
     if not headline_only:
         queries.update(_graph_bench(corpus_root))
         queries["cc_outlinks"] = round(_web_graph_bench(corpus_root), 3)
+        queries.update(_web_page_ops(corpus_root))
         web_graph = _web_graph_analytics(corpus_root)
         queries.update(web_graph.pop("queries"))
         queries.update(_operator_suite())
