@@ -626,6 +626,17 @@ def _kg_hits(sf_dir: str):
     return hits(_kg_edges(sf_dir))
 
 
+def _kg_hits_bsp(sf_dir: str):
+    """Same HITS scores, BSP actor-pool execution plan (static edge
+    shards held in BOTH directions per actor, per-round value-vector
+    messages only — graphbsp.HITSBSP).  Bit-identical fixed-point
+    arithmetic (tests/test_graphbsp.py), so the oracle SQL is literally
+    `_hits_sql()` again — the one-oracle-two-plans pattern."""
+    from promptner_ray.functions.graphbsp import hits_bsp
+
+    return hits_bsp(_kg_edges(sf_dir))
+
+
 def _kg_export(sf_dir: str) -> str:
     """Materialize the KG stage tables once (cached) for the SQL oracles."""
     from promptner_ray.pipelines.export import ensure_kg_export
@@ -1295,6 +1306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_section_graph": _cc_section_graph,
         # HITS hubs/authorities (same fixed-point replay discipline)
         "kg_hits": _kg_hits,
+        # same scores on the BSP actor-pool plan (both edge directions
+        # resident per shard — graphbsp.HITSBSP); bit-identical, so the
+        # oracle is the same unrolled replay
+        "kg_hits_bsp": _kg_hits_bsp,
         # oracle: int64 fixed-point mass makes the distributed result
         # order-independent, so the unrolled SQL replay hash-matches
         "kg_pagerank": _kg_pagerank,
@@ -1333,9 +1348,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_diff", "kg_pagerank", "kg_ppr",
         # web-graph connectors
         "cc_outlinks", "cc_latest_snapshot",
-        # relational / events tail (never had a driver row)
-        "revenue_by_nation", "events_hopping", "events_asof_orders_part",
-        "events_range_orders", "events_range_orders_part", "events_topk",
+        # relational / events tail (never had a driver row).
+        # events_tumbling displaced events_asof_orders_part here (r4): the
+        # tumbling plan was REWRITTEN onto shuffle.hash_grouped this round
+        # (VERDICT r3 item #3) so a fresh driver row re-verifies the new
+        # plan, while the _part twin shares its oracle with the r01-green
+        # broadcast plan.  kg_hits (new operator, no prior row under any
+        # plan) likewise displaced events_range_orders_part.
+        "revenue_by_nation", "events_hopping", "events_tumbling",
+        "events_range_orders", "kg_hits", "events_topk",
         "events_quantiles", "events_quantile_sketch", "events_user_sketch",
         # ANN / embedding tail (failed r1/r2 pre-oracle, or never run)
         "embed_semdedup", "embed_quantize", "embed_knn_lsh",
@@ -3557,6 +3578,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_communities_bsp"] = out["kg_communities"]
     out["kg_random_walks_bsp"] = out["kg_random_walks"]
     out["kg_kcore_bsp"] = out["kg_kcore"]
+    out["kg_hits_bsp"] = out["kg_hits"]
     return out
 
 

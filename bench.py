@@ -221,6 +221,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     from promptner_ray.functions.graphbsp import (
         bfs_bsp,
         components_bsp,
+        hits_bsp,
         k_core_bsp,
         pagerank_bsp,
         random_walks_bsp,
@@ -273,6 +274,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         ("web_random_walks_bsp", random_walks_bsp),
         ("web_triangles", triangle_counts),
         ("web_hits", lambda e: hits(e, iters=pr_iters)),
+        ("web_hits_bsp", lambda e: hits_bsp(e, iters=pr_iters)),
     ):
         t0 = time.monotonic()
         fn(edges).count()

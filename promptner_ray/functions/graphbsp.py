@@ -1285,6 +1285,312 @@ def random_walks_bsp(
         )
 
 
+class _HITSShard:
+    """One HITS BSP worker: owns the nodes with ``h(node) == part``,
+    the FORWARD edges with ``h(src) == part`` (the auth phase reads the
+    local hub score at src and messages dst) and the REVERSE edges with
+    ``h(dst) == part`` (the hub phase reads the local auth score at dst
+    and messages src).  Same numpy layout discipline as
+    :class:`_PRShard`, held once per direction; replays
+    :func:`graphops.hits`'s fixed-point contract bit-for-bit."""
+
+    def __init__(self, part: int, n_parts: int):
+        self.part = part
+        self.n_parts = n_parts
+
+    def _dir_struct(self, tables, join_col: str, emit_col: str) -> dict:
+        """Static per-direction structure: local score index per edge,
+        distinct-emit-id run boundaries, and per-target-shard slice
+        bounds — the HITS twin of ``_PRShard.load``'s edge block."""
+        if tables:
+            et = pa.concat_tables(tables)
+            j = et.column(join_col).to_numpy(zero_copy_only=False)
+            e = et.column(emit_col).to_numpy(zero_copy_only=False)
+            w = et.column("w").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            epart = _part_of(e, self.n_parts)
+            order = np.lexsort((e, epart))
+            j, e, w, epart = j[order], e[order], w[order], epart[order]
+            # every join-end node is home here by construction
+            join_idx = np.searchsorted(self.ids, j).astype(np.intp)
+            starts = np.flatnonzero(
+                np.r_[True, e[1:] != e[:-1]]
+            ).astype(np.intp)
+            msg_ids = e[starts]
+            jbounds = np.searchsorted(
+                epart[starts], np.arange(self.n_parts + 1)
+            )
+        else:
+            join_idx = np.empty(0, dtype=np.intp)
+            w = np.empty(0, dtype=np.int64)
+            starts = np.empty(0, dtype=np.intp)
+            msg_ids = np.empty(0, dtype=np.int64)
+            jbounds = np.zeros(self.n_parts + 1, dtype=np.int64)
+        return {
+            "join_idx": join_idx,
+            "w": w,
+            "starts": starts,
+            "msg_ids": msg_ids,
+            "jbounds": jbounds,
+        }
+
+    def load(self, node_refs, fwd_refs, rev_refs) -> int:
+        import ray
+
+        nodes = [t for t in ray.get(list(node_refs)) if t.num_rows]
+        if nodes:
+            ids = (
+                pa.concat_tables(nodes)
+                .column("entity_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            self.ids = np.sort(ids, kind="stable")
+        else:
+            self.ids = np.empty(0, dtype=np.int64)
+        self.dirs = {
+            "fwd": self._dir_struct(
+                [t for t in ray.get(list(fwd_refs)) if t.num_rows],
+                "src",
+                "dst",
+            ),
+            "rev": self._dir_struct(
+                [t for t in ray.get(list(rev_refs)) if t.num_rows],
+                "dst",
+                "src",
+            ),
+        }
+        self.gath: dict = {}
+        self.hub_fp = np.empty(0, dtype=np.int64)
+        self.auth_fp = np.empty(0, dtype=np.int64)
+        return len(self.ids)
+
+    def structure(self, direction: str):
+        d = self.dirs[direction]
+        return [
+            d["msg_ids"][d["jbounds"][j]: d["jbounds"][j + 1]]
+            for j in range(self.n_parts)
+        ]
+
+    def gather_structure(self, direction: str, *id_arrays) -> None:
+        arrs: list[np.ndarray] = []
+        for a in id_arrays:
+            if isinstance(a, list):  # n_parts == 1 flatten, as _PRShard
+                arrs.extend(np.asarray(x) for x in a)
+            else:
+                arrs.append(np.asarray(a))
+        all_ids = (
+            np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        )
+        idx = np.searchsorted(self.ids, all_ids).astype(np.intp)
+        order = np.argsort(idx, kind="stable")
+        sidx = idx[order]
+        gstarts = np.flatnonzero(
+            np.r_[True, sidx[1:] != sidx[:-1]]
+        ).astype(np.intp)
+        self.gath[direction] = {
+            "order": order,
+            "starts": gstarts,
+            "target": sidx[gstarts] if len(sidx) else sidx,
+        }
+
+    def reset(self, init_fp: int) -> None:
+        self.hub_fp = np.full(len(self.ids), init_fp, dtype=np.int64)
+        self.auth_fp = np.zeros(len(self.ids), dtype=np.int64)
+
+    def scatter(self, direction: str):
+        """One half-round's outgoing combined contributions + this
+        shard's contribution total (returned last, ``num_returns =
+        P + 1`` — the driver's rescale divisor needs only the global
+        sum, exactly :func:`graphops.hits`'s per-phase ``total``)."""
+        d = self.dirs[direction]
+        fp = self.hub_fp if direction == "fwd" else self.auth_fp
+        r = fp[d["join_idx"]]
+        if len(r) and int(r.max()) * int(d["w"].max()) >= 2**62:
+            raise OverflowError(
+                "hits fixed-point product would overflow int64; "
+                "normalize edge weights first"
+            )
+        c = r * d["w"]
+        sums = (
+            np.add.reduceat(c, d["starts"])
+            if len(d["starts"])
+            else np.empty(0, dtype=np.int64)
+        )
+        jb = d["jbounds"]
+        return [
+            sums[jb[j]: jb[j + 1]] for j in range(self.n_parts)
+        ] + [int(c.sum())]
+
+    def apply(self, direction: str, div: int, *values) -> None:
+        """Sum one half-round's incoming contributions into the home
+        score vector and rescale by the driver's divisor — ``fwd``
+        writes authorities, ``rev`` writes hubs.  Nodes with no
+        incoming mass get ``0 // div == 0``, matching the dataflow
+        plan's zero-row union."""
+        raw = np.zeros(len(self.ids), dtype=np.int64)
+        g = self.gath[direction]
+        if values:
+            all_c = np.concatenate([np.asarray(v) for v in values])
+            if len(all_c):
+                sc = all_c[g["order"]]
+                raw[g["target"]] = np.add.reduceat(sc, g["starts"])
+        fp = raw // div
+        if direction == "fwd":
+            self.auth_fp = fp
+        else:
+            self.hub_fp = fp
+
+    def result(self) -> pa.Table:
+        from .graphops import HITS_SCALE
+
+        scale = float(HITS_SCALE)  # power of two: float division exact
+        return pa.table(
+            {
+                "entity_id": pa.array(self.ids, type=pa.int64()),
+                "auth": pa.array(self.auth_fp.astype(np.float64) / scale),
+                "hub": pa.array(self.hub_fp.astype(np.float64) / scale),
+            }
+        )
+
+
+class HITSBSP:
+    """Setup-once sharded handle for HITS hubs-and-authorities — the
+    same shape as :class:`PageRankBSP` but with BOTH edge directions
+    resident per shard (the auth phase pushes hub·w along edges, the
+    hub phase pushes auth·w against them), so each half-round is one
+    scatter/gather wave plus one driver scalar (the global raw total
+    fixing the round's rescale divisor).  The dataflow twin
+    (:func:`graphops.hits`) pays 2 ``local_hash_join`` + 2 grouped-Sum
+    exchanges per iteration over the static edge table; here the edges
+    never move after setup.  Results are BIT-IDENTICAL to the dataflow
+    plan at any partition count (integer contributions commute; the
+    rescale ``raw // max(total // HITS_SCALE, 1)`` uses driver scalars
+    only), so the same DuckDB oracle covers both plans."""
+
+    def __init__(self, edges, num_partitions: int | None = None):
+        import ray
+
+        from ..shuffle import default_partitions
+        from .graphops import node_degrees
+
+        self.n_parts = n_parts = num_partitions or default_partitions()
+        deg = node_degrees(edges).materialize()
+        self.n_nodes = deg.count()
+        node_refs = _partition_refs(
+            deg.select_columns(["entity_id"]), "entity_id", n_parts
+        )
+
+        def to_edge(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": t.column("subj_id").cast(pa.int64()),
+                    "dst": t.column("obj_id").cast(pa.int64()),
+                    "w": t.column("weight").cast(pa.int64()),
+                }
+            )
+
+        e = edges.map_batches(to_edge, batch_format="pyarrow").materialize()
+        fwd_refs = _partition_refs(e, "src", n_parts)
+        rev_refs = _partition_refs(e, "dst", n_parts)
+
+        # same scheduler-headroom rationale as PageRankBSP.__init__
+        total_cpus = ray.cluster_resources().get("CPU", float(n_parts))
+        cpus_per_actor = max(
+            0.01, min(1.0, int((total_cpus - 1) * 100 / n_parts) / 100)
+        )
+        Shard = ray.remote(num_cpus=cpus_per_actor)(_HITSShard)
+        self.actors = [Shard.remote(p, n_parts) for p in range(n_parts)]
+        ray.get(
+            [
+                a.load.remote(node_refs[p], fwd_refs[p], rev_refs[p])
+                for p, a in enumerate(self.actors)
+            ]
+        )
+        for direction in ("fwd", "rev"):
+            struct = [
+                a.structure.options(num_returns=n_parts).remote(direction)
+                for a in self.actors
+            ]
+            if n_parts == 1:
+                struct = [[s] for s in struct]
+            ray.get(
+                [
+                    self.actors[j].gather_structure.remote(
+                        direction, *[struct[i][j] for i in range(n_parts)]
+                    )
+                    for j in range(n_parts)
+                ]
+            )
+
+    def run(self, iters: int = 5):
+        """One full HITS: reset scores, ``iters`` auth+hub half-round
+        pairs, return the (entity_id, auth, hub) Dataset."""
+        import ray
+
+        from .graphops import HITS_SCALE
+
+        if not self.actors:
+            raise RuntimeError("HITSBSP handle is closed")
+        n_parts = self.n_parts
+        init_fp = HITS_SCALE // max(self.n_nodes, 1)
+        ray.get([a.reset.remote(init_fp) for a in self.actors])
+        for _ in range(iters):
+            for direction in ("fwd", "rev"):
+                scat = [
+                    a.scatter.options(num_returns=n_parts + 1).remote(
+                        direction
+                    )
+                    for a in self.actors
+                ]
+                total = sum(ray.get([s[-1] for s in scat]))
+                # same wraparound sentinel as graphops.hits
+                if not 0 <= total < 2**62:
+                    raise OverflowError(
+                        "hits round total out of int64 safety range; "
+                        "normalize edge weights first"
+                    )
+                div = max(total // HITS_SCALE, 1)
+                ray.get(
+                    [
+                        self.actors[j].apply.remote(
+                            direction,
+                            div,
+                            *[scat[i][j] for i in range(n_parts)],
+                        )
+                        for j in range(n_parts)
+                    ]
+                )
+        result_refs = [a.result.remote() for a in self.actors]
+        ray.get(result_refs)  # seal before any close()
+        return ray.data.from_arrow_refs(result_refs)
+
+    def close(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    def __enter__(self) -> "HITSBSP":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def hits_bsp(edges, iters: int = 5, num_partitions: int | None = None):
+    """edges(subj_id, obj_id, weight, …) → (entity_id, auth, hub):
+    bit-identical to :func:`graphops.hits`, computed on a BSP actor
+    pool — the scale path for the link-analysis complement to
+    :func:`pagerank_bsp` (HITS iterates in both edge directions, so
+    the dataflow plan pays twice PageRank's per-round exchanges).
+    One-shot convenience over :class:`HITSBSP`."""
+    with HITSBSP(edges, num_partitions=num_partitions) as h:
+        return h.run(iters=iters)
+
+
 #: distinct odd 64-bit salt per replica — XOR keeps every replica's id
 #: space bijective and the copies disjoint with overwhelming probability
 _REPLICA_SALT = 0x9E3779B97F4A7C15

@@ -458,3 +458,52 @@ def test_labels_and_pagerank_share_one_handle(ray_session) -> None:
     )
     assert cc1.equals(cc2)
     assert pr.equals(_ranks(pagerank(ds, iters=3)))
+
+
+def test_hits_bsp_bit_equal_across_partition_counts(ray_session) -> None:
+    """HITS on the BSP pool == graphops.hits, bit-for-bit, at every
+    partition count — including a dangling sink (no out-edges), a pure
+    source (no in-edges, auth must be exactly 0), and a multi-edge
+    whose contributions must add."""
+    from promptner_ray.functions.graphbsp import hits_bsp
+    from promptner_ray.functions.graphops import hits
+
+    edges = _random_edges(23, 300, 1200)
+    edges.append((3, 2000, 2))  # sink: no out-edges
+    edges.append((3000, 7, 4))  # pure source: no in-edges
+    edges.append(edges[0])  # multi-edge: contributions must add
+    tbl = _edge_table(edges)
+
+    def scores(ds):
+        df = ds.to_pandas()[["entity_id", "auth", "hub"]]
+        return df.sort_values("entity_id").reset_index(drop=True)
+
+    want = scores(hits(ray.data.from_arrow(tbl), iters=3))
+    assert (want["auth"] == 0).any()  # the pure source
+    for n_parts in (1, 2, 5):
+        got = scores(
+            hits_bsp(
+                ray.data.from_arrow(tbl), iters=3, num_partitions=n_parts
+            )
+        )
+        assert want.equals(got), f"mismatch at num_partitions={n_parts}"
+
+
+def test_hits_bsp_handle_reuse(ray_session) -> None:
+    """One sharded handle, many run() calls with different iteration
+    counts — each must equal its one-shot twin."""
+    from promptner_ray.functions.graphbsp import HITSBSP, hits_bsp
+    from promptner_ray.functions.graphops import hits
+
+    edges = _random_edges(29, 80, 350)
+    ds = ray.data.from_arrow(_edge_table(edges))
+
+    def scores(d):
+        df = d.to_pandas()[["entity_id", "auth", "hub"]]
+        return df.sort_values("entity_id").reset_index(drop=True)
+
+    with HITSBSP(ds, num_partitions=3) as h:
+        one = scores(h.run(iters=1))
+        five = scores(h.run(iters=5))
+    assert one.equals(scores(hits(ds, iters=1)))
+    assert five.equals(scores(hits(ds, iters=5)))
