@@ -626,6 +626,43 @@ def _kg_hits(sf_dir: str):
     return hits(_kg_edges(sf_dir))
 
 
+def _kg_reciprocity(sf_dir: str):
+    """Directed link-symmetry summary of the KG — one row (edges,
+    reciprocal_edges, reciprocity) over distinct non-loop edges."""
+    from promptner_ray.functions.graphops import reciprocity
+
+    return reciprocity(_kg_edges(sf_dir))
+
+
+def _kg_assortativity(sf_dir: str):
+    """Out-degree/in-degree Pearson correlation across the KG's
+    distinct directed edges (Newman degree assortativity) — the final
+    float is one shared int→double expression on both engines."""
+    from promptner_ray.functions.graphops import assortativity
+
+    return assortativity(_kg_edges(sf_dir))
+
+
+def _kg_bowtie(sf_dir: str):
+    """Broder bow-tie regions around the top hub: core / in / out /
+    other node counts from one forward and one backward BFS (same seed
+    rule and depth cap as `kg_reachability`)."""
+    from promptner_ray.functions.graphops import bowtie
+
+    edges = _kg_edges_raw(sf_dir).materialize()
+    return bowtie(edges, source=_top_hub(edges))
+
+
+def _kg_bowtie_bsp(sf_dir: str):
+    """Same bow-tie regions with both reachability passes on the BSP
+    actor pool (graphbsp.bowtie_bsp) — identical output, shared
+    oracle."""
+    from promptner_ray.functions.graphbsp import bowtie_bsp
+
+    edges = _kg_edges_raw(sf_dir).materialize()
+    return bowtie_bsp(edges, source=_top_hub(edges))
+
+
 def _kg_hits_bsp(sf_dir: str):
     """Same HITS scores, BSP actor-pool execution plan (static edge
     shards held in BOTH directions per actor, per-round value-vector
@@ -1306,6 +1343,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_section_graph": _cc_section_graph,
         # HITS hubs/authorities (same fixed-point replay discipline)
         "kg_hits": _kg_hits,
+        # scalar web-graph structure statistics: link symmetry, hub-to-hub
+        # degree correlation, and the Broder bow-tie regions
+        "kg_reciprocity": _kg_reciprocity,
+        "kg_assortativity": _kg_assortativity,
+        "kg_bowtie": _kg_bowtie,
+        "kg_bowtie_bsp": _kg_bowtie_bsp,
         # same scores on the BSP actor-pool plan (both edge directions
         # resident per shard — graphbsp.HITSBSP); bit-identical, so the
         # oracle is the same unrolled replay
@@ -1668,6 +1711,121 @@ def _hits_sql(iters: int = 5) -> str:
            h.fp / {float(s)} AS hub
     FROM a{iters} a JOIN h{iters} h USING (entity_id)"""
     )
+
+
+def _graph_edge_prologue() -> str:
+    """Shared CTE prologue for the scalar graph-statistic twins: the
+    hashed weighted edge table and its distinct directed pair set."""
+    return f"""tr AS (SELECT subj, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        e2 AS MATERIALIZED (
+          SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                 {_sql_hash64(_sql_norm('obj'))} AS obj_id
+          FROM tr)"""
+
+
+def _reciprocity_sql() -> str:
+    """SQL twin of :func:`graphops.reciprocity` — distinct non-loop
+    pairs folded onto the undirected key with the same injective
+    direction-flag sum (3 ⇔ both directions present), final ratio as
+    one int64→double division on both engines."""
+    return f"""
+        WITH {_graph_edge_prologue()},
+        nl AS (SELECT subj_id, obj_id FROM e2 WHERE subj_id <> obj_id),
+        und AS (
+          SELECT least(subj_id, obj_id) AS lo,
+                 greatest(subj_id, obj_id) AS hi,
+                 sum(CASE WHEN subj_id < obj_id THEN 1 ELSE 2 END) AS d
+          FROM nl GROUP BY 1, 2),
+        agg AS (
+          SELECT (count(*) + count(*) FILTER (WHERE d = 3))::BIGINT
+                   AS edges,
+                 (2 * count(*) FILTER (WHERE d = 3))::BIGINT AS recip
+          FROM und)
+        SELECT edges, recip AS reciprocal_edges,
+               CASE WHEN edges > 0
+                    THEN CAST(recip AS DOUBLE) / CAST(edges AS DOUBLE)
+                    ELSE 0.0 END AS reciprocity
+        FROM agg
+    """
+
+
+def _assortativity_sql() -> str:
+    """SQL twin of :func:`graphops.assortativity` — the six moment sums
+    in exact HUGEINT arithmetic (the engine uses Python ints), then the
+    identical double expression: ``(n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) ·
+    √(n·Σy² − (Σy)²))`` with int→double casts on both sides."""
+    return f"""
+        WITH {_graph_edge_prologue()},
+        xd AS (SELECT subj_id, count(*)::BIGINT AS x FROM e2 GROUP BY 1),
+        yd AS (SELECT obj_id, count(*)::BIGINT AS y FROM e2 GROUP BY 1),
+        j AS (SELECT x, y FROM e2
+              JOIN xd USING (subj_id) JOIN yd USING (obj_id)),
+        m AS (SELECT count(*)::HUGEINT AS n,
+                     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                     sum(x::HUGEINT * y) AS sxy,
+                     sum(x::HUGEINT * x) AS sxx,
+                     sum(y::HUGEINT * y) AS syy
+              FROM j)
+        SELECT CAST(n AS BIGINT) AS edges,
+               CASE WHEN (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                    ELSE 0.0 END AS assortativity
+        FROM m
+    """
+
+
+def _bowtie_sql(max_hops: int = 15) -> str:
+    """SQL twin of :func:`graphops.bowtie` — the forward and backward
+    reachable sets as two recursive CTEs from the shared seed rule
+    (argmax out-weight, min-id tie-break), classified per node; empty
+    regions drop out of the GROUP BY on both engines."""
+    return f"""
+        WITH RECURSIVE tr AS (SELECT subj, pred, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        edg AS MATERIALIZED (
+          SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+                 {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+                 count(*)::BIGINT AS weight
+          FROM tr GROUP BY 1, 2, 3),
+        ends AS (SELECT subj_id AS entity_id, weight AS w_out FROM edg
+                 UNION ALL SELECT obj_id, 0 FROM edg),
+        nodes AS MATERIALIZED (
+          SELECT entity_id, sum(w_out)::BIGINT AS w_out
+          FROM ends GROUP BY entity_id),
+        seed AS (SELECT entity_id FROM nodes
+                 ORDER BY w_out DESC, entity_id ASC LIMIT 1),
+        e2 AS MATERIALIZED (SELECT DISTINCT subj_id, obj_id FROM edg),
+        fw(node, hop) AS (
+          SELECT entity_id, 0 FROM seed
+          UNION
+          SELECT e.obj_id, f.hop + 1
+          FROM fw f JOIN e2 e ON e.subj_id = f.node
+          WHERE f.hop < {max_hops}),
+        bw(node, hop) AS (
+          SELECT entity_id, 0 FROM seed
+          UNION
+          SELECT e.subj_id, b.hop + 1
+          FROM bw b JOIN e2 e ON e.obj_id = b.node
+          WHERE b.hop < {max_hops}),
+        f1 AS (SELECT DISTINCT node FROM fw),
+        b1 AS (SELECT DISTINCT node FROM bw),
+        cls AS (
+          SELECT n.entity_id,
+                 CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL
+                        THEN 'core'
+                      WHEN b.node IS NOT NULL THEN 'in'
+                      WHEN f.node IS NOT NULL THEN 'out'
+                      ELSE 'other' END AS region
+          FROM nodes n
+          LEFT JOIN f1 f ON f.node = n.entity_id
+          LEFT JOIN b1 b ON b.node = n.entity_id)
+        SELECT region, count(*)::BIGINT AS n_nodes
+        FROM cls GROUP BY region
+    """
 
 
 def _kcore_sql(k: int = 3, max_iters: int = 30) -> str:
@@ -3529,6 +3687,9 @@ def oracle_sql() -> dict[str, str]:
         "cc_section_graph": _sql_section_graph(),
         # HITS: the same fixed-point integer unroll idea as kg_pagerank
         "kg_hits": _hits_sql(),
+        "kg_reciprocity": _reciprocity_sql(),
+        "kg_assortativity": _assortativity_sql(),
+        "kg_bowtie": _bowtie_sql(),
         # token-level confusion matrix: predicted BIO reconstructed in SQL
         # from mention spans, truth from the corpus gold table
         "kg_confusion": f"""
@@ -3579,6 +3740,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_random_walks_bsp"] = out["kg_random_walks"]
     out["kg_kcore_bsp"] = out["kg_kcore"]
     out["kg_hits_bsp"] = out["kg_hits"]
+    out["kg_bowtie_bsp"] = out["kg_bowtie"]
     return out
 
 

@@ -220,6 +220,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     scaling behavior is actually visible."""
     from promptner_ray.functions.graphbsp import (
         bfs_bsp,
+        bowtie_bsp,
         components_bsp,
         hits_bsp,
         k_core_bsp,
@@ -227,13 +228,16 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         random_walks_bsp,
     )
     from promptner_ray.functions.graphops import (
+        assortativity,
         bfs_hops,
+        bowtie,
         connected_components,
         hits,
         k_core,
         node_degrees,
         pagerank,
         random_walks,
+        reciprocity,
         triangle_counts,
     )
 
@@ -275,6 +279,13 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         ("web_triangles", triangle_counts),
         ("web_hits", lambda e: hits(e, iters=pr_iters)),
         ("web_hits_bsp", lambda e: hits_bsp(e, iters=pr_iters)),
+        ("web_reciprocity", reciprocity),
+        ("web_assortativity", assortativity),
+        ("web_bowtie", lambda e: bowtie(e, source=int(hub), max_hops=8)),
+        (
+            "web_bowtie_bsp",
+            lambda e: bowtie_bsp(e, source=int(hub), max_hops=8),
+        ),
     ):
         t0 = time.monotonic()
         fn(edges).count()

@@ -1640,3 +1640,29 @@ def replicate_edges(edges, k: int, batch_size: int = 65536):
     return edges.map_batches(
         rep, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def bowtie_bsp(
+    edges,
+    source: int,
+    max_hops: int = 15,
+    num_partitions: int | None = None,
+):
+    """edges(subj_id, obj_id, …) → (region, n_nodes): the Broder
+    bow-tie decomposition with BOTH reachability passes on the BSP
+    actor pool — identical output to :func:`graphops.bowtie` (bfs_bsp
+    is bit-identical to the dataflow BFS, and the classify tail is
+    literally shared), so one oracle covers both plans.  The dataflow
+    twin pays ~2 exchanges per hop per direction; here each pass ships
+    frontier positions over static shards."""
+    from .graphops import _bowtie_classify, _swap_edges
+
+    edges = edges.materialize()
+    fwd = bfs_bsp(edges, source, max_hops, num_partitions)
+    bwd = bfs_bsp(
+        edges.map_batches(_swap_edges, batch_format="pyarrow"),
+        source,
+        max_hops,
+        num_partitions,
+    )
+    return _bowtie_classify(edges, fwd, bwd, num_partitions)

@@ -2273,3 +2273,334 @@ def label_propagation(
         ),
         batch_format="pyarrow",
     )
+
+
+def reciprocity(edges, num_partitions: int | None = None):
+    """edges(subj_id, obj_id, …) → ONE row (edges, reciprocal_edges,
+    reciprocity): the fraction of distinct directed non-loop edges
+    (u, v) whose mirror (v, u) also exists — the classic web-graph
+    link-symmetry statistic (directed reciprocity, Garlaschelli &
+    Loffredo 2004's r without the density correction).
+
+    Plan: distinct (src, dst) pairs via one grouped exchange, collapse
+    each pair onto its undirected key with a direction flag (1 for
+    src < dst, 2 for src > dst — distinct pairs make the flag-sum
+    injective: 3 ⇔ both directions present), one more grouped Sum, then
+    constant-size per-block partials reduced on the driver as bare Ray
+    tasks.  Nothing graph-sized ever reaches the driver.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..shuffle import hash_grouped
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        src = t.column("subj_id").cast(pa.int64())
+        dst = t.column("obj_id").cast(pa.int64())
+        keep = pc.invert(pc.equal(src, dst))  # reciprocity of loops is moot
+        return pa.table({"src": src.filter(keep), "dst": dst.filter(keep)})
+
+    pairs = hash_grouped(
+        edges.map_batches(to_pairs, batch_format="pyarrow"),
+        ["src", "dst"],
+        [],
+        num_partitions=num_partitions,
+    ).materialize()
+    num_partitions = _iter_partitions(pairs.count(), num_partitions)
+
+    def flagged(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table(
+                {
+                    "lo": pa.array([], type=pa.int64()),
+                    "hi": pa.array([], type=pa.int64()),
+                    "d": pa.array([], type=pa.int64()),
+                }
+            )
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(src, dst)),
+                "hi": pa.array(np.maximum(src, dst)),
+                "d": pa.array(np.where(src < dst, 1, 2).astype(np.int64)),
+            }
+        )
+
+    und = hash_grouped(
+        pairs.map_batches(flagged, batch_format="pyarrow"),
+        ["lo", "hi"],
+        [("d", "sum")],
+        rename={"d_sum": "d"},
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def partial(t: pa.Table):
+        if t.num_rows == 0 or "d" not in t.column_names:
+            return 0, 0
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        both = int((d == 3).sum())
+        n_edges = int(len(d)) + both  # pairs with d == 3 carry 2 edges
+        return n_edges, both
+
+    part_task = ray.remote(num_cpus=0.25)(partial)
+    parts = ray.get([part_task.remote(r) for r in und.to_arrow_refs()])
+    n_edges = sum(p[0] for p in parts)
+    n_recip = 2 * sum(p[1] for p in parts)
+    # same final float op on both engines: int64 → float64 casts are
+    # deterministic, one IEEE division
+    ratio = (float(n_recip) / float(n_edges)) if n_edges else 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "edges": pa.array([n_edges], type=pa.int64()),
+                "reciprocal_edges": pa.array([n_recip], type=pa.int64()),
+                "reciprocity": pa.array([ratio], type=pa.float64()),
+            }
+        )
+    )
+
+
+def assortativity(edges, num_partitions: int | None = None):
+    """edges(subj_id, obj_id, …) → ONE row (edges, assortativity): the
+    out-degree/in-degree Pearson correlation across distinct directed
+    edges — Newman 2002's degree assortativity in its directed
+    (out, in) flavor, the standard web-graph "do hubs link to hubs"
+    summary.  Degrees are distinct-neighbor counts (structure, not
+    mention weight).
+
+    Plan: distinct (src, dst) pairs, per-endpoint degree tables (two
+    grouped exchanges), two ``local_hash_join`` hops to land x =
+    out_deg(src) and y = in_deg(dst) on each edge, then constant-size
+    per-block moment partials (n, Σx, Σy, Σxy, Σx², Σy² as Python ints
+    — exact at any scale) reduced on the driver.  The final correlation
+    is computed from the six exact integers with one float expression
+    replayed verbatim by the DuckDB twin (int→double casts and IEEE
+    ops are deterministic on both engines).
+    """
+    import numpy as np
+    import ray
+
+    from ..shuffle import hash_grouped, local_hash_join
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("subj_id").cast(pa.int64()),
+                "dst": t.column("obj_id").cast(pa.int64()),
+            }
+        )
+
+    pairs = hash_grouped(
+        edges.map_batches(to_pairs, batch_format="pyarrow"),
+        ["src", "dst"],
+        [],
+        num_partitions=num_partitions,
+    ).materialize()
+    num_partitions = _iter_partitions(pairs.count(), num_partitions)
+
+    def count_col(col: str, out: str):
+        return hash_grouped(
+            pairs,
+            [col],
+            [("src" if col == "dst" else "dst", "count")],
+            rename={("src_count" if col == "dst" else "dst_count"): out},
+            num_partitions=num_partitions,
+        )
+
+    out_deg = count_col("src", "x")  # (src, x = out-degree)
+    in_deg = count_col("dst", "y")  # (dst, y = in-degree)
+
+    with_x = local_hash_join(
+        pairs,
+        out_deg,
+        on=["src"],
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("src", pa.int64()), ("x", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    with_xy = local_hash_join(
+        with_x,
+        in_deg,
+        on=["dst"],
+        left_schema=pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("x", pa.int64())]
+        ),
+        right_schema=pa.schema([("dst", pa.int64()), ("y", pa.int64())]),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def moments(t: pa.Table):
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return 0, 0, 0, 0, 0, 0
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(object)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(object)
+        # object dtype: Python-int sums never overflow at any scale
+        return (
+            t.num_rows,
+            int((x).sum()),
+            int((y).sum()),
+            int((x * y).sum()),
+            int((x * x).sum()),
+            int((y * y).sum()),
+        )
+
+    mom_task = ray.remote(num_cpus=0.25)(moments)
+    parts = ray.get([mom_task.remote(r) for r in with_xy.to_arrow_refs()])
+    n = sum(p[0] for p in parts)
+    sx = sum(p[1] for p in parts)
+    sy = sum(p[2] for p in parts)
+    sxy = sum(p[3] for p in parts)
+    sxx = sum(p[4] for p in parts)
+    syy = sum(p[5] for p in parts)
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    if d1 > 0 and d2 > 0:
+        import math
+
+        r = float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+    else:
+        r = 0.0  # degenerate degree distribution: defined as 0 (SQL CASE)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "edges": pa.array([n], type=pa.int64()),
+                "assortativity": pa.array([r], type=pa.float64()),
+            }
+        )
+    )
+
+
+def bowtie(
+    edges,
+    source: int,
+    max_hops: int = 15,
+    num_partitions: int | None = None,
+):
+    """edges(subj_id, obj_id, …) → (region, n_nodes): the Broder et al.
+    2000 bow-tie decomposition of the directed graph around ``source``
+    (in practice the top hub of the giant SCC): ``core`` = nodes both
+    forward- and backward-reachable from the seed within ``max_hops``,
+    ``in`` = backward-only (they can reach the seed), ``out`` =
+    forward-only, ``other`` = the remainder (Broder's TENDRILS +
+    DISCONNECTED, which one seed's two BFS passes cannot split —
+    documented approximation, standard for web-scale graphs).
+
+    Plan: two :func:`bfs_hops` frontier expansions (forward, and
+    backward over the swapped edge list), then one tag-sum exchange:
+    every node contributes 0, forward-reached nodes add 1,
+    backward-reached add 2 — the per-node sum (0–3) IS the region.  The
+    region histogram leaves each partition as ≤4 rows.
+    """
+    edges = edges.materialize()
+    fwd = bfs_hops(edges, source, max_hops, num_partitions)
+    bwd = bfs_hops(
+        edges.map_batches(_swap_edges, batch_format="pyarrow"),
+        source,
+        max_hops,
+        num_partitions,
+    )
+    return _bowtie_classify(edges, fwd, bwd, num_partitions)
+
+
+def _swap_edges(t: pa.Table) -> pa.Table:
+    import numpy as np
+
+    return pa.table(
+        {
+            "subj_id": t.column("obj_id").cast(pa.int64()),
+            "obj_id": t.column("subj_id").cast(pa.int64()),
+            # weight rides along for consumers that build degree tables
+            # (the BSP twin's shard setup); BFS semantics ignore it
+            "weight": (
+                t.column("weight").cast(pa.int64())
+                if "weight" in t.column_names
+                else pa.array(np.ones(t.num_rows, dtype=np.int64))
+            ),
+        }
+    )
+
+
+def _bowtie_classify(edges, fwd, bwd, num_partitions: int | None):
+    """Shared classify/histogram tail of the bow-tie twins: node set ←
+    degrees, tag-sum exchange (0 + 1·forward + 2·backward = region),
+    constant-size per-block histogram partials reduced on the driver."""
+    import numpy as np
+    import ray
+
+    from ..shuffle import hash_grouped
+
+    deg = node_degrees(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "subj_id": t.column("subj_id").cast(pa.int64()),
+                    "obj_id": t.column("obj_id").cast(pa.int64()),
+                    "weight": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        num_partitions=num_partitions,
+    )
+
+    def tag(value: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "entity_id" not in t.column_names:
+                return pa.table(
+                    {
+                        "entity_id": pa.array([], type=pa.int64()),
+                        "t": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "entity_id": t.column("entity_id").cast(pa.int64()),
+                    "t": pa.array(
+                        np.full(t.num_rows, value, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = (
+        deg.map_batches(tag(0), batch_format="pyarrow")
+        .union(fwd.map_batches(tag(1), batch_format="pyarrow"))
+        .union(bwd.map_batches(tag(2), batch_format="pyarrow"))
+    )
+    sums = hash_grouped(
+        tagged,
+        ["entity_id"],
+        [("t", "sum")],
+        rename={"t_sum": "t"},
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def counts(t: pa.Table):
+        out = [0, 0, 0, 0]
+        if t.num_rows and "t" in t.column_names:
+            v = t.column("t").to_numpy(zero_copy_only=False)
+            for k in range(4):
+                out[k] = int((v == k).sum())
+        return tuple(out)
+
+    cnt_task = ray.remote(num_cpus=0.25)(counts)
+    parts = ray.get([cnt_task.remote(r) for r in sums.to_arrow_refs()])
+    totals = [sum(p[k] for p in parts) for k in range(4)]
+    names = ["other", "out", "in", "core"]  # index = tag sum
+    keep = [(names[k], totals[k]) for k in range(4) if totals[k] > 0]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "region": pa.array([k for k, _ in keep]),
+                "n_nodes": pa.array(
+                    [v for _, v in keep], type=pa.int64()
+                ),
+            }
+        )
+    )

@@ -507,3 +507,23 @@ def test_hits_bsp_handle_reuse(ray_session) -> None:
         five = scores(h.run(iters=5))
     assert one.equals(scores(hits(ds, iters=1)))
     assert five.equals(scores(hits(ds, iters=5)))
+
+
+def test_bowtie_bsp_matches_dataflow(ray_session) -> None:
+    from promptner_ray.functions.graphbsp import bowtie_bsp
+    from promptner_ray.functions.graphops import bowtie
+
+    edges = _random_edges(41, 120, 400)
+    edges += [(500, 0, 1), (1, 600, 1)]  # guaranteed in/out around 0
+    ds = ray.data.from_arrow(_edge_table(edges))
+
+    def hist(d):
+        return (
+            d.to_pandas()
+            .sort_values("region")
+            .reset_index(drop=True)
+        )
+
+    want = hist(bowtie(ds, source=0, max_hops=6))
+    got = hist(bowtie_bsp(ds, source=0, max_hops=6))
+    assert want.equals(got)

@@ -635,3 +635,116 @@ def test_hits_star_graph_roles(ray_session) -> None:
     assert hubs[0] > hubs[99] >= 0
     # the pure-sink node 100 has zero hub mass, nonzero authority
     assert hubs[100] == 0.0 and byid["auth"][100] > 0
+
+
+def test_reciprocity_brute_force(ray_session) -> None:
+    """reciprocity == exhaustive mirror lookup over the distinct
+    non-loop edge set, including a self-loop (ignored), a mutual pair,
+    and a duplicate edge (deduped before counting)."""
+    from promptner_ray.functions.graphops import reciprocity
+
+    rng = np.random.default_rng(11)
+    edges = sorted(
+        {
+            (int(s), int(t))
+            for s, t in rng.integers(0, 60, size=(400, 2))
+        }
+    )
+    edges += [(5, 5), edges[0]]  # self-loop + duplicate
+    tbl = _edge_table([(s, t, 1) for s, t in edges])
+    dedges = {(s, t) for s, t in edges if s != t}
+    n_recip = sum(1 for (s, t) in dedges if (t, s) in dedges)
+    row = reciprocity(ray.data.from_arrow(tbl)).to_pandas().iloc[0]
+    assert row["edges"] == len(dedges)
+    assert row["reciprocal_edges"] == n_recip
+    assert row["reciprocity"] == n_recip / len(dedges)
+
+
+def test_assortativity_brute_force(ray_session) -> None:
+    """assortativity == the Pearson correlation of (out_deg(src),
+    in_deg(dst)) over the distinct directed edges, computed exactly."""
+    import math
+
+    from promptner_ray.functions.graphops import assortativity
+
+    rng = np.random.default_rng(13)
+    dedges = sorted(
+        {
+            (int(s), int(t))
+            for s, t in rng.integers(0, 50, size=(300, 2))
+        }
+    )
+    tbl = _edge_table([(s, t, 1) for s, t in dedges])
+    outd: dict[int, int] = {}
+    ind: dict[int, int] = {}
+    for s, t in dedges:
+        outd[s] = outd.get(s, 0) + 1
+        ind[t] = ind.get(t, 0) + 1
+    xs = [outd[s] for s, t in dedges]
+    ys = [ind[t] for s, t in dedges]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    want = float(n * sxy - sx * sy) / (
+        math.sqrt(float(n * sxx - sx * sx))
+        * math.sqrt(float(n * syy - sy * sy))
+    )
+    row = assortativity(ray.data.from_arrow(tbl)).to_pandas().iloc[0]
+    assert row["edges"] == n
+    assert row["assortativity"] == want  # bit-exact, not approx
+
+
+def test_assortativity_degenerate_is_zero(ray_session) -> None:
+    """A k-regular graph has zero degree variance on both ends — the
+    correlation is undefined and pinned to 0.0 (the SQL CASE twin)."""
+    from promptner_ray.functions.graphops import assortativity
+
+    ring = [(i, (i + 1) % 6, 1) for i in range(6)]
+    row = (
+        assortativity(ray.data.from_arrow(_edge_table(ring)))
+        .to_pandas()
+        .iloc[0]
+    )
+    assert row["assortativity"] == 0.0
+
+
+def test_bowtie_hand_computed(ray_session) -> None:
+    """Hand-built bow-tie: a 3-cycle core {0,1,2}, an IN node 10 → 0,
+    an OUT node 2 → 20, and a disconnected pair 30 → 31."""
+    from promptner_ray.functions.graphops import bowtie
+
+    edges = [
+        (0, 1, 1), (1, 2, 1), (2, 0, 1),  # core cycle
+        (10, 0, 1),  # IN: reaches the seed, unreachable from it
+        (2, 20, 1),  # OUT
+        (30, 31, 1),  # neither direction
+    ]
+    got = {
+        r["region"]: r["n_nodes"]
+        for _, r in bowtie(
+            ray.data.from_arrow(_edge_table(edges)), source=0
+        )
+        .to_pandas()
+        .iterrows()
+    }
+    assert got == {"core": 3, "in": 1, "out": 1, "other": 2}
+
+
+def test_bowtie_depth_cap(ray_session) -> None:
+    """max_hops caps both BFS passes: a chain longer than the cap
+    pushes the far tail into `other`."""
+    from promptner_ray.functions.graphops import bowtie
+
+    chain = [(i, i + 1, 1) for i in range(6)]  # 0 → 1 → … → 6
+    got = {
+        r["region"]: r["n_nodes"]
+        for _, r in bowtie(
+            ray.data.from_arrow(_edge_table(chain)), source=0, max_hops=3
+        )
+        .to_pandas()
+        .iterrows()
+    }
+    # seed itself is `core` (hop 0 in both passes); 1..3 are OUT within
+    # the cap; 4..6 are beyond it
+    assert got == {"core": 1, "out": 3, "other": 3}
