@@ -653,6 +653,32 @@ def _kg_bowtie(sf_dir: str):
     return bowtie(edges, source=_top_hub(edges))
 
 
+def _kg_hyperball(sf_dir: str):
+    """HyperBall neighborhood function (Boldi & Vigna 2013): per-node
+    estimated 4-hop ball size from 16-register HLL sketches max-merged
+    along the edges — the web-scale effective-diameter primitive.  The
+    DOUBLE estimate is hash-exact vs the oracle (fixed-order float sum,
+    shared α·m² literal, libm ln)."""
+    from promptner_ray.functions.hyperball import hyperball
+
+    return hyperball(_kg_edges(sf_dir))
+
+
+def _hyperball_sql() -> str:
+    from promptner_ray.functions.hyperball import sql_hyperball
+
+    return sql_hyperball(_graph_edge_prologue())
+
+
+def _kg_hyperball_bsp(sf_dir: str):
+    """Same ball estimates on the BSP actor pool (16-wide register
+    messages over static shards — graphbsp.hyperball_bsp); bit-identical,
+    shared oracle."""
+    from promptner_ray.functions.graphbsp import hyperball_bsp
+
+    return hyperball_bsp(_kg_edges(sf_dir))
+
+
 def _kg_bowtie_bsp(sf_dir: str):
     """Same bow-tie regions with both reachability passes on the BSP
     actor pool (graphbsp.bowtie_bsp) — identical output, shared
@@ -1349,6 +1375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": _kg_assortativity,
         "kg_bowtie": _kg_bowtie,
         "kg_bowtie_bsp": _kg_bowtie_bsp,
+        # HyperBall h-hop ball sizes (HLL register max-merge per round)
+        "kg_hyperball": _kg_hyperball,
+        "kg_hyperball_bsp": _kg_hyperball_bsp,
         # same scores on the BSP actor-pool plan (both edge directions
         # resident per shard — graphbsp.HITSBSP); bit-identical, so the
         # oracle is the same unrolled replay
@@ -3690,6 +3719,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_reciprocity": _reciprocity_sql(),
         "kg_assortativity": _assortativity_sql(),
         "kg_bowtie": _bowtie_sql(),
+        "kg_hyperball": _hyperball_sql(),
         # token-level confusion matrix: predicted BIO reconstructed in SQL
         # from mention spans, truth from the corpus gold table
         "kg_confusion": f"""
@@ -3741,6 +3771,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_kcore_bsp"] = out["kg_kcore"]
     out["kg_hits_bsp"] = out["kg_hits"]
     out["kg_bowtie_bsp"] = out["kg_bowtie"]
+    out["kg_hyperball_bsp"] = out["kg_hyperball"]
     return out
 
 

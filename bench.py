@@ -223,10 +223,12 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         bowtie_bsp,
         components_bsp,
         hits_bsp,
+        hyperball_bsp,
         k_core_bsp,
         pagerank_bsp,
         random_walks_bsp,
     )
+    from promptner_ray.functions.hyperball import hyperball
     from promptner_ray.functions.graphops import (
         assortativity,
         bfs_hops,
@@ -286,6 +288,8 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
             "web_bowtie_bsp",
             lambda e: bowtie_bsp(e, source=int(hub), max_hops=8),
         ),
+        ("web_hyperball", lambda e: hyperball(e, iters=pr_iters)),
+        ("web_hyperball_bsp", lambda e: hyperball_bsp(e, iters=pr_iters)),
     ):
         t0 = time.monotonic()
         fn(edges).count()

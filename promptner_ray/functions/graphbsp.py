@@ -1666,3 +1666,243 @@ def bowtie_bsp(
         num_partitions,
     )
     return _bowtie_classify(edges, fwd, bwd, num_partitions)
+
+
+class _HyperBallShard:
+    """One HyperBall BSP worker: owns the nodes with ``h(node) == part``
+    and the edges with ``h(obj) == part`` — the ball recurrence
+    ``ball(v) ∪= ball(u)`` for every edge (v, u) reads the LOCAL sketch
+    at the edge's object end and messages the subject end, i.e. exactly
+    :class:`_HITSShard`'s reverse direction, with a 16-wide int64
+    register payload and element-wise max as the combiner."""
+
+    def __init__(self, part: int, n_parts: int):
+        self.part = part
+        self.n_parts = n_parts
+
+    def load(self, node_refs, edge_refs) -> int:
+        import ray
+
+        from .hyperball import _init_registers
+
+        nodes = [t for t in ray.get(list(node_refs)) if t.num_rows]
+        if nodes:
+            ids = (
+                pa.concat_tables(nodes)
+                .column("entity_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            self.ids = np.sort(ids, kind="stable")
+        else:
+            self.ids = np.empty(0, dtype=np.int64)
+        init = _init_registers(
+            pa.table({"entity_id": pa.array(self.ids, type=pa.int64())})
+        )
+        self.init_regs = np.stack(
+            [
+                init.column(c).to_numpy(zero_copy_only=False)
+                for c in init.column_names[1:]
+            ],
+            axis=1,
+        ).astype(np.int64) if len(self.ids) else np.empty(
+            (0, 16), dtype=np.int64
+        )
+        self.regs = self.init_regs.copy()
+
+        edges = [t for t in ray.get(list(edge_refs)) if t.num_rows]
+        if edges:
+            et = pa.concat_tables(edges)
+            src = et.column("src").to_numpy(zero_copy_only=False)
+            dst = et.column("dst").to_numpy(zero_copy_only=False)
+            # messages flow dst-home → src-home; combine per distinct src
+            spart = _part_of(src, self.n_parts)
+            order = np.lexsort((src, spart))
+            src, dst, spart = src[order], dst[order], spart[order]
+            self.dst_idx = np.searchsorted(self.ids, dst).astype(np.intp)
+            starts = np.flatnonzero(
+                np.r_[True, src[1:] != src[:-1]]
+            ).astype(np.intp)
+            self.starts = starts
+            self.msg_src = src[starts]
+            self.jbounds = np.searchsorted(
+                spart[starts], np.arange(self.n_parts + 1)
+            )
+        else:
+            self.dst_idx = np.empty(0, dtype=np.intp)
+            self.starts = np.empty(0, dtype=np.intp)
+            self.msg_src = np.empty(0, dtype=np.int64)
+            self.jbounds = np.zeros(self.n_parts + 1, dtype=np.int64)
+        return len(self.ids)
+
+    def structure(self):
+        return [
+            self.msg_src[self.jbounds[j]: self.jbounds[j + 1]]
+            for j in range(self.n_parts)
+        ]
+
+    def gather_structure(self, *id_arrays) -> None:
+        arrs: list[np.ndarray] = []
+        for a in id_arrays:
+            if isinstance(a, list):  # n_parts == 1 flatten
+                arrs.extend(np.asarray(x) for x in a)
+            else:
+                arrs.append(np.asarray(a))
+        all_ids = (
+            np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        )
+        idx = np.searchsorted(self.ids, all_ids).astype(np.intp)
+        order = np.argsort(idx, kind="stable")
+        sidx = idx[order]
+        gstarts = np.flatnonzero(
+            np.r_[True, sidx[1:] != sidx[:-1]]
+        ).astype(np.intp)
+        self.g_order = order
+        self.g_starts = gstarts
+        self.g_target = sidx[gstarts] if len(sidx) else sidx
+
+    def reset(self) -> None:
+        self.regs = self.init_regs.copy()
+
+    def scatter(self):
+        """One round's outgoing combined sketches: per distinct source
+        node, the element-wise max of its out-neighbors' registers."""
+        c = self.regs[self.dst_idx]
+        sums = (
+            np.maximum.reduceat(c, self.starts, axis=0)
+            if len(self.starts)
+            else np.empty((0, c.shape[1] if c.ndim == 2 else 16),
+                          dtype=np.int64)
+        )
+        jb = self.jbounds
+        return [sums[jb[j]: jb[j + 1]] for j in range(self.n_parts)]
+
+    def gather(self, *values) -> None:
+        if values:
+            arrs: list[np.ndarray] = []
+            for v in values:
+                if isinstance(v, list):  # n_parts == 1 flatten
+                    arrs.extend(np.asarray(x) for x in v)
+                else:
+                    arrs.append(np.asarray(v))
+            # empties must stay: row order aligns with gather_structure
+            if arrs and sum(len(a) for a in arrs):
+                all_c = np.concatenate(arrs, axis=0)
+                sc = all_c[self.g_order]
+                merged = np.maximum.reduceat(sc, self.g_starts, axis=0)
+                # fancy indexing yields a copy — assign, don't `out=`
+                self.regs[self.g_target] = np.maximum(
+                    self.regs[self.g_target], merged
+                )
+
+    def result(self) -> pa.Table:
+        from .hyperball import REG_COLS, _estimate_batch
+
+        regs_tbl = pa.table(
+            {
+                "entity_id": pa.array(self.ids, type=pa.int64()),
+                **{
+                    c: pa.array(self.regs[:, j])
+                    for j, c in enumerate(REG_COLS)
+                },
+            }
+        )
+        return _estimate_batch(regs_tbl)
+
+
+def hyperball_bsp(edges, iters: int = 4, num_partitions: int | None = None):
+    """edges(subj_id, obj_id, …) → (entity_id, ball_est): bit-identical
+    to :func:`hyperball.hyperball` (element-wise register max commutes;
+    the estimate expression is literally shared), computed on a BSP
+    actor pool — the scale path: per round one scatter/gather wave of
+    combined 16-wide register messages over static shards, against the
+    dataflow plan's per-round join + 16-column grouped-Max exchanges."""
+    import ray
+
+    from ..shuffle import default_partitions, hash_grouped
+
+    n_parts = num_partitions or default_partitions()
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("subj_id").cast(pa.int64()),
+                "dst": t.column("obj_id").cast(pa.int64()),
+            }
+        )
+
+    pairs = hash_grouped(
+        edges.map_batches(to_pairs, batch_format="pyarrow"),
+        ["src", "dst"],
+        [],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"entity_id": pa.array([], type=pa.int64())})
+        both = pa.concat_arrays(
+            [
+                t.column("src").combine_chunks(),
+                t.column("dst").combine_chunks(),
+            ]
+        )
+        return pa.table({"entity_id": both.unique()})
+
+    nodes = hash_grouped(
+        pairs.map_batches(to_nodes, batch_format="pyarrow"),
+        ["entity_id"],
+        [],
+        num_partitions=num_partitions,
+    )
+    node_refs = _partition_refs(nodes, "entity_id", n_parts)
+    edge_refs = _partition_refs(pairs, "dst", n_parts)
+
+    total_cpus = ray.cluster_resources().get("CPU", float(n_parts))
+    cpus_per_actor = max(
+        0.01, min(1.0, int((total_cpus - 1) * 100 / n_parts) / 100)
+    )
+    Shard = ray.remote(num_cpus=cpus_per_actor)(_HyperBallShard)
+    actors = [Shard.remote(p, n_parts) for p in range(n_parts)]
+    try:
+        ray.get(
+            [
+                a.load.remote(node_refs[p], edge_refs[p])
+                for p, a in enumerate(actors)
+            ]
+        )
+        struct = [
+            a.structure.options(num_returns=n_parts).remote()
+            for a in actors
+        ]
+        if n_parts == 1:
+            struct = [[s] for s in struct]
+        ray.get(
+            [
+                actors[j].gather_structure.remote(
+                    *[struct[i][j] for i in range(n_parts)]
+                )
+                for j in range(n_parts)
+            ]
+        )
+        for _ in range(iters):
+            scat = [
+                a.scatter.options(num_returns=n_parts).remote()
+                for a in actors
+            ]
+            if n_parts == 1:
+                scat = [[s] for s in scat]
+            ray.get(
+                [
+                    actors[j].gather.remote(
+                        *[scat[i][j] for i in range(n_parts)]
+                    )
+                    for j in range(n_parts)
+                ]
+            )
+        result_refs = [a.result.remote() for a in actors]
+        ray.get(result_refs)  # seal before the actors die
+        return ray.data.from_arrow_refs(result_refs)
+    finally:
+        for a in actors:
+            ray.kill(a)

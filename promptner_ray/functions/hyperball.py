@@ -1,0 +1,268 @@
+"""HyperBall: per-node neighborhood-function estimation over a directed
+graph (Boldi & Vigna 2013, "In-Core Computation of Geometric
+Centralities with HyperBall") — the standard web-graph tool behind
+"what is the effective diameter / how big is each page's h-hop ball"
+at billions of nodes, where exact per-node reachability is hopeless.
+
+Each node carries one tiny HyperLogLog sketch (here p = 4 → 16
+registers, the paper's low end; the per-node state is what must fit in
+memory at web scale, and accuracy is a disclosed ±~26% standard error).
+``ball(v, h) = {v} ∪ ⋃_{(v,u)∈E} ball(u, h−1)``, and because an HLL
+union is an element-wise register max, one iteration is exactly a
+grouped-Max exchange over the register vectors — the same shape as one
+PageRank round, with a 16-wide int64 payload instead of one scalar.
+
+Determinism discipline (same as :mod:`.hll`): registers derive from
+``md5(str(entity_id))`` with the register/rank split the DuckDB twin
+recomputes bit-exactly; element-wise max commutes, so the register
+table is identical at any partition count.  The float estimate is
+derived from the integer registers with a FIXED-ORDER 16-term float
+sum, a precomputed ``α·m²`` literal shared with the SQL string, and a
+16-entry linear-counting lookup table (``m·ln(m/V)``, ``math.log`` =
+libm = DuckDB ``ln``) — so even the DOUBLE column hash-matches the
+oracle.
+
+Scale notes: per-round exchange volume is |E| + |V| rows of 17 int64s;
+per-node state is 16 int64s (the paper packs 5-bit registers — a
+representation detail this Arrow layout trades for vectorized max).
+No broadcast, no driver-side state beyond the loop counter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+P_HB = 4  # 16 registers/node: the HyperBall paper's in-core low end
+M_HB = 1 << P_HB
+_W_HB = 64 - P_HB  # 60-bit rank suffix
+_REST_MASK_HB = (1 << _W_HB) - 1
+REG_COLS = [f"r{j}" for j in range(M_HB)]
+#: α·m² for p=4 (Flajolet constant 0.673), precomputed ONCE and inlined
+#: into the SQL twin so both engines divide by the identical literal
+ALPHA_M2 = 0.673 * M_HB * M_HB
+#: linear-counting lookup: V zero registers → m·ln(m/V); index 0 unused
+_LIN_EST = np.array(
+    [0.0] + [float(M_HB) * math.log(float(M_HB) / v) for v in range(1, M_HB + 1)]
+)
+
+
+def _reg_schema() -> pa.Schema:
+    return pa.schema(
+        [("entity_id", pa.int64())] + [(c, pa.int64()) for c in REG_COLS]
+    )
+
+
+def _empty_regs() -> pa.Table:
+    return pa.table(
+        {
+            "entity_id": pa.array([], type=pa.int64()),
+            **{c: pa.array([], type=pa.int64()) for c in REG_COLS},
+        }
+    )
+
+
+def _init_registers(t: pa.Table) -> pa.Table:
+    """(entity_id) → entity_id + 16 register columns: the h = 0 sketch
+    holds exactly the node's own hash (ball(v, 0) = {v})."""
+    if t.num_rows == 0 or "entity_id" not in t.column_names:
+        return _empty_regs()
+    ids = t.column("entity_id").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    regs = np.zeros((len(ids), M_HB), dtype=np.int64)
+    for i, v in enumerate(ids):
+        hv = int.from_bytes(
+            hashlib.md5(str(int(v)).encode("utf-8")).digest()[:8], "big"
+        )
+        rest = hv & _REST_MASK_HB
+        regs[i, hv >> _W_HB] = _W_HB - rest.bit_length() + 1
+    cols = {"entity_id": pa.array(ids)}
+    for j, name in enumerate(REG_COLS):
+        cols[name] = pa.array(regs[:, j])
+    return pa.table(cols)
+
+
+def _estimate_batch(t: pa.Table) -> pa.Table:
+    """(entity_id, r0..r15) → (entity_id, ball_est): the bias-corrected
+    HLL estimate, every float op in an order the SQL twin replays."""
+    if t.num_rows == 0 or "r0" not in t.column_names:
+        return pa.table(
+            {
+                "entity_id": pa.array([], type=pa.int64()),
+                "ball_est": pa.array([], type=pa.float64()),
+            }
+        )
+    ranks = np.stack(
+        [
+            t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in REG_COLS
+        ],
+        axis=1,
+    )
+    pw = np.power(2.0, -ranks.astype(np.float64))  # exact powers of two
+    acc = pw[:, 0].copy()
+    for j in range(1, M_HB):  # fixed left-to-right order, as in the SQL
+        acc = acc + pw[:, j]
+    raw = ALPHA_M2 / acc
+    zeros = (ranks == 0).sum(axis=1)
+    lin = _LIN_EST[zeros]
+    est = np.where((raw <= 2.5 * M_HB) & (zeros > 0), lin, raw)
+    return pa.table(
+        {
+            "entity_id": t.column("entity_id"),
+            "ball_est": pa.array(est, type=pa.float64()),
+        }
+    )
+
+
+def hyperball(edges, iters: int = 4, num_partitions: int | None = None):
+    """edges(subj_id, obj_id, …) → (entity_id, ball_est): estimated
+    number of distinct nodes within ``iters`` directed hops of each
+    node (the node itself included).  See the module docstring for the
+    algorithm, determinism and scale arguments.
+
+    Plan per round: one ``local_hash_join`` landing each node's sketch
+    on its in-edges, then one 16-column grouped Max folding neighbor
+    sketches into the node's own — both exchanges sized to the data.
+    """
+    from ..shuffle import hash_grouped, local_hash_join
+    from .graphops import _iter_partitions
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_id": t.column("obj_id").cast(pa.int64()),
+                "subj": t.column("subj_id").cast(pa.int64()),
+            }
+        )
+
+    pairs = hash_grouped(
+        edges.map_batches(to_pairs, batch_format="pyarrow"),
+        ["entity_id", "subj"],
+        [],
+        num_partitions=num_partitions,
+    ).materialize()
+    num_partitions = _iter_partitions(pairs.count(), num_partitions)
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+
+        both = _pa.concat_arrays(
+            [
+                t.column("entity_id").combine_chunks(),
+                t.column("subj").combine_chunks(),
+            ]
+        )
+        return _pa.table({"entity_id": both.unique()})
+
+    nodes = hash_grouped(
+        pairs.map_batches(to_nodes, batch_format="pyarrow"),
+        ["entity_id"],
+        [],
+        num_partitions=num_partitions,
+    )
+    regs = nodes.map_batches(
+        _init_registers, batch_format="pyarrow"
+    ).materialize()
+
+    reg_schema = _reg_schema()
+    aggs = [(c, "max") for c in REG_COLS]
+    rename = {f"{c}_max": c for c in REG_COLS}
+
+    def to_subj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "subj" not in t.column_names:
+            return _empty_regs()
+        return pa.table(
+            {
+                "entity_id": t.column("subj"),
+                **{c: t.column(c) for c in REG_COLS},
+            }
+        )
+
+    for _ in range(iters):
+        msgs = local_hash_join(
+            pairs,
+            regs,
+            on=["entity_id"],
+            left_schema=pa.schema(
+                [("entity_id", pa.int64()), ("subj", pa.int64())]
+            ),
+            right_schema=reg_schema,
+            num_partitions=num_partitions,
+        ).map_batches(to_subj, batch_format="pyarrow")
+        regs = hash_grouped(
+            regs.union(msgs),
+            ["entity_id"],
+            aggs,
+            rename=rename,
+            num_partitions=num_partitions,
+        ).materialize()
+
+    return regs.map_batches(_estimate_batch, batch_format="pyarrow")
+
+
+def sql_hyperball(edge_cte: str, iters: int = 4) -> str:
+    """DuckDB twin of :func:`hyperball`.  ``edge_cte`` must define a
+    CTE named ``e2`` with DISTINCT (subj_id, obj_id) int64 columns (the
+    caller's hashed edge derivation); this appends the register
+    initialization and ``iters`` unrolled max-merge rounds, replaying
+    the engine's estimate expression term for term."""
+    reg_list = ", ".join(REG_COLS)
+    init_cases = ", ".join(
+        f"CASE WHEN reg = {j} THEN rnk ELSE 0 END AS r{j}"
+        for j in range(M_HB)
+    )
+    rounds = []
+    for h in range(1, iters + 1):
+        maxes = ", ".join(f"max(r{j})::BIGINT AS r{j}" for j in range(M_HB))
+        rounds.append(
+            f"""g{h} AS MATERIALIZED (
+          SELECT entity_id, {maxes} FROM (
+            SELECT entity_id, {reg_list} FROM g{h - 1}
+            UNION ALL
+            SELECT e.subj_id AS entity_id, {reg_list}
+            FROM e2 e JOIN g{h - 1} g ON g.entity_id = e.obj_id)
+          GROUP BY entity_id)"""
+        )
+    pw_sum = " + ".join(f"pow(2.0, -r{j})" for j in range(M_HB))
+    v_sum = " + ".join(
+        f"CASE WHEN r{j} = 0 THEN 1 ELSE 0 END" for j in range(M_HB)
+    )
+    rounds_sql = ",\n        ".join(rounds)
+    return f"""
+        WITH {edge_cte},
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT entity_id FROM (
+            SELECT subj_id AS entity_id FROM e2
+            UNION ALL SELECT obj_id FROM e2)),
+        hv AS (
+          SELECT entity_id,
+                 ('0x' || substr(md5(CAST(entity_id AS VARCHAR)), 1, 16))
+                   ::UBIGINT AS h
+          FROM nodes),
+        sr AS (
+          SELECT entity_id, (h >> {_W_HB})::BIGINT AS reg,
+                 (h & {_REST_MASK_HB}::UBIGINT) AS rest
+          FROM hv),
+        g0 AS MATERIALIZED (
+          SELECT entity_id, {init_cases} FROM (
+            SELECT entity_id, reg,
+                   CASE WHEN rest = 0 THEN {_W_HB + 1}
+                        ELSE {_W_HB + 1} - length(bin(rest)) END AS rnk
+            FROM sr)),
+        {rounds_sql},
+        fin AS (
+          SELECT entity_id,
+                 {ALPHA_M2!r} / ({pw_sum}) AS raw,
+                 ({v_sum}) AS v
+          FROM g{iters})
+        SELECT entity_id,
+               CASE WHEN raw <= {2.5 * M_HB!r} AND v > 0
+                    THEN {float(M_HB)!r} * ln({float(M_HB)!r} / v)
+                    ELSE raw END AS ball_est
+        FROM fin
+    """

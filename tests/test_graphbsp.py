@@ -527,3 +527,33 @@ def test_bowtie_bsp_matches_dataflow(ray_session) -> None:
     want = hist(bowtie(ds, source=0, max_hops=6))
     got = hist(bowtie_bsp(ds, source=0, max_hops=6))
     assert want.equals(got)
+
+
+def test_hyperball_bsp_bit_equal_across_partition_counts(ray_session) -> None:
+    """HyperBall on the BSP pool == the dataflow op, bit-for-bit
+    (element-wise register max commutes; the estimate expression is
+    shared) — including a sink, a source, and a duplicate edge."""
+    from promptner_ray.functions.graphbsp import hyperball_bsp
+    from promptner_ray.functions.hyperball import hyperball
+
+    edges = _random_edges(53, 200, 800)
+    edges.append((3, 4000, 1))  # sink
+    edges.append((5000, 7, 1))  # source
+    edges.append(edges[0])  # duplicate edge (deduped by both plans)
+    tbl = _edge_table(edges)
+
+    def balls(d):
+        return (
+            d.to_pandas()[["entity_id", "ball_est"]]
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+        )
+
+    want = balls(hyperball(ray.data.from_arrow(tbl), iters=3))
+    for n_parts in (1, 2, 5):
+        got = balls(
+            hyperball_bsp(
+                ray.data.from_arrow(tbl), iters=3, num_partitions=n_parts
+            )
+        )
+        assert want.equals(got), f"mismatch at num_partitions={n_parts}"
