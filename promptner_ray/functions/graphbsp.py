@@ -1393,11 +1393,78 @@ class _HITSShard:
             "order": order,
             "starts": gstarts,
             "target": sidx[gstarts] if len(sidx) else sidx,
+            # position-addressed view for the frontier ops (bow-tie
+            # BFS): local node index of the p-th slot of sender i's
+            # static message is idx[off[i] + p] — same as _PRShard
+            "idx": idx,
+            "off": np.concatenate(
+                ([0], np.cumsum([len(a) for a in arrs]))
+            ).astype(np.intp),
         }
 
     def reset(self, init_fp: int) -> None:
         self.hub_fp = np.full(len(self.ids), init_fp, dtype=np.int64)
         self.auth_fp = np.zeros(len(self.ids), dtype=np.int64)
+
+    # -- dual-direction BFS over the same shards (the bow-tie pass:
+    #    forward reach over "fwd", backward reach over "rev"; frontier
+    #    messages are POSITIONS into the static structures) -----------
+
+    def bt_reset(self, source: int) -> None:
+        self.bt_dist = {
+            d: np.full(len(self.ids), -1, dtype=np.int64)
+            for d in ("fwd", "rev")
+        }
+        pos = int(np.searchsorted(self.ids, source))
+        if pos < len(self.ids) and int(self.ids[pos]) == source:
+            self.bt_dist["fwd"][pos] = 0
+            self.bt_dist["rev"][pos] = 0
+
+    def bt_scatter(self, direction: str, hop: int):
+        d = self.dirs[direction]
+        dist = self.bt_dist[direction]
+        if len(d["starts"]):
+            active_edge = dist[d["join_idx"]] == hop - 1
+            run_active = np.logical_or.reduceat(active_edge, d["starts"])
+        else:
+            run_active = np.empty(0, dtype=bool)
+        jb = d["jbounds"]
+        return [
+            np.flatnonzero(run_active[jb[j]: jb[j + 1]]).astype(np.int64)
+            for j in range(self.n_parts)
+        ]
+
+    def bt_gather(self, direction: str, hop: int, *pos_arrays) -> int:
+        arrs: list[np.ndarray] = []
+        for a in pos_arrays:
+            if isinstance(a, list):  # n_parts == 1 flatten
+                arrs.extend(np.asarray(x) for x in a)
+            else:
+                arrs.append(np.asarray(a))
+        if not arrs:
+            return 0
+        g = self.gath[direction]
+        idxs = [
+            g["idx"][g["off"][i] + a.astype(np.intp)]
+            for i, a in enumerate(arrs)
+            if len(a)
+        ]
+        if not idxs:
+            return 0
+        dist = self.bt_dist[direction]
+        cand = np.unique(np.concatenate(idxs))
+        new = cand[dist[cand] == -1]
+        dist[new] = hop
+        return int(len(new))
+
+    def bt_counts(self):
+        """Region histogram of this shard's home nodes: tag = forward
+        (1) + 2·backward (2) reachability — index = the shared
+        other/out/in/core encoding of ``graphops._bowtie_classify``."""
+        tag = (self.bt_dist["fwd"] >= 0).astype(np.int64) + 2 * (
+            self.bt_dist["rev"] >= 0
+        ).astype(np.int64)
+        return [int((tag == k).sum()) for k in range(4)]
 
     def scatter(self, direction: str):
         """One half-round's outgoing combined contributions + this
@@ -1566,6 +1633,56 @@ class HITSBSP:
         ray.get(result_refs)  # seal before any close()
         return ray.data.from_arrow_refs(result_refs)
 
+    def bowtie(self, source: int, max_hops: int = 15):
+        """Broder bow-tie regions around ``source`` over the SAME
+        dual-direction shards — (region, n_nodes), identical to
+        :func:`graphops.bowtie` for any source that is a graph node
+        (the query seed always is: it's the top hub).  Both BFS passes
+        ship frontier positions over the static structures; the final
+        histogram reaches the driver as 4 scalars per shard."""
+        import ray
+
+        if not self.actors:
+            raise RuntimeError("HITSBSP handle is closed")
+        n_parts = self.n_parts
+        ray.get([a.bt_reset.remote(source) for a in self.actors])
+        for direction in ("fwd", "rev"):
+            for hop in range(1, max_hops + 1):
+                scat = [
+                    a.bt_scatter.options(num_returns=n_parts).remote(
+                        direction, hop
+                    )
+                    for a in self.actors
+                ]
+                if n_parts == 1:
+                    scat = [[s] for s in scat]
+                new = ray.get(
+                    [
+                        self.actors[j].bt_gather.remote(
+                            direction,
+                            hop,
+                            *[scat[i][j] for i in range(n_parts)],
+                        )
+                        for j in range(n_parts)
+                    ]
+                )
+                if sum(new) == 0:
+                    break
+        counts = ray.get([a.bt_counts.remote() for a in self.actors])
+        totals = [sum(c[k] for c in counts) for k in range(4)]
+        names = ["other", "out", "in", "core"]  # index = tag sum
+        keep = [(names[k], totals[k]) for k in range(4) if totals[k] > 0]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "region": pa.array([k for k, _ in keep]),
+                    "n_nodes": pa.array(
+                        [v for _, v in keep], type=pa.int64()
+                    ),
+                }
+            )
+        )
+
     def close(self) -> None:
         import ray
 
@@ -1649,23 +1766,17 @@ def bowtie_bsp(
     num_partitions: int | None = None,
 ):
     """edges(subj_id, obj_id, …) → (region, n_nodes): the Broder
-    bow-tie decomposition with BOTH reachability passes on the BSP
-    actor pool — identical output to :func:`graphops.bowtie` (bfs_bsp
-    is bit-identical to the dataflow BFS, and the classify tail is
-    literally shared), so one oracle covers both plans.  The dataflow
-    twin pays ~2 exchanges per hop per direction; here each pass ships
-    frontier positions over static shards."""
-    from .graphops import _bowtie_classify, _swap_edges
-
-    edges = edges.materialize()
-    fwd = bfs_bsp(edges, source, max_hops, num_partitions)
-    bwd = bfs_bsp(
-        edges.map_batches(_swap_edges, batch_format="pyarrow"),
-        source,
-        max_hops,
-        num_partitions,
-    )
-    return _bowtie_classify(edges, fwd, bwd, num_partitions)
+    bow-tie decomposition with BOTH reachability passes on ONE
+    dual-direction BSP handle (:class:`HITSBSP` owns forward and
+    reverse structures already) — identical output to
+    :func:`graphops.bowtie` for any source that is a graph node, so
+    one oracle covers both plans.  One shard build serves both passes
+    (the first version built two single-direction handles and LOST to
+    the dataflow twin on shallow-reach seeds); per hop the wire
+    carries frontier positions, and the classify histogram reaches the
+    driver as 4 scalars per shard."""
+    with HITSBSP(edges, num_partitions=num_partitions) as h:
+        return h.bowtie(source, max_hops=max_hops)
 
 
 class _HyperBallShard:
