@@ -1853,6 +1853,11 @@ class _HyperBallShard:
         ]
 
     def gather_structure(self, *id_arrays) -> None:
+        """Position-addressed incoming view: local node index of the
+        p-th slot of sender i's static message is ``g_idx[g_off[i]+p]``
+        — messages are SPARSE (position, sketch) pairs, the systolic
+        form of the HyperBall paper (only counters that changed last
+        round travel)."""
         arrs: list[np.ndarray] = []
         for a in id_arrays:
             if isinstance(a, list):  # n_parts == 1 flatten
@@ -1862,49 +1867,88 @@ class _HyperBallShard:
         all_ids = (
             np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
         )
-        idx = np.searchsorted(self.ids, all_ids).astype(np.intp)
-        order = np.argsort(idx, kind="stable")
-        sidx = idx[order]
-        gstarts = np.flatnonzero(
-            np.r_[True, sidx[1:] != sidx[:-1]]
+        self.g_idx = np.searchsorted(self.ids, all_ids).astype(np.intp)
+        self.g_off = np.concatenate(
+            ([0], np.cumsum([len(a) for a in arrs]))
         ).astype(np.intp)
-        self.g_order = order
-        self.g_starts = gstarts
-        self.g_target = sidx[gstarts] if len(sidx) else sidx
 
     def reset(self) -> None:
         self.regs = self.init_regs.copy()
+        # round 1 must ship every sketch: the h = 0 state is all-new
+        self.changed = np.ones(len(self.ids), dtype=bool)
 
     def scatter(self):
-        """One round's outgoing combined sketches: per distinct source
-        node, the element-wise max of its out-neighbors' registers."""
-        c = self.regs[self.dst_idx]
-        sums = (
-            np.maximum.reduceat(c, self.starts, axis=0)
-            if len(self.starts)
-            else np.empty((0, c.shape[1] if c.ndim == 2 else 16),
-                          dtype=np.int64)
+        """One round's outgoing sketches, PRUNED to runs touched by a
+        changed counter: per active distinct source, (position into the
+        static i→j slot structure, combined neighbor max).  Max is
+        monotone, so a run with no changed contributor re-sends a value
+        the receiver already holds — skipping it is state-identical."""
+        n_edges = len(self.dst_idx)
+        if not len(self.starts):
+            return [
+                (np.empty(0, dtype=np.int64), np.empty((0, 16), np.int64))
+                for _ in range(self.n_parts)
+            ]
+        lengths = np.diff(np.r_[self.starts, n_edges])
+        run_active = np.logical_or.reduceat(
+            self.changed[self.dst_idx], self.starts
         )
+        edge_sel = np.repeat(run_active, lengths)
+        act_lengths = lengths[run_active]
+        sub_starts = np.concatenate(
+            ([0], np.cumsum(act_lengths[:-1]))
+        ).astype(np.intp)
+        sums = (
+            np.maximum.reduceat(
+                self.regs[self.dst_idx[edge_sel]], sub_starts, axis=0
+            )
+            if len(act_lengths)
+            else np.empty((0, 16), dtype=np.int64)
+        )
+        run_idx = np.flatnonzero(run_active).astype(np.int64)
         jb = self.jbounds
-        return [sums[jb[j]: jb[j + 1]] for j in range(self.n_parts)]
+        out = []
+        for j in range(self.n_parts):
+            lo = int(np.searchsorted(run_idx, jb[j]))
+            hi = int(np.searchsorted(run_idx, jb[j + 1]))
+            out.append((run_idx[lo:hi] - jb[j], sums[lo:hi]))
+        return out
 
-    def gather(self, *values) -> None:
-        if values:
-            arrs: list[np.ndarray] = []
-            for v in values:
-                if isinstance(v, list):  # n_parts == 1 flatten
-                    arrs.extend(np.asarray(x) for x in v)
-                else:
-                    arrs.append(np.asarray(v))
-            # empties must stay: row order aligns with gather_structure
-            if arrs and sum(len(a) for a in arrs):
-                all_c = np.concatenate(arrs, axis=0)
-                sc = all_c[self.g_order]
-                merged = np.maximum.reduceat(sc, self.g_starts, axis=0)
-                # fancy indexing yields a copy — assign, don't `out=`
-                self.regs[self.g_target] = np.maximum(
-                    self.regs[self.g_target], merged
-                )
+    def gather(self, *values) -> int:
+        """Apply incoming sparse sketches; track which home counters
+        changed (next round's scatter prune + the driver's early-exit
+        scalar)."""
+        msgs: list[tuple] = []
+        for v in values:
+            if isinstance(v, list):  # n_parts == 1 flatten
+                msgs.extend(v)
+            else:
+                msgs.append(v)
+        idxs, vals = [], []
+        for i, (pos, val) in enumerate(msgs):
+            pos = np.asarray(pos)
+            if len(pos):
+                idxs.append(self.g_idx[self.g_off[i] + pos.astype(np.intp)])
+                vals.append(np.asarray(val))
+        self.changed = np.zeros(len(self.ids), dtype=bool)
+        if not idxs:
+            return 0
+        all_idx = np.concatenate(idxs)
+        all_val = np.concatenate(vals, axis=0)
+        order = np.argsort(all_idx, kind="stable")
+        sidx = all_idx[order]
+        gstarts = np.flatnonzero(
+            np.r_[True, sidx[1:] != sidx[:-1]]
+        ).astype(np.intp)
+        target = sidx[gstarts]
+        merged = np.maximum.reduceat(all_val[order], gstarts, axis=0)
+        old = self.regs[target]
+        new = np.maximum(old, merged)
+        diff = (new != old).any(axis=1)
+        # fancy indexing yields a copy — assign, don't `out=`
+        self.regs[target] = new
+        self.changed[target[diff]] = True
+        return int(diff.sum())
 
     def result(self) -> pa.Table:
         from .hyperball import REG_COLS, _estimate_batch
@@ -1996,6 +2040,7 @@ def hyperball_bsp(edges, iters: int = 4, num_partitions: int | None = None):
                 for j in range(n_parts)
             ]
         )
+        ray.get([a.reset.remote() for a in actors])
         for _ in range(iters):
             scat = [
                 a.scatter.options(num_returns=n_parts).remote()
@@ -2003,7 +2048,7 @@ def hyperball_bsp(edges, iters: int = 4, num_partitions: int | None = None):
             ]
             if n_parts == 1:
                 scat = [[s] for s in scat]
-            ray.get(
+            n_changed = ray.get(
                 [
                     actors[j].gather.remote(
                         *[scat[i][j] for i in range(n_parts)]
@@ -2011,6 +2056,8 @@ def hyperball_bsp(edges, iters: int = 4, num_partitions: int | None = None):
                     for j in range(n_parts)
                 ]
             )
+            if sum(n_changed) == 0:
+                break  # every ball is closed: further rounds are no-ops
         result_refs = [a.result.remote() for a in actors]
         ray.get(result_refs)  # seal before the actors die
         return ray.data.from_arrow_refs(result_refs)
