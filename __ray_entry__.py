@@ -670,6 +670,32 @@ def _hyperball_sql() -> str:
     return sql_hyperball(_graph_edge_prologue())
 
 
+def _kg_harmonic(sf_dir: str):
+    """Harmonic centrality ``Σ_{u≠v} 1/d(u,v)`` truncated at 4 hops,
+    estimated from the incoming-reach HyperBall rounds — the paper's
+    flagship geometric centrality.  DOUBLE column hash-exact vs the
+    oracle (shared per-round estimate expression + fixed-order
+    accumulation)."""
+    from promptner_ray.functions.hyperball import harmonic_centrality
+
+    return harmonic_centrality(_kg_edges(sf_dir))
+
+
+def _harmonic_sql() -> str:
+    from promptner_ray.functions.hyperball import sql_harmonic
+
+    return sql_harmonic(_graph_edge_prologue())
+
+
+def _kg_harmonic_bsp(sf_dir: str):
+    """Same harmonic centralities with the per-round accumulation in
+    shard state (graphbsp.harmonic_bsp) — bit-identical, shared
+    oracle."""
+    from promptner_ray.functions.graphbsp import harmonic_bsp
+
+    return harmonic_bsp(_kg_edges(sf_dir))
+
+
 def _kg_hyperball_bsp(sf_dir: str):
     """Same ball estimates on the BSP actor pool (16-wide register
     messages over static shards — graphbsp.hyperball_bsp); bit-identical,
@@ -1378,6 +1404,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HyperBall h-hop ball sizes (HLL register max-merge per round)
         "kg_hyperball": _kg_hyperball,
         "kg_hyperball_bsp": _kg_hyperball_bsp,
+        # harmonic centrality from the "in"-direction HyperBall rounds
+        "kg_harmonic": _kg_harmonic,
+        "kg_harmonic_bsp": _kg_harmonic_bsp,
         # same scores on the BSP actor-pool plan (both edge directions
         # resident per shard — graphbsp.HITSBSP); bit-identical, so the
         # oracle is the same unrolled replay
@@ -3720,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_assortativity": _assortativity_sql(),
         "kg_bowtie": _bowtie_sql(),
         "kg_hyperball": _hyperball_sql(),
+        "kg_harmonic": _harmonic_sql(),
         # token-level confusion matrix: predicted BIO reconstructed in SQL
         # from mention spans, truth from the corpus gold table
         "kg_confusion": f"""
@@ -3772,6 +3802,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_hits_bsp"] = out["kg_hits"]
     out["kg_bowtie_bsp"] = out["kg_bowtie"]
     out["kg_hyperball_bsp"] = out["kg_hyperball"]
+    out["kg_harmonic_bsp"] = out["kg_harmonic"]
     return out
 
 

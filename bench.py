@@ -222,13 +222,17 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         bfs_bsp,
         bowtie_bsp,
         components_bsp,
+        harmonic_bsp,
         hits_bsp,
         hyperball_bsp,
         k_core_bsp,
         pagerank_bsp,
         random_walks_bsp,
     )
-    from promptner_ray.functions.hyperball import hyperball
+    from promptner_ray.functions.hyperball import (
+        harmonic_centrality,
+        hyperball,
+    )
     from promptner_ray.functions.graphops import (
         assortativity,
         bfs_hops,
@@ -290,6 +294,14 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         ),
         ("web_hyperball", lambda e: hyperball(e, iters=pr_iters)),
         ("web_hyperball_bsp", lambda e: hyperball_bsp(e, iters=pr_iters)),
+        (
+            "web_harmonic",
+            lambda e: harmonic_centrality(e, iters=pr_iters),
+        ),
+        (
+            "web_harmonic_bsp",
+            lambda e: harmonic_bsp(e, iters=pr_iters),
+        ),
     ):
         t0 = time.monotonic()
         fn(edges).count()

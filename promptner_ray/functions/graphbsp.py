@@ -1872,10 +1872,21 @@ class _HyperBallShard:
             ([0], np.cumsum([len(a) for a in arrs]))
         ).astype(np.intp)
 
-    def reset(self) -> None:
+    def reset(self, harmonic: bool = False) -> None:
+        from .hyperball import _estimate_np
+
         self.regs = self.init_regs.copy()
         # round 1 must ship every sketch: the h = 0 state is all-new
         self.changed = np.ones(len(self.ids), dtype=bool)
+        self.harmonic = harmonic
+        self.round = 0
+        if harmonic:
+            self.harm = np.zeros(len(self.ids), dtype=np.float64)
+            self.e_prev = (
+                _estimate_np(self.regs)
+                if len(self.ids)
+                else np.empty(0, dtype=np.float64)
+            )
 
     def scatter(self):
         """One round's outgoing sketches, PRUNED to runs touched by a
@@ -1932,6 +1943,9 @@ class _HyperBallShard:
                 vals.append(np.asarray(val))
         self.changed = np.zeros(len(self.ids), dtype=bool)
         if not idxs:
+            # still a round: the counter must advance or a later
+            # round's harmonic divisor would be wrong
+            self._accumulate_round()
             return 0
         all_idx = np.concatenate(idxs)
         all_val = np.concatenate(vals, axis=0)
@@ -1948,11 +1962,34 @@ class _HyperBallShard:
         # fancy indexing yields a copy — assign, don't `out=`
         self.regs[target] = new
         self.changed[target[diff]] = True
+        self._accumulate_round()
         return int(diff.sum())
+
+    def _accumulate_round(self) -> None:
+        """In harmonic mode fold this round's ball growth into the
+        centrality sum — the same fixed op order as the dataflow twin:
+        ``harm += (e_h − e_{h−1}) / h`` with h counted from 1.  A
+        shard that received nothing still advances the round counter
+        (its term is exactly 0)."""
+        self.round += 1
+        if not self.harmonic or not len(self.ids):
+            return
+        from .hyperball import _estimate_np
+
+        e = _estimate_np(self.regs)
+        self.harm = self.harm + (e - self.e_prev) / float(self.round)
+        self.e_prev = e
 
     def result(self) -> pa.Table:
         from .hyperball import REG_COLS, _estimate_batch
 
+        if self.harmonic:
+            return pa.table(
+                {
+                    "entity_id": pa.array(self.ids, type=pa.int64()),
+                    "harmonic": pa.array(self.harm, type=pa.float64()),
+                }
+            )
         regs_tbl = pa.table(
             {
                 "entity_id": pa.array(self.ids, type=pa.int64()),
@@ -1970,19 +2007,45 @@ def hyperball_bsp(edges, iters: int = 4, num_partitions: int | None = None):
     to :func:`hyperball.hyperball` (element-wise register max commutes;
     the estimate expression is literally shared), computed on a BSP
     actor pool — the scale path: per round one scatter/gather wave of
-    combined 16-wide register messages over static shards, against the
-    dataflow plan's per-round join + 16-column grouped-Max exchanges."""
+    combined 16-wide register messages over static shards (systolic:
+    only counters that changed last round travel, and the loop exits at
+    the fixed point), against the dataflow plan's per-round join +
+    16-column grouped-Max exchanges."""
+    return _hyperball_bsp_impl(edges, iters, num_partitions, "out", False)
+
+
+def harmonic_bsp(edges, iters: int = 4, num_partitions: int | None = None):
+    """edges(subj_id, obj_id, …) → (entity_id, harmonic): bit-identical
+    to :func:`hyperball.harmonic_centrality` — the "in"-direction
+    systolic rounds with the per-round ball-growth term folded into a
+    per-shard accumulator (same fixed float op order), so the dataflow
+    twin's end-of-run estimate-join chain disappears entirely."""
+    return _hyperball_bsp_impl(edges, iters, num_partitions, "in", True)
+
+
+def _hyperball_bsp_impl(
+    edges,
+    iters: int,
+    num_partitions: int | None,
+    direction: str,
+    harmonic: bool,
+):
     import ray
 
     from ..shuffle import default_partitions, hash_grouped
 
     n_parts = num_partitions or default_partitions()
+    read_col, emit_col = (
+        ("obj_id", "subj_id") if direction == "out" else ("subj_id", "obj_id")
+    )
 
     def to_pairs(t: pa.Table) -> pa.Table:
+        # "dst" is the READ end (whose sketch the edge forwards),
+        # "src" the receiving end — matches _HyperBallShard's layout
         return pa.table(
             {
-                "src": t.column("subj_id").cast(pa.int64()),
-                "dst": t.column("obj_id").cast(pa.int64()),
+                "src": t.column(emit_col).cast(pa.int64()),
+                "dst": t.column(read_col).cast(pa.int64()),
             }
         )
 
@@ -2040,7 +2103,7 @@ def hyperball_bsp(edges, iters: int = 4, num_partitions: int | None = None):
                 for j in range(n_parts)
             ]
         )
-        ray.get([a.reset.remote() for a in actors])
+        ray.get([a.reset.remote(harmonic) for a in actors])
         for _ in range(iters):
             scat = [
                 a.scatter.options(num_returns=n_parts).remote()

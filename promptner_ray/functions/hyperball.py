@@ -86,9 +86,21 @@ def _init_registers(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def _estimate_np(ranks: np.ndarray) -> np.ndarray:
+    """(n × 16) rank matrix → bias-corrected HLL estimates, every float
+    op in an order the SQL twin replays."""
+    pw = np.power(2.0, -ranks.astype(np.float64))  # exact powers of two
+    acc = pw[:, 0].copy()
+    for j in range(1, M_HB):  # fixed left-to-right order, as in the SQL
+        acc = acc + pw[:, j]
+    raw = ALPHA_M2 / acc
+    zeros = (ranks == 0).sum(axis=1)
+    lin = _LIN_EST[zeros]
+    return np.where((raw <= 2.5 * M_HB) & (zeros > 0), lin, raw)
+
+
 def _estimate_batch(t: pa.Table) -> pa.Table:
-    """(entity_id, r0..r15) → (entity_id, ball_est): the bias-corrected
-    HLL estimate, every float op in an order the SQL twin replays."""
+    """(entity_id, r0..r15) → (entity_id, ball_est)."""
     if t.num_rows == 0 or "r0" not in t.column_names:
         return pa.table(
             {
@@ -103,18 +115,10 @@ def _estimate_batch(t: pa.Table) -> pa.Table:
         ],
         axis=1,
     )
-    pw = np.power(2.0, -ranks.astype(np.float64))  # exact powers of two
-    acc = pw[:, 0].copy()
-    for j in range(1, M_HB):  # fixed left-to-right order, as in the SQL
-        acc = acc + pw[:, j]
-    raw = ALPHA_M2 / acc
-    zeros = (ranks == 0).sum(axis=1)
-    lin = _LIN_EST[zeros]
-    est = np.where((raw <= 2.5 * M_HB) & (zeros > 0), lin, raw)
     return pa.table(
         {
             "entity_id": t.column("entity_id"),
-            "ball_est": pa.array(est, type=pa.float64()),
+            "ball_est": pa.array(_estimate_np(ranks), type=pa.float64()),
         }
     )
 
@@ -129,14 +133,34 @@ def hyperball(edges, iters: int = 4, num_partitions: int | None = None):
     on its in-edges, then one 16-column grouped Max folding neighbor
     sketches into the node's own — both exchanges sized to the data.
     """
+    return _round_tables(edges, iters, num_partitions)[-1].map_batches(
+        _estimate_batch, batch_format="pyarrow"
+    )
+
+
+def _round_tables(
+    edges,
+    iters: int,
+    num_partitions: int | None,
+    direction: str = "out",
+):
+    """The shared HyperBall loop: list of the per-round register
+    Datasets ``[h=0, …, h=iters]``.  ``direction="out"`` grows balls
+    along out-edges (each node gathers its OUT-neighbors' sketches —
+    the ball it can reach); ``"in"`` grows incoming-reach balls (who
+    can reach it — the harmonic-centrality direction)."""
     from ..shuffle import hash_grouped, local_hash_join
     from .graphops import _iter_partitions
+
+    read_col, emit_col = (
+        ("obj_id", "subj_id") if direction == "out" else ("subj_id", "obj_id")
+    )
 
     def to_pairs(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "entity_id": t.column("obj_id").cast(pa.int64()),
-                "subj": t.column("subj_id").cast(pa.int64()),
+                "entity_id": t.column(read_col).cast(pa.int64()),
+                "subj": t.column(emit_col).cast(pa.int64()),
             }
         )
 
@@ -183,6 +207,7 @@ def hyperball(edges, iters: int = 4, num_partitions: int | None = None):
             }
         )
 
+    rounds = [regs]
     for _ in range(iters):
         msgs = local_hash_join(
             pairs,
@@ -201,20 +226,96 @@ def hyperball(edges, iters: int = 4, num_partitions: int | None = None):
             rename=rename,
             num_partitions=num_partitions,
         ).materialize()
+        rounds.append(regs)
+    return rounds
 
-    return regs.map_batches(_estimate_batch, batch_format="pyarrow")
+
+def harmonic_centrality(
+    edges, iters: int = 4, num_partitions: int | None = None
+):
+    """edges(subj_id, obj_id, …) → (entity_id, harmonic): estimated
+    harmonic centrality ``H(v) = Σ_{u≠v} 1/d(u, v)`` truncated at
+    ``iters`` hops — THE application the HyperBall paper was built for
+    (geometric centralities on web graphs where per-node exact
+    distances are hopeless).
+
+    ``H(v) = Σ_h (|ball_in(v, h)| − |ball_in(v, h−1)|) / h`` over the
+    incoming-reach balls, so the whole computation is the shared
+    HyperBall loop run in the ``"in"`` direction plus one chain of
+    per-round estimate joins at the end.  The accumulation is a FIXED
+    left-to-right float expression ``(e1−e0)/1.0 + (e2−e1)/2.0 + …``
+    replayed verbatim by the SQL twin, so the DOUBLE column
+    hash-matches the oracle.
+    """
+    from ..shuffle import local_hash_join
+
+    rounds = _round_tables(edges, iters, num_partitions, direction="in")
+    ests = [
+        r.map_batches(_estimate_batch, batch_format="pyarrow")
+        for r in rounds
+    ]
+
+    def rename_est(h: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "entity_id": t.column("entity_id"),
+                    f"e{h}": t.column("ball_est"),
+                }
+            )
+
+        return fn
+
+    joined = ests[0].map_batches(rename_est(0), batch_format="pyarrow")
+    schema_cols = [("entity_id", pa.int64()), ("e0", pa.float64())]
+    for h in range(1, iters + 1):
+        joined = local_hash_join(
+            joined,
+            ests[h].map_batches(rename_est(h), batch_format="pyarrow"),
+            on=["entity_id"],
+            left_schema=pa.schema(schema_cols),
+            right_schema=pa.schema(
+                [("entity_id", pa.int64()), (f"e{h}", pa.float64())]
+            ),
+            num_partitions=num_partitions,
+        )
+        schema_cols.append((f"e{h}", pa.float64()))
+
+    def accumulate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "e0" not in t.column_names:
+            return pa.table(
+                {
+                    "entity_id": pa.array([], type=pa.int64()),
+                    "harmonic": pa.array([], type=pa.float64()),
+                }
+            )
+        e = [
+            t.column(f"e{h}").to_numpy(zero_copy_only=False)
+            for h in range(iters + 1)
+        ]
+        acc = (e[1] - e[0]) / 1.0
+        for h in range(2, iters + 1):  # fixed order, as in the SQL
+            acc = acc + (e[h] - e[h - 1]) / float(h)
+        return pa.table(
+            {
+                "entity_id": t.column("entity_id"),
+                "harmonic": pa.array(acc, type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(accumulate, batch_format="pyarrow")
 
 
-def sql_hyperball(edge_cte: str, iters: int = 4) -> str:
-    """DuckDB twin of :func:`hyperball`.  ``edge_cte`` must define a
-    CTE named ``e2`` with DISTINCT (subj_id, obj_id) int64 columns (the
-    caller's hashed edge derivation); this appends the register
-    initialization and ``iters`` unrolled max-merge rounds, replaying
-    the engine's estimate expression term for term."""
+def _sql_round_ctes(edge_cte: str, iters: int, direction: str) -> str:
+    """The shared WITH-clause body: register init + ``iters`` unrolled
+    max-merge rounds (``g0`` … ``g{iters}``) in the given direction."""
     reg_list = ", ".join(REG_COLS)
     init_cases = ", ".join(
         f"CASE WHEN reg = {j} THEN rnk ELSE 0 END AS r{j}"
         for j in range(M_HB)
+    )
+    read_col, emit_col = (
+        ("obj_id", "subj_id") if direction == "out" else ("subj_id", "obj_id")
     )
     rounds = []
     for h in range(1, iters + 1):
@@ -224,17 +325,12 @@ def sql_hyperball(edge_cte: str, iters: int = 4) -> str:
           SELECT entity_id, {maxes} FROM (
             SELECT entity_id, {reg_list} FROM g{h - 1}
             UNION ALL
-            SELECT e.subj_id AS entity_id, {reg_list}
-            FROM e2 e JOIN g{h - 1} g ON g.entity_id = e.obj_id)
+            SELECT e.{emit_col} AS entity_id, {reg_list}
+            FROM e2 e JOIN g{h - 1} g ON g.entity_id = e.{read_col})
           GROUP BY entity_id)"""
         )
-    pw_sum = " + ".join(f"pow(2.0, -r{j})" for j in range(M_HB))
-    v_sum = " + ".join(
-        f"CASE WHEN r{j} = 0 THEN 1 ELSE 0 END" for j in range(M_HB)
-    )
     rounds_sql = ",\n        ".join(rounds)
-    return f"""
-        WITH {edge_cte},
+    return f"""{edge_cte},
         nodes AS MATERIALIZED (
           SELECT DISTINCT entity_id FROM (
             SELECT subj_id AS entity_id FROM e2
@@ -254,15 +350,56 @@ def sql_hyperball(edge_cte: str, iters: int = 4) -> str:
                    CASE WHEN rest = 0 THEN {_W_HB + 1}
                         ELSE {_W_HB + 1} - length(bin(rest)) END AS rnk
             FROM sr)),
-        {rounds_sql},
-        fin AS (
+        {rounds_sql}"""
+
+
+def _sql_est(src: str, out_col: str) -> str:
+    """One round table → the estimate expression (the engine's float op
+    sequence, term for term)."""
+    pw_sum = " + ".join(f"pow(2.0, -r{j})" for j in range(M_HB))
+    v_sum = " + ".join(
+        f"CASE WHEN r{j} = 0 THEN 1 ELSE 0 END" for j in range(M_HB)
+    )
+    return f"""(
           SELECT entity_id,
-                 {ALPHA_M2!r} / ({pw_sum}) AS raw,
-                 ({v_sum}) AS v
-          FROM g{iters})
-        SELECT entity_id,
-               CASE WHEN raw <= {2.5 * M_HB!r} AND v > 0
-                    THEN {float(M_HB)!r} * ln({float(M_HB)!r} / v)
-                    ELSE raw END AS ball_est
-        FROM fin
+                 CASE WHEN raw <= {2.5 * M_HB!r} AND v > 0
+                      THEN {float(M_HB)!r} * ln({float(M_HB)!r} / v)
+                      ELSE raw END AS {out_col}
+          FROM (SELECT entity_id,
+                       {ALPHA_M2!r} / ({pw_sum}) AS raw,
+                       ({v_sum}) AS v
+                FROM {src}))"""
+
+
+def sql_hyperball(edge_cte: str, iters: int = 4) -> str:
+    """DuckDB twin of :func:`hyperball`.  ``edge_cte`` must define a
+    CTE named ``e2`` with DISTINCT (subj_id, obj_id) int64 columns (the
+    caller's hashed edge derivation); this appends the register
+    initialization and ``iters`` unrolled max-merge rounds, replaying
+    the engine's estimate expression term for term."""
+    return f"""
+        WITH {_sql_round_ctes(edge_cte, iters, "out")}
+        SELECT entity_id, ball_est
+        FROM {_sql_est(f"g{iters}", "ball_est")} fin
+    """
+
+
+def sql_harmonic(edge_cte: str, iters: int = 4) -> str:
+    """DuckDB twin of :func:`harmonic_centrality` — the "in"-direction
+    rounds, one estimate CTE per round, and the identical fixed-order
+    accumulation expression."""
+    fins = ",\n        ".join(
+        f"f{h} AS MATERIALIZED (SELECT * FROM {_sql_est(f'g{h}', f'e{h}')})"
+        for h in range(iters + 1)
+    )
+    joins = "\n        ".join(
+        f"JOIN f{h} USING (entity_id)" for h in range(1, iters + 1)
+    )
+    acc = " + ".join(f"(e{h} - e{h - 1}) / {float(h)!r}" for h in range(1, iters + 1))
+    return f"""
+        WITH {_sql_round_ctes(edge_cte, iters, "in")},
+        {fins}
+        SELECT entity_id, {acc} AS harmonic
+        FROM f0
+        {joins}
     """

@@ -557,3 +557,27 @@ def test_hyperball_bsp_bit_equal_across_partition_counts(ray_session) -> None:
             )
         )
         assert want.equals(got), f"mismatch at num_partitions={n_parts}"
+
+
+def test_harmonic_bsp_bit_equal(ray_session) -> None:
+    """harmonic_bsp == the dataflow harmonic_centrality, bit-for-bit —
+    including its DOUBLE column (shared estimate kernel, same fixed
+    accumulation order, max-merge commutes)."""
+    from promptner_ray.functions.graphbsp import harmonic_bsp
+    from promptner_ray.functions.hyperball import harmonic_centrality
+
+    edges = _random_edges(61, 150, 600)
+    edges.append((3, 4000, 1))  # sink
+    ds = ray.data.from_arrow(_edge_table(edges))
+
+    def harm(d):
+        return (
+            d.to_pandas()[["entity_id", "harmonic"]]
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+        )
+
+    want = harm(harmonic_centrality(ds, iters=3))
+    for n_parts in (1, 3):
+        got = harm(harmonic_bsp(ds, iters=3, num_partitions=n_parts))
+        assert want.equals(got), f"mismatch at num_partitions={n_parts}"

@@ -91,3 +91,55 @@ def test_hyperball_sink_estimates_one(ray_session) -> None:
     # legitimate HLL collision that keeps V at 15)
     assert (got[got.entity_id != 2]["ball_est"] >= sink["ball_est"]).all()
     assert got[got.entity_id == 3].iloc[0]["ball_est"] > sink["ball_est"]
+
+
+def test_harmonic_matches_duckdb_bit_exact(ray_session) -> None:
+    from promptner_ray.functions.hyperball import (
+        harmonic_centrality,
+        sql_harmonic,
+    )
+
+    rng = np.random.default_rng(5)
+    pairs = sorted(
+        {(int(s), int(t)) for s, t in rng.integers(0, 90, size=(350, 2))}
+    )
+    tbl = _edges(pairs)
+    got = (
+        harmonic_centrality(ray.data.from_arrow(tbl), iters=3)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("edges_in", tbl)
+    want = (
+        con.execute(
+            sql_harmonic(
+                "e2 AS (SELECT subj_id, obj_id FROM edges_in)", iters=3
+            )
+            + " ORDER BY entity_id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)  # DOUBLE column bitwise
+
+
+def test_harmonic_accuracy_and_directionality(ray_session) -> None:
+    """A chain 0→3→4 (ids chosen to land in three DISTINCT registers —
+    colliding ids would legitimately leave a sketch unchanged): node 4
+    is reached by 0 (dist 2) and 3 (dist 1), node 3 by 0 only, node 0
+    by nobody → H must be exactly 0 there (e0 == e_h telescopes away),
+    and strictly ordered 4 > 3 > 0."""
+    from promptner_ray.functions.hyperball import harmonic_centrality
+
+    got = {
+        r.entity_id: r.harmonic
+        for r in harmonic_centrality(
+            ray.data.from_arrow(_edges([(0, 3), (3, 4)])), iters=4
+        )
+        .to_pandas()
+        .itertuples()
+    }
+    assert got[0] == 0.0
+    assert got[4] > got[3] > got[0]
