@@ -1194,6 +1194,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": lambda sf: dedup.dup_spans(_docs(sf)),
         # the destructive half: texts with every duplicated span cut
         "doc_strip_dup_spans": lambda sf: dedup.strip_dup_spans(_docs(sf)),
+        # per-source boilerplate (RefinedWeb/C4 template stripping); the
+        # synthetic corpus carries no templates, so the query plants a
+        # deterministic per-source nav banner on 3/4 of each source's
+        # docs (disclosed injection, same idiom as the PII/alias
+        # queries) and the oracle replays it
+        "doc_boilerplate_spans": lambda sf: dedup.boilerplate_spans(
+            _docs(sf).map_batches(
+                dedup.inject_nav_banner_batch, batch_format="pyarrow"
+            )
+        ),
+        "doc_strip_boilerplate": lambda sf: dedup.strip_boilerplate(
+            _docs(sf).map_batches(
+                dedup.inject_nav_banner_batch, batch_format="pyarrow"
+            )
+        ),
         "doc_clean": _doc_clean,
         "doc_curate": _doc_curate,
         "doc_decontam": _doc_decontam,
@@ -2322,6 +2337,113 @@ def _strip_dup_spans_sql() -> str:
     """
 
 
+def _boiler_docs_cte() -> str:
+    """The injected-banner documents view shared by the boilerplate
+    twins — replays ``dedup.inject_nav_banner_batch`` verbatim."""
+    from promptner_ray.functions.dedup import BANNER_TAIL
+
+    return f"""bdocs AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 4 <> 0
+                      THEN source || ' {BANNER_TAIL} ' || text
+                      ELSE text END AS text
+          FROM documents
+        )"""
+
+
+def _boilerplate_spans_sql() -> str:
+    """DuckDB twin of functions.dedup.boilerplate_spans over the
+    banner-injected documents: per-(source, gram) DISTINCT-doc counts,
+    the same ``df * 1.0 / total`` fraction filter, and the shared
+    gaps-and-islands merge.  Groups by the (source, gram) STRINGS where
+    the engine groups by their md5 digest — identical short of an md5
+    collision."""
+    from promptner_ray.functions.dedup import (
+        BOILER_MIN_DOCS,
+        BOILER_MIN_FRAC,
+        BOILER_N as N,
+    )
+
+    return f"""
+        WITH {_boiler_docs_cte()},
+        toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ts FROM bdocs
+        ),
+        pos AS (
+          SELECT doc_id, source, ts,
+                 unnest(range(0, greatest(len(ts) - {N} + 1, 0))) AS p
+          FROM toks
+        ),
+        grams AS (
+          SELECT doc_id, source, p,
+                 array_to_string(ts[p + 1 : p + {N}], ' ') AS g
+          FROM pos
+        ),
+        df AS (
+          SELECT source, g, count(DISTINCT doc_id)::BIGINT AS df
+          FROM grams GROUP BY source, g
+        ),
+        tot AS (
+          SELECT source, count(*)::BIGINT AS total
+          FROM bdocs GROUP BY source
+        ),
+        hot AS (
+          SELECT source, g FROM df JOIN tot USING (source)
+          WHERE df >= {BOILER_MIN_DOCS}
+            AND df * 1.0 / total >= {BOILER_MIN_FRAC}
+        ),
+        marked AS (
+          SELECT doc_id, p FROM grams
+          JOIN hot USING (source, g)
+        ),
+        brk AS (
+          SELECT doc_id, p,
+                 CASE WHEN p - lag(p) OVER (
+                     PARTITION BY doc_id ORDER BY p) <= {N}
+                 THEN 0 ELSE 1 END AS b
+          FROM marked
+        ),
+        grp AS (
+          SELECT doc_id, p,
+                 sum(coalesce(b, 1)) OVER (
+                     PARTITION BY doc_id ORDER BY p) AS gid
+          FROM brk
+        )
+        SELECT doc_id, min(p)::BIGINT AS start_tok,
+               (max(p) + {N})::BIGINT AS end_tok
+        FROM grp GROUP BY doc_id, gid
+    """
+
+
+def _strip_boilerplate_sql() -> str:
+    """DuckDB twin of functions.dedup.strip_boilerplate: anti-join the
+    injected docs' token positions against the boilerplate spans, same
+    single-space rejoin as the dup-span stripper."""
+    return f"""
+        WITH spans AS ({_boilerplate_spans_sql()}),
+        {_boiler_docs_cte()},
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM bdocs
+        ),
+        tok AS (
+          SELECT doc_id, unnest(ts) AS w,
+                 generate_subscripts(ts, 1) - 1 AS p
+          FROM toks
+        ),
+        kept AS (
+          SELECT t.doc_id, t.w, t.p FROM tok t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.p >= s.start_tok AND t.p < s.end_tok)
+        )
+        SELECT d.doc_id,
+               coalesce(string_agg(k.w, ' ' ORDER BY k.p), '') AS text
+        FROM toks d LEFT JOIN kept k ON k.doc_id = d.doc_id
+        GROUP BY d.doc_id
+    """
+
+
 def _winnow_pairs_sql() -> str:
     """DuckDB twin of functions.dedup.winnow_pairs: self-join the chosen
     fingerprint sets, count shared fingerprints per ordered pair."""
@@ -2727,6 +2849,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_pairs": _winnow_pairs_sql(),
         "doc_dup_spans": _dup_spans_sql(),
         "doc_strip_dup_spans": _strip_dup_spans_sql(),
+        "doc_boilerplate_spans": _boilerplate_spans_sql(),
+        "doc_strip_boilerplate": _strip_boilerplate_sql(),
         "doc_mixture": _mixture_sql(),
         "doc_bloom_decontam": _bloom_sql(),
         "doc_repetition": """

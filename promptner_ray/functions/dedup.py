@@ -1187,6 +1187,299 @@ def strip_dup_spans(docs, n: int = DUP_SPAN_N, min_count: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# Per-source boilerplate removal (RefinedWeb/C4-style template stripping)
+# ---------------------------------------------------------------------------
+
+BOILER_N = 8  # gram width: shorter than DUP_SPAN_N — banners are short
+BOILER_MIN_FRAC = 0.5  # a gram is boilerplate on a source when it
+BOILER_MIN_DOCS = 2  # appears in ≥ frac of the source's docs (≥ min)
+
+
+#: the planted per-source template, 7 tokens + the source name = 8
+BANNER_TAIL = "nav home about contact search login sitemap"
+
+
+def inject_nav_banner_batch(batch: pa.Table) -> pa.Table:
+    """Plant a deterministic per-source nav banner on the docs with
+    ``doc_id % 4 != 0`` — a disclosed test/benchmark device (the same
+    idiom as the synthetic-PII and alias-typo injections): the sandbox
+    corpus carries no real site templates, and the planted one gives
+    the boilerplate detector a 75% document frequency to find while
+    the untouched quarter pins the "not everything is boilerplate"
+    side.  Replayed verbatim by the SQL twin."""
+    import pyarrow.compute as pc_
+
+    if batch.num_rows == 0 or "source" not in batch.column_names:
+        return batch
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    hit = pa.array(doc_id % 4 != 0)
+    banner = pc_.binary_join_element_wise(
+        batch.column("source").combine_chunks(),
+        pa.array([BANNER_TAIL] * batch.num_rows),
+        batch.column("text").combine_chunks(),
+        " ",
+    )
+    cols = {name: batch.column(name) for name in batch.column_names}
+    cols["text"] = pc_.if_else(
+        hit, banner, batch.column("text").combine_chunks()
+    )
+    return pa.table(cols)
+
+
+def _boiler_postings_batch(batch: pa.Table, n: int = BOILER_N) -> pa.Table:
+    """documents → one row per (src, k, doc_id, pos) positional n-gram
+    occurrence, where ``src`` is the int64 source digest and ``k`` the
+    digest of ``source|gram`` — the single-key identity the df count
+    and the semi-join both exchange on (per-source gram frequency is
+    the boilerplate signal, unlike :func:`dup_spans`' global count)."""
+    empty = pa.table(
+        {
+            "k": pa.array([], type=pa.int64()),
+            "src": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(batch) == 0 or "source" not in batch.column_names:
+        return empty
+    tok_lists = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    if isinstance(tok_lists, pa.ChunkedArray):
+        tok_lists = tok_lists.combine_chunks()
+    flat = tok_lists.values
+    offsets = np.asarray(tok_lists.offsets).astype(np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sources = batch.column("source").to_pylist()
+    parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    total = len(flat)
+    if total < n:
+        return empty
+    pos = np.arange(total - n + 1)
+    valid = parent[pos] == parent[pos + n - 1]
+    starts = pos[valid]
+    if len(starts) == 0:
+        return empty
+    parts = [
+        pc.take(flat, pa.array(starts + j, type=pa.int64())) for j in range(n)
+    ]
+    grams = pc.binary_join_element_wise(*parts, " ").to_pylist()
+    owner = parent[starts]
+    src_digs = np.array(
+        [_md5_key64(s) for s in sources], dtype=np.int64
+    )  # one md5 per batch ROW, not per token
+    cache: dict[tuple, int] = {}
+
+    def kd(o: int, g: str) -> int:
+        key = (sources[o], g)  # one md5 per distinct-in-block (source, gram)
+        v = cache.get(key)
+        if v is None:
+            v = _md5_key64(f"{sources[o]}|{g}")
+            cache[key] = v
+        return v
+
+    ks = np.fromiter(
+        (kd(int(o), g) for o, g in zip(owner, grams)),
+        dtype=np.int64,
+        count=len(grams),
+    )
+    return pa.table(
+        {
+            "k": pa.array(ks),
+            "src": pa.array(src_digs[owner]),
+            "doc_id": pa.array(doc_ids[owner]),
+            "pos": pa.array(
+                (starts - offsets[:-1][owner]).astype(np.int64)
+            ),
+        }
+    )
+
+
+def boilerplate_spans(
+    docs,
+    n: int = BOILER_N,
+    min_frac: float = BOILER_MIN_FRAC,
+    min_docs: int = BOILER_MIN_DOCS,
+    num_partitions: int | None = None,
+):
+    """documents(doc_id, text, source) → (doc_id, start_tok, end_tok):
+    maximal token spans covered by PER-SOURCE boilerplate n-grams —
+    grams appearing in ≥ ``min_frac`` of a source's documents (and in
+    ≥ ``min_docs``), the RefinedWeb/C4-style template/navigation
+    stripping signal (a nav banner repeats on most of a site's pages;
+    body text doesn't).
+
+    Plan: positional postings carrying the ``source|gram`` digest →
+    per-block distinct → grouped distinct-doc count per (src, gram) →
+    one tiny per-source totals join → df-fraction filter → semi-join
+    of the postings against the boilerplate set → the shared
+    gaps-and-islands merge.  Per-source doc totals are a
+    sources-cardinality table; everything else is int64-keyed and
+    data-sized.  The df comparison is one float division replayed
+    verbatim by the SQL twin.
+    """
+    from ..shuffle import (
+        hash_grouped,
+        hash_partitioned,
+        local_hash_join,
+        sized_partitions,
+    )
+
+    posts = docs.map_batches(
+        _boiler_postings_batch, fn_kwargs={"n": n}, batch_format="pyarrow"
+    ).materialize()
+    parts = sized_partitions(posts.count(), num_partitions)
+
+    # distinct (k, src, doc_id) — src is a function of k, riding along
+    distinct = hash_grouped(
+        posts.map_batches(
+            lambda t: (
+                t.select(["k", "src", "doc_id"])
+                .group_by(["k", "src", "doc_id"])
+                .aggregate([])
+            ),
+            batch_format="pyarrow",
+        ),
+        ["k", "src", "doc_id"],
+        [],
+        hash_cols=["k"],
+        num_partitions=parts,
+    )
+    df_tbl = hash_grouped(
+        distinct,
+        ["k", "src"],
+        [("doc_id", "count")],
+        rename={"doc_id_count": "df"},
+        hash_cols=["k"],
+        num_partitions=parts,
+    )
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return pa.table(
+                {
+                    "src": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        digs = [_md5_key64(s) for s in t.column("source").to_pylist()]
+        agg = pa.table(
+            {
+                "src": pa.array(digs, type=pa.int64()),
+                "c": pa.array(np.ones(len(digs), dtype=np.int64)),
+            }
+        ).group_by(["src"]).aggregate([("c", "sum")])
+        return pa.table(
+            {"src": agg.column("src"), "c": agg.column("c_sum")}
+        )
+
+    totals = hash_grouped(
+        docs.map_batches(src_partial, batch_format="pyarrow"),
+        ["src"],
+        [("c", "sum")],
+        rename={"c_sum": "total"},
+        num_partitions=1,  # sources are few by construction
+    )
+
+    hot_joined = local_hash_join(
+        df_tbl,
+        totals,
+        on=["src"],
+        left_schema=pa.schema(
+            [("k", pa.int64()), ("src", pa.int64()), ("df", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("src", pa.int64()), ("total", pa.int64())]
+        ),
+        num_partitions=parts,
+    )
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "df" not in t.column_names:
+            return pa.table({"k": pa.array([], type=pa.int64())})
+        df = t.column("df").to_numpy(zero_copy_only=False)
+        total = t.column("total").to_numpy(zero_copy_only=False)
+        # same float expression as the SQL twin: df * 1.0 / total
+        keep = (df >= min_docs) & ((df * 1.0) / total >= min_frac)
+        return pa.table(
+            {"k": t.column("k").combine_chunks().filter(pa.array(keep))}
+        )
+
+    hot = hot_joined.map_batches(hot_only, batch_format="pyarrow")
+    marked = local_hash_join(
+        posts,
+        hot,
+        on=["k"],
+        left_schema=pa.schema(
+            [
+                ("k", pa.int64()),
+                ("src", pa.int64()),
+                ("doc_id", pa.int64()),
+                ("pos", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("k", pa.int64())]),
+        how="semi",
+        num_partitions=parts,
+    )
+    return hash_partitioned(
+        marked.map_batches(
+            lambda t: t.select(["doc_id", "pos"]), batch_format="pyarrow"
+        ),
+        ["doc_id"],
+        _span_islands(n),
+        num_partitions=parts,
+    )
+
+
+def strip_boilerplate(
+    docs,
+    n: int = BOILER_N,
+    min_frac: float = BOILER_MIN_FRAC,
+    min_docs: int = BOILER_MIN_DOCS,
+    num_partitions: int | None = None,
+):
+    """documents(doc_id, text, source) → (doc_id, text) with every
+    per-source boilerplate span removed — same join-back/rebuild tail
+    as :func:`strip_dup_spans` (cache-gated base, coverage prefix-sum,
+    single-space rejoin)."""
+    from ..shuffle import hash_partitioned, local_hash_join, sized_partitions
+
+    n_rows = docs.count()
+    base = docs.select_columns(["doc_id", "text", "source"])
+    if n_rows <= STRIP_CACHE_MAX_ROWS:
+        base = base.materialize()
+    parts = sized_partitions(n_rows, num_partitions)
+    spans = boilerplate_spans(
+        base,
+        n=n,
+        min_frac=min_frac,
+        min_docs=min_docs,
+        num_partitions=num_partitions,
+    )
+    joined = local_hash_join(
+        base.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+        ),
+        spans,
+        on=["doc_id"],
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("start_tok", pa.int64()),
+                ("end_tok", pa.int64()),
+            ]
+        ),
+        how="left_outer",
+        num_partitions=parts,
+    )
+    return hash_partitioned(joined, ["doc_id"], _strip_spans_fn,
+                            num_partitions=parts)
+
+
+# ---------------------------------------------------------------------------
 # Incremental cross-wave MinHash dedup (continuous-crawl filter)
 # ---------------------------------------------------------------------------
 

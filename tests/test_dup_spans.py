@@ -101,3 +101,60 @@ def test_strip_lazy_path_matches_cached_path(ray_session, monkeypatch):
     cached = run()
     monkeypatch.setattr(dedup, "STRIP_CACHE_MAX_ROWS", 0)
     assert run() == cached
+
+
+def _sdocs(rows):
+    """(doc_id, source, text) rows for the per-source boilerplate ops."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "source": pa.array([r[1] for r in rows], type=pa.string()),
+                "text": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+def test_boilerplate_is_per_source(ray_session):
+    """A template on 3 of 4 docs of source A is boilerplate; the SAME
+    words on 1 of 4 docs of source B are not — df is per source, which
+    is exactly what separates boilerplate from mere duplication."""
+    banner = "nav one two three four five six seven"  # 8 tokens
+    body = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "aa bb cc dd ee ff gg hh ii jj",
+        "kk ll mm nn oo pp qq rr ss tt",
+    ]
+    rows = (
+        [(i, "A", f"{banner} {body[i]}") for i in range(3)]
+        + [(3, "A", body[3])]
+        + [(10 + i, "B", body[i]) for i in range(3)]
+        + [(13, "B", f"{banner} {body[3]}")]
+    )
+    spans = (
+        dedup.boilerplate_spans(_sdocs(rows), n=8, min_frac=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sorted(spans.doc_id) == [0, 1, 2]  # source A's banner docs only
+    assert (spans.start_tok == 0).all() and (spans.end_tok == 8).all()
+
+
+def test_strip_boilerplate_restores_bodies(ray_session):
+    banner = "nav one two three four five six seven"
+    bodies = [
+        "alpha beta gamma delta epsilon",
+        "lambda mu nu xi omicron",
+        "aa bb cc dd ee",
+    ]
+    rows = [(i, "A", f"{banner} {b}") for i, b in enumerate(bodies)]
+    got = (
+        dedup.strip_boilerplate(_sdocs(rows), n=8, min_frac=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.text) == bodies
