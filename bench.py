@@ -335,6 +335,7 @@ def _operator_suite() -> dict[str, float]:
         "kg_sentence_dedup",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "doc_strip_boilerplate",
         "dedup_jaccard_pairs",
         "dedup_simhash_pairs",
         "doc_dup_spans",
