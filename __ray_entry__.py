@@ -427,6 +427,36 @@ def _kg_triangles(sf_dir: str):
     return triangle_counts(_kg_edges_raw(sf_dir))
 
 
+def _kg_schema(sf_dir: str):
+    """Schema induction: (subj_type, pred, obj_type) signatures with
+    triple support and distinct-entity-pair diversity."""
+    from promptner_ray.functions.kgschema import schema_patterns
+
+    return schema_patterns(_kg_triples(sf_dir))
+
+
+def _kg_schema_filter(sf_dir: str):
+    """Ontology-consistency gate: triples whose type signature carries
+    ≥ 1/SCHEMA_KEEP_DEN of their predicate's support."""
+    from promptner_ray.functions.kgschema import schema_filter
+
+    return schema_filter(_kg_triples(sf_dir))
+
+
+def _kg_paths(sf_dir: str):
+    """Bounded 2-hop path enumeration through capped pivots."""
+    from promptner_ray.functions.kgschema import path_counts
+
+    return path_counts(_kg_edges_raw(sf_dir))
+
+
+def _kg_negative_samples(sf_dir: str):
+    """TransE-style corrupted-tail negatives over the node table."""
+    from promptner_ray.functions.kgschema import negative_samples
+
+    return negative_samples(_kg_edges_raw(sf_dir), _kg_nodes(sf_dir))
+
+
 def _kg_clustering(sf_dir: str):
     from promptner_ray.functions.graphops import clustering_coefficient
 
@@ -1367,6 +1397,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pmi": _kg_pmi,
         # per-node triangle counts (degree-ordered orientation)
         "kg_triangles": _kg_triangles,
+        # ontology induction: per-(subj_type, pred, obj_type) signature
+        # support + distinct-pair diversity
+        "kg_schema": _kg_schema,
+        # consistency gate: triples conforming to a dominant signature
+        "kg_schema_filter": _kg_schema_filter,
+        # SPARQL-ish 2-hop pattern scan through capped pivots
+        "kg_paths": _kg_paths,
+        # KG-embedding training prep: deterministic corrupted-tail
+        # negatives, true edges anti-joined out
+        "kg_negative_samples": _kg_negative_samples,
         "kg_node_jaccard": _kg_node_jaccard,
         # oracle: same pair CTE with the inverse-log fixed-point weight
         "kg_adamic_adar": _kg_adamic_adar,
@@ -2073,6 +2113,77 @@ def _walks_sql(walk_len: int = 8, k_walks: int = 2, seed: int = 42) -> str:
         SELECT start_node, walk_no, step::BIGINT AS step,
                cur AS entity_id
         FROM walks
+    """
+
+
+def _SCHEMA_KEEP_DEN() -> int:
+    from promptner_ray.functions.kgschema import SCHEMA_KEEP_DEN
+
+    return SCHEMA_KEEP_DEN
+
+
+def _PATH_PIVOT_CAP() -> int:
+    from promptner_ray.functions.kgschema import PATH_PIVOT_CAP
+
+    return PATH_PIVOT_CAP
+
+
+def _negatives_sql() -> str:
+    """SQL twin of ``_kg_negative_samples``: node ranks via
+    ``row_number() OVER (ORDER BY uint64(entity_id))``, candidate tails
+    via the identical wrapping-uint64 mix replayed in HUGEINT (operands
+    < 2⁹⁶: multipliers < 2³², values < 2⁶⁴), degenerate tails filtered,
+    true edges removed with NOT EXISTS — an independent anti-join
+    formulation of the engine's padded left-outer miss filter."""
+    from promptner_ray.functions.kgschema import (
+        NEG_K,
+        NEG_SEED,
+        _M1,
+        _M2,
+        _M3,
+    )
+
+    T = "18446744073709551616"  # 2**64
+
+    def u(x: str) -> str:
+        return (
+            f"CASE WHEN {x} < 0 THEN {x}::HUGEINT + {T} "
+            f"ELSE {x}::HUGEINT END"
+        )
+
+    pk = _sql_hash64("e.pred")
+    h = (
+        f"(({u('e.subj_id')}) * {_M1} + ({u('e.obj_id')}) * {_M2} "
+        f"+ ({u(f'({pk})')}) * {_M3} + (g.i + 1) * {_M1} + {NEG_SEED}) % {T}"
+    )
+    return f"""
+        WITH {_sql_links_cte()},
+        rk AS (
+          SELECT entity_id AS nid,
+                 row_number() OVER (ORDER BY {u('entity_id')}) - 1 AS rank
+          FROM lnk),
+        nn AS (SELECT count(*)::HUGEINT AS n FROM rk),
+        tr AS (SELECT subj, pred, obj
+               FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        edg AS (
+          SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+                 {_sql_hash64(_sql_norm('obj'))} AS obj_id
+          FROM tr GROUP BY 1, 2, 3),
+        cand AS (
+          SELECT e.subj_id, e.pred, e.obj_id, g.i::BIGINT AS neg_no,
+                 CAST(({h}) % nn.n AS BIGINT) AS rank
+          FROM edg e
+          CROSS JOIN (SELECT unnest(generate_series(0, {NEG_K - 1})) AS i)
+            AS g
+          CROSS JOIN nn)
+        SELECT c.subj_id, c.pred, c.obj_id, c.neg_no, r.nid AS neg_id
+        FROM cand c
+        JOIN rk r USING (rank)
+        WHERE r.nid != c.obj_id AND r.nid != c.subj_id
+          AND NOT EXISTS (
+            SELECT 1 FROM edg e2
+            WHERE e2.subj_id = c.subj_id AND e2.pred = c.pred
+              AND e2.obj_id = r.nid)
     """
 
 
@@ -3706,6 +3817,70 @@ def oracle_sql() -> dict[str, str]:
             JOIN degs s ON e.subj_id = s.entity_id
             JOIN degs o ON e.obj_id = o.entity_id
         """,
+        # schema induction: typed-pair distinct counts rolled up per
+        # (subj_type, pred, obj_type) signature
+        "kg_schema": f"""
+            WITH tr AS (SELECT subj, pred, obj, subj_type, obj_type
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            pairs AS (
+              SELECT subj_type, pred, obj_type,
+                     {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                     {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+                     count(*)::BIGINT AS n
+              FROM tr GROUP BY 1, 2, 3, 4, 5)
+            SELECT subj_type, pred, obj_type,
+                   sum(n)::BIGINT AS n_triples,
+                   count(*)::BIGINT AS n_pairs
+            FROM pairs GROUP BY 1, 2, 3
+        """,
+        # consistency gate: integer-threshold replay of the dominant-
+        # signature filter (n * DEN >= pred_total)
+        "kg_schema_filter": f"""
+            WITH tr AS (SELECT url, sent_id, subj, pred, obj, subj_type,
+                               obj_type
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            pat AS (
+              SELECT subj_type, pred, obj_type, count(*)::BIGINT AS n
+              FROM tr GROUP BY 1, 2, 3),
+            tot AS (SELECT pred, sum(n)::BIGINT AS t FROM pat GROUP BY pred)
+            SELECT tr.url, tr.sent_id, tr.subj, tr.pred, tr.obj,
+                   tr.subj_type, tr.obj_type
+            FROM tr
+            JOIN pat USING (subj_type, pred, obj_type)
+            JOIN tot USING (pred)
+            WHERE pat.n * {_SCHEMA_KEEP_DEN()} >= tot.t
+        """,
+        # 2-hop paths: identical pivot-cap replay, straight self-join
+        "kg_paths": f"""
+            WITH tr AS (SELECT subj, pred, obj
+                        FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            edg AS (
+              SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+                     {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+                     count(*)::BIGINT AS weight
+              FROM tr GROUP BY 1, 2, 3),
+            ends AS (
+              SELECT subj_id AS entity_id, 1 AS n_out, 0 AS n_in FROM edg
+              UNION ALL
+              SELECT obj_id, 0, 1 FROM edg),
+            deg AS (
+              SELECT entity_id, sum(n_out)::BIGINT AS n_out,
+                     sum(n_in)::BIGINT AS n_in
+              FROM ends GROUP BY entity_id),
+            piv AS (
+              SELECT entity_id FROM deg
+              WHERE n_in + n_out <= {_PATH_PIVOT_CAP()}
+                AND n_in > 0 AND n_out > 0)
+            SELECT e1.subj_id AS a, e1.pred AS p1, e1.obj_id AS b,
+                   e2.pred AS p2, e2.obj_id AS c,
+                   (e1.weight * e2.weight)::BIGINT AS w
+            FROM edg e1
+            JOIN piv p ON e1.obj_id = p.entity_id
+            JOIN edg e2 ON e2.subj_id = p.entity_id
+        """,
+        # corrupted-tail negatives: HUGEINT replay of the wrapping mix +
+        # row_number node ranking + NOT EXISTS anti on true edges
+        "kg_negative_samples": _negatives_sql(),
         # per-node triangle counts: the oracle enumerates id-ordered
         # triangles with two straight self-joins — a formulation
         # independent of the engine's degree-ordered orientation, which
