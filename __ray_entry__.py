@@ -1209,6 +1209,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_cap": lambda sf: urls.domain_cap(_docs(sf)),
         "doc_tfidf": lambda sf: vectorize.tfidf(_docs(sf)),
         "doc_lm_score": lambda sf: vectorize.lm_score(_docs(sf)),
+        # CCNet head/middle/tail: per-language exact tercile thresholds
+        # found by constant-exchange radix selection (no per-language
+        # value centralization — safe under 90%-one-language skew)
+        "doc_ccnet_buckets": lambda sf: vectorize.ccnet_buckets(_docs(sf)),
         # DSIR importance weights (hashed-unigram target/raw log ratio)
         # and the deterministic top-k selection over them
         "doc_dsir": lambda sf: vectorize.dsir_scores(_docs(sf)),
@@ -2729,6 +2733,12 @@ def _lm_score_sql() -> str:
     return sql_lm_score()
 
 
+def _ccnet_buckets_sql() -> str:
+    from promptner_ray.functions.vectorize import sql_ccnet_buckets
+
+    return sql_ccnet_buckets()
+
+
 def _dsir_sql() -> str:
     from promptner_ray.functions.vectorize import sql_dsir_scores
 
@@ -2953,6 +2963,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_domain_cap": _domain_cap_sql(),
         "doc_tfidf": _tfidf_sql(),
         "doc_lm_score": _lm_score_sql(),
+        # per-lang tercile replay: row_number order statistics at the
+        # same ⌈n/3⌉ / ⌈2n/3⌉ ranks, identical CASE comparisons
+        "doc_ccnet_buckets": _ccnet_buckets_sql(),
         "doc_dsir": _dsir_sql(),
         "doc_dsir_select": _dsir_select_sql(),
         "doc_dsir_sample": _dsir_sample_sql(),

@@ -524,3 +524,272 @@ def sql_dsir_sample(k: int = DSIR_KEEP_K, dim: int = DIM,
         FROM s
         ORDER BY key DESC, doc_id ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+CCNET_BUCKETS = ("tail", "middle", "head")
+
+
+def _float_to_ordered_u64(scores: np.ndarray) -> np.ndarray:
+    """IEEE-754 double → uint64 whose unsigned order equals float order
+    (the classic radix-sort key transform: flip all bits of negatives,
+    flip only the sign bit of non-negatives)."""
+    b = scores.astype(np.float64).view(np.uint64)
+    sign = b >> np.uint64(63)
+    return np.where(sign == 1, ~b, b | np.uint64(1 << 63))
+
+
+def _ordered_u64_to_float(u: int) -> float:
+    if u & (1 << 63):
+        b = u ^ (1 << 63)
+    else:
+        b = (~u) & 0xFFFFFFFFFFFFFFFF
+    return float(np.array([b], dtype=np.uint64).view(np.float64)[0])
+
+
+def grouped_order_stats(proj, targets: list[tuple[int, int, int]]) -> list[int]:
+    """Exact k-th smallest per group by distributed radix refinement.
+
+    ``proj``: Dataset of (gk: int64 group key, u: int64 holding the
+    order-mapped uint64 of the value).  ``targets``: (tid, gk, k) with
+    1-based rank ``k``.  Returns the selected ordered-uint64 per target
+    (same order as ``targets``).
+
+    Four passes over the projection, one 16-bit window of the key per
+    pass: each pass histograms the window for rows matching every
+    target's already-fixed high bits (per-block numpy combine →
+    ``hash_grouped`` sum → ≤ |targets|·65536-row driver reduce), then
+    fixes the window's bits and re-bases the remaining rank.  After the
+    last window the full 64-bit key IS the k-th value — no per-group
+    value set ever lands on one worker, which is what makes per-language
+    quantiles safe when one language is 90% of a 100 TB corpus (the
+    grouped_quantiles operator's per-key-fits-one-partition contract
+    does not hold there).
+    """
+    from ..shuffle import hash_grouped
+
+    prefixes = {tid: 0 for tid, _, _ in targets}
+    rank_left = {tid: k for tid, _, k in targets}
+    tids = [t[0] for t in targets]
+    gks = {tid: gk for tid, gk, _ in targets}
+
+    for shift in (48, 32, 16, 0):
+        snap_pref = dict(prefixes)
+        snap_left = dict(rank_left)
+        high = shift + 16
+
+        def hist(batch: pa.Table, shift=shift, high=high,
+                 snap=snap_pref) -> pa.Table:
+            out_t, out_b, out_c = [], [], []
+            if len(batch):
+                gk_col = batch.column("gk").to_numpy(zero_copy_only=False)
+                u = batch.column("u").to_numpy(
+                    zero_copy_only=False
+                ).view(np.uint64)
+                for tid in tids:
+                    mask = gk_col == gks[tid]
+                    if high < 64:
+                        mask = mask & (
+                            (u >> np.uint64(high))
+                            == np.uint64(snap[tid] >> high)
+                        )
+                    if not mask.any():
+                        continue
+                    w = (u[mask] >> np.uint64(shift)) & np.uint64(0xFFFF)
+                    bucket, cnt = np.unique(
+                        w.astype(np.int64), return_counts=True
+                    )
+                    out_t.append(np.full(len(bucket), tid, dtype=np.int64))
+                    out_b.append(bucket)
+                    out_c.append(cnt.astype(np.int64))
+            cat = (
+                lambda xs: np.concatenate(xs)
+                if xs
+                else np.array([], dtype=np.int64)
+            )
+            return pa.table(
+                {
+                    "tid": pa.array(cat(out_t), type=pa.int64()),
+                    "bucket": pa.array(cat(out_b), type=pa.int64()),
+                    "cnt": pa.array(cat(out_c), type=pa.int64()),
+                }
+            )
+
+        combined = hash_grouped(
+            proj.map_batches(hist, batch_format="pyarrow"),
+            ["tid", "bucket"],
+            [("cnt", "sum")],
+            rename={"cnt_sum": "cnt"},
+        ).take_all()
+        by_tid: dict[int, list[tuple[int, int]]] = {t: [] for t in tids}
+        for r in combined:
+            by_tid[r["tid"]].append((r["bucket"], r["cnt"]))
+        for tid in tids:
+            cum = 0
+            for bucket, cnt in sorted(by_tid[tid]):
+                if snap_left[tid] <= cum + cnt:
+                    prefixes[tid] = snap_pref[tid] | (bucket << shift)
+                    rank_left[tid] = snap_left[tid] - cum
+                    break
+                cum += cnt
+            else:
+                raise ValueError(
+                    f"grouped_order_stats: rank {snap_left[tid]} exceeds "
+                    f"group size for target {tid}"
+                )
+    return [prefixes[tid] for tid in tids]
+
+
+def ccnet_buckets(docs, dim: int = DIM):
+    """documents → (doc_id, lang, score, bucket): CCNet's per-language
+    head/middle/tail split on the unigram-LM quality score
+    (:func:`lm_score`'s ``avg_logprob``; higher = more typical = lower
+    perplexity = ``head``).  Thresholds are the EXACT per-language
+    tercile order statistics (ranks ⌈n/3⌉ and ⌈2n/3⌉ ascending), found
+    by :func:`grouped_order_stats` — the whole plan exchanges only
+    constant-size histograms, so a 90%-one-language corpus costs the
+    same as a balanced one.  The bucket is a pure function of (score,
+    thresholds): deterministic under ties at any parallelism, and the
+    DuckDB twin (row_number replay) hash-matches bit for bit because the
+    scores themselves are oracle-exact.
+    """
+    import math
+
+    from ..kernels.cleaning import surface_hash64
+
+    total, counts = corpus_bucket_totals(docs, dim=dim)
+    logp = [
+        math.log(c / total) if c > 0 and total > 0 else 0.0 for c in counts
+    ]
+
+    def score_fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tf = hashed_tf_batch(batch, dim=dim)
+        n = len(tf)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        acc = np.zeros(n, dtype=np.float64)
+        mats = [
+            tf.column(f"b{b}").to_numpy(zero_copy_only=False)
+            for b in range(dim)
+        ]
+        for col in mats:
+            n_tokens += col
+        for b in range(dim):  # fixed order == SQL's left-assoc sum
+            acc = acc + mats[b].astype(np.float64) * logp[b]
+        avg = np.where(n_tokens > 0, acc / np.maximum(n_tokens, 1), 0.0)
+        langs = batch.column("lang")
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        d = pc.dictionary_encode(langs)
+        uniq = pa.array(
+            [surface_hash64(s) for s in d.dictionary.to_pylist()],
+            type=pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": tf.column("doc_id"),
+                "lang": langs,
+                "gk": pc.take(uniq, d.indices),
+                "score": pa.array(avg, type=pa.float64()),
+            }
+        )
+
+    # Narrow scored projection, materialized ONCE: the selection makes 4
+    # passes, and re-running the scoring map per pass would recompute
+    # hashed-TF 4×.  This is a ~28 B/row int projection — 3-4 orders of
+    # magnitude under the text column the module's no-materialize rule
+    # protects (1e9 docs ≈ 28 GB across the cluster's object store).
+    scored = docs.map_batches(score_fn, batch_format="pyarrow").materialize()
+
+    def to_proj(t: pa.Table) -> pa.Table:
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gk": t.column("gk"),
+                "u": pa.array(
+                    _float_to_ordered_u64(s).view(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    proj = scored.map_batches(to_proj, batch_format="pyarrow")
+
+    lang_counts: dict[str, int] = {}
+    lang_gk: dict[str, int] = {}
+    for r in (
+        scored.map_batches(
+            lambda t: t.select(["lang", "gk"])
+            .group_by(["lang", "gk"])
+            .aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+        ).take_all()
+    ):  # ≤ |langs| rows per block — constant-size
+        lang_counts[r["lang"]] = lang_counts.get(r["lang"], 0) + r["count_all"]
+        lang_gk[r["lang"]] = r["gk"]
+
+    targets = []
+    order = []
+    for i, (lang, n) in enumerate(sorted(lang_counts.items())):
+        targets.append((2 * i, lang_gk[lang], (n + 2) // 3))
+        targets.append((2 * i + 1, lang_gk[lang], (2 * n + 2) // 3))
+        order.append(lang)
+    sel = grouped_order_stats(proj, targets)
+    thresholds = {
+        lang: (
+            _ordered_u64_to_float(sel[2 * i]),
+            _ordered_u64_to_float(sel[2 * i + 1]),
+        )
+        for i, lang in enumerate(order)
+    }
+
+    def assign(t: pa.Table) -> pa.Table:
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_pylist()
+        t1 = np.fromiter(
+            (thresholds[x][0] for x in langs), dtype=np.float64, count=len(s)
+        )
+        t2 = np.fromiter(
+            (thresholds[x][1] for x in langs), dtype=np.float64, count=len(s)
+        )
+        bucket = np.where(s <= t1, "tail", np.where(s <= t2, "middle", "head"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "score": t.column("score"),
+                "bucket": pa.array(bucket.astype(object), type=pa.string()),
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_ccnet_buckets(dim: int = DIM) -> str:
+    """DuckDB twin of :func:`ccnet_buckets`: identical scores
+    (``sql_lm_score``), thresholds via row_number order statistics at
+    ranks ⌈n/3⌉ / ⌈2n/3⌉, identical CASE comparisons."""
+    return f"""
+        WITH lm AS ({sql_lm_score(dim)}),
+        s AS (SELECT d.doc_id, d.lang, lm.avg_logprob AS score
+              FROM lm JOIN documents d USING (doc_id)),
+        n AS (SELECT lang, count(*)::BIGINT AS n FROM s GROUP BY lang),
+        r AS (SELECT lang, score,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY score) AS rk
+              FROM s),
+        t AS (SELECT r.lang,
+                     max(CASE WHEN rk = (n.n + 2) // 3
+                              THEN score END) AS t1,
+                     max(CASE WHEN rk = (2 * n.n + 2) // 3
+                              THEN score END) AS t2
+              FROM r JOIN n USING (lang) GROUP BY r.lang)
+        SELECT s.doc_id, s.lang, s.score,
+               CASE WHEN s.score <= t.t1 THEN 'tail'
+                    WHEN s.score <= t.t2 THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM s JOIN t USING (lang)
+    """

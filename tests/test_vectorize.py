@@ -44,3 +44,89 @@ def test_linear_score_empty_batch_keeps_schema():
     out = linear_score_batch(_batch([]))
     assert out.column_names == ["doc_id", "score", "keep"]
     assert len(out) == 0
+
+
+def test_grouped_order_stats_matches_numpy_kth(ray_session):
+    """Radix-refinement selection == numpy partition on skewed groups
+    with negative, positive, and tied float values."""
+    import numpy as np
+    import ray
+
+    from promptner_ray.functions.vectorize import (
+        _float_to_ordered_u64,
+        _ordered_u64_to_float,
+        grouped_order_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    # group 1: 900 values (the "90% one language" shape); group 2: 35
+    vals1 = np.round(rng.normal(-3, 2, 900), 3)  # rounding forces ties
+    vals2 = np.round(rng.normal(5, 1, 35), 3)
+    gk = np.concatenate(
+        [np.full(900, 101, dtype=np.int64), np.full(35, 202, dtype=np.int64)]
+    )
+    vals = np.concatenate([vals1, vals2])
+    proj = ray.data.from_arrow(
+        pa.table(
+            {
+                "gk": pa.array(gk, type=pa.int64()),
+                "u": pa.array(
+                    _float_to_ordered_u64(vals).view(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+    ).repartition(7)
+    targets = [
+        (0, 101, 1),      # min
+        (1, 101, 300),
+        (2, 101, 900),    # max
+        (3, 202, 12),
+        (4, 202, 35),
+    ]
+    got = [
+        _ordered_u64_to_float(u)
+        for u in grouped_order_stats(proj, targets)
+    ]
+    s1, s2 = np.sort(vals1), np.sort(vals2)
+    want = [s1[0], s1[299], s1[899], s2[11], s2[34]]
+    assert got == want
+
+
+def test_ccnet_buckets_orders_by_typicality(ray_session):
+    """Docs made of the corpus-dominant token land in head, rare-token
+    docs in tail; per-lang sizes split ~n/3."""
+    import collections
+
+    import ray
+
+    from promptner_ray.functions.vectorize import ccnet_buckets
+
+    common, rare = "alpha", "zq"  # distinct hash buckets (7 vs 1)
+    texts, langs = [], []
+    for i in range(30):
+        # 10 typical, 10 mixed, 10 atypical docs — all lang en; the
+        # mixed docs are asymmetric so corpus counts differ (common 140
+        # vs rare 100) and the three score levels are strictly ordered
+        if i < 10:
+            texts.append(" ".join([common] * 8))
+        elif i < 20:
+            texts.append(" ".join([common] * 6 + [rare] * 2))
+        else:
+            texts.append(" ".join([rare] * 8))
+        langs.append("en")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(30), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+        }
+    )
+    out = ccnet_buckets(ray.data.from_arrow(docs)).to_pandas()
+    by = out.set_index("doc_id")["bucket"]
+    assert all(by[i] == "head" for i in range(10))
+    assert all(by[i] == "middle" for i in range(10, 20))
+    assert all(by[i] == "tail" for i in range(20, 30))
+    assert collections.Counter(out["bucket"]) == {
+        "head": 10, "middle": 10, "tail": 10,
+    }
