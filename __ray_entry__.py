@@ -427,6 +427,14 @@ def _kg_triangles(sf_dir: str):
     return triangle_counts(_kg_edges_raw(sf_dir))
 
 
+def _kg_ktruss(sf_dir: str):
+    """Edge-level cohesion: the 4-truss of the entity graph (every kept
+    edge in ≥ 2 triangles inside the truss)."""
+    from promptner_ray.functions.graphops import k_truss
+
+    return k_truss(_kg_edges_raw(sf_dir))
+
+
 def _kg_schema(sf_dir: str):
     """Schema induction: (subj_type, pred, obj_type) signatures with
     triple support and distinct-entity-pair diversity."""
@@ -1419,6 +1427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: recursive-CTE peel replay (plus the single-process
         # peel reference in tests)
         "kg_kcore": _kg_kcore,
+        # edge-level cohesion one notch past k-core: support peel
+        "kg_ktruss": _kg_ktruss,
         # same core on the BSP actor-pool plan; same oracle
         "kg_kcore_bsp": _kg_kcore_bsp,
         # oracle: recursive-CTE BFS (min hop per node, capped depth)
@@ -1984,6 +1994,64 @@ def _kcore_sql(k: int = 3, max_iters: int = 30) -> str:
         SELECT node AS entity_id, count(*)::BIGINT AS degree
         FROM (SELECT a AS node FROM core UNION ALL SELECT b FROM core)
         GROUP BY node
+    """
+
+
+def _ktruss_sql(k: int = 4, max_iters: int = 8) -> str:
+    """SQL twin of :func:`graphops.k_truss`: support peeling as one
+    recursive CTE carrying the surviving EDGE set per round.  Edges are
+    id-ordered (a < b), so a triangle enumerates as the straight
+    3-self-join (a,b)+(b,c)+(a,c) with x<y<z and its three edge keys
+    need no re-normalization; per-round support is the 3-way UNION ALL
+    rollup of that enumeration (inlined — the recursive table cannot be
+    aliased into a named CTE), edges under k−2 drop (zero-support edges
+    drop implicitly via the inner join), capped at ``max_iters`` rounds
+    matching the Ray op; the converged peel re-emits its fixpoint
+    unchanged, so the ``it = max_iters`` slice IS the truss.  The final
+    SELECT recomputes support inside the truss exactly like the Ray op's
+    closing pass."""
+    tri = (
+        "SELECT t1.it, t1.a AS x, t1.b AS y, t2.b AS z "
+        "FROM peel t1 "
+        "JOIN peel t2 ON t2.it = t1.it AND t2.a = t1.b "
+        "JOIN peel t3 ON t3.it = t1.it AND t3.a = t1.a AND t3.b = t2.b"
+    )
+    sup = f"""(SELECT s.it, s.ea AS a, s.eb AS b, count(*) AS c FROM (
+              SELECT it, x AS ea, y AS eb FROM ({tri})
+              UNION ALL SELECT it, y, z FROM ({tri})
+              UNION ALL SELECT it, x, z FROM ({tri})) s
+            GROUP BY 1, 2, 3)"""
+    return f"""
+        WITH RECURSIVE tr AS (SELECT subj, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        edg AS (
+          SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                 {_sql_hash64(_sql_norm('obj'))} AS obj_id
+          FROM tr),
+        und AS (
+          SELECT DISTINCT least(subj_id, obj_id) AS a,
+                 greatest(subj_id, obj_id) AS b
+          FROM edg WHERE subj_id != obj_id),
+        peel(it, a, b) AS (
+          SELECT 0, a, b FROM und
+          UNION
+          SELECT p.it + 1, p.a, p.b
+          FROM peel p
+          JOIN {sup} s ON s.it = p.it AND s.a = p.a AND s.b = p.b
+          WHERE p.it < {max_iters} AND s.c >= {k - 2}
+        ),
+        truss AS (SELECT a, b FROM peel WHERE it = {max_iters}),
+        tri2 AS (
+          SELECT t1.a AS x, t1.b AS y, t2.b AS z
+          FROM truss t1
+          JOIN truss t2 ON t2.a = t1.b
+          JOIN truss t3 ON t3.a = t1.a AND t3.b = t2.b)
+        SELECT s.a, s.b, count(*)::BIGINT AS support FROM (
+          SELECT x AS a, y AS b FROM tri2
+          UNION ALL SELECT y, z FROM tri2
+          UNION ALL SELECT x, z FROM tri2) s
+        GROUP BY s.a, s.b
+        HAVING count(*) >= {k - 2}
     """
 
 
@@ -3909,6 +3977,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_bsp": _pagerank_sql(),
         # k-core peel as a recursive CTE carrying the surviving edge set
         "kg_kcore": _kcore_sql(),
+        # k-truss support peel: same recursive-edge-set discipline, the
+        # per-round filter is the inlined 3-self-join triangle rollup
+        "kg_ktruss": _ktruss_sql(),
         # BFS min-hop from the top hub, shared depth cap
         "kg_reachability": _bfs_sql(),
         "kg_reachability_bsp": _bfs_sql(),

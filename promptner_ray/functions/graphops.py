@@ -346,13 +346,14 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
     return _per_node_triangles(und, deg, num_partitions)
 
 
-def _per_node_triangles(und, deg, num_partitions: int | None = None):
+def _oriented_triangles(und, deg, num_partitions: int | None = None):
     """Degree-ordered triangle enumeration over a prepared (und, deg)
-    pair — see :func:`triangle_counts` for the algorithm."""
+    pair → one (u, v, w) row per triangle, rank(u) < rank(v) < rank(w)
+    under the (degree, id) order — see :func:`triangle_counts` for the
+    algorithm.  Shared by the per-node rollup and the k-truss peel."""
     import numpy as np
-    import pyarrow.compute as pc
 
-    from ..shuffle import hash_grouped, local_hash_join
+    from ..shuffle import local_hash_join
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     j1 = local_hash_join(
@@ -443,7 +444,7 @@ def _per_node_triangles(und, deg, num_partitions: int | None = None):
     wedges = wedged.map_batches(wedge_filter, batch_format="pyarrow")
     # closure: rank(v) < rank(w), so the undirected edge {v, w} — if it
     # exists — is oriented exactly v→w and a 2-key inner join suffices
-    triangles = local_hash_join(
+    return local_hash_join(
         wedges,
         oriented.map_batches(
             lambda t: pa.table(
@@ -459,6 +460,13 @@ def _per_node_triangles(und, deg, num_partitions: int | None = None):
         how="inner",
         num_partitions=num_partitions,
     )
+
+
+def _per_node_triangles(und, deg, num_partitions: int | None = None):
+    """Per-node rollup of :func:`_oriented_triangles`."""
+    from ..shuffle import hash_grouped
+
+    triangles = _oriented_triangles(und, deg, num_partitions)
 
     def tri_ends(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "u" not in t.column_names:
@@ -631,6 +639,146 @@ def k_core(edges_ds, k: int = 3, max_iters: int = 30,
         ),
         batch_format="pyarrow",
     )
+
+
+def k_truss(edges_ds, k: int = 4, max_iters: int = 8,
+            num_partitions: int | None = None):
+    """Edges of the k-truss of the undirected entity graph — the maximal
+    subgraph where every edge sits in ≥ k−2 triangles — with the
+    edge's support INSIDE the truss: (a, b, support).  The edge-level
+    cohesion filter one notch stronger than k-core: a k-core keeps
+    star-hub spokes, a k-truss demands every kept edge be triangle-
+    reinforced, which is the right noise gate for co-occurrence KGs.
+
+    Iterative support peeling: per round, degree-ordered triangle
+    enumeration (:func:`_oriented_triangles` — hubs never pivot), one
+    grouped Sum rolls triangle contributions up to their three
+    undirected edge keys, and edges under ``k − 2`` drop (zero-support
+    edges drop implicitly: they never earn a support row).  Converges
+    when the constant-size edge count stops shrinking; capped at
+    ``max_iters`` rounds to match the SQL replay exactly (a converged
+    peel re-emits its fixpoint unchanged, so cap and convergence agree).
+    Nothing graph-sized reaches the driver.
+    """
+    import numpy as np
+
+    from ..shuffle import hash_grouped
+
+    und, deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
+
+    def pair_degrees(pairs):
+        def ends(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "a" not in t.column_names:
+                return pa.table(
+                    {
+                        "node": pa.array([], type=pa.int64()),
+                        "c": pa.array([], type=pa.int64()),
+                    }
+                )
+            nodes = pa.concat_arrays(
+                [
+                    t.column("a").combine_chunks(),
+                    t.column("b").combine_chunks(),
+                ]
+            )
+            out = pa.table({"node": nodes}).group_by(["node"]).aggregate(
+                [([], "count_all")]
+            )
+            return pa.table(
+                {
+                    "node": out.column("node"),
+                    "c": out.column("count_all").cast(pa.int64()),
+                }
+            )
+
+        return hash_grouped(
+            pairs.map_batches(ends, batch_format="pyarrow"),
+            ["node"],
+            [("c", "sum")],
+            rename={"c_sum": "d"},
+            num_partitions=num_partitions,
+        )
+
+    def edge_support(pairs, degs):
+        tri = _oriented_triangles(pairs, degs, num_partitions)
+
+        def tri_edges(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "u" not in t.column_names:
+                return pa.table(
+                    {
+                        "a": pa.array([], type=pa.int64()),
+                        "b": pa.array([], type=pa.int64()),
+                        "c": pa.array([], type=pa.int64()),
+                    }
+                )
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            # the three undirected edges of each triangle, id-normalized
+            x = np.concatenate([u, v, u])
+            y = np.concatenate([v, w, w])
+            tb = pa.table(
+                {
+                    "a": pa.array(np.minimum(x, y), type=pa.int64()),
+                    "b": pa.array(np.maximum(x, y), type=pa.int64()),
+                }
+            )
+            out = tb.group_by(["a", "b"]).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "a": out.column("a"),
+                    "b": out.column("b"),
+                    "c": out.column("count_all").cast(pa.int64()),
+                }
+            )
+
+        return hash_grouped(
+            tri.map_batches(tri_edges, batch_format="pyarrow"),
+            ["a", "b"],
+            [("c", "sum")],
+            rename={"c_sum": "support"},
+            num_partitions=num_partitions,
+        )
+
+    prev_edges = und.count()
+    supp = None
+    for _ in range(max_iters):
+        supp = edge_support(und, deg).materialize()
+
+        def keep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(
+                pc.greater_equal(t.column("support"), k - 2)
+            ).select(["a", "b"])
+
+        kept = supp.map_batches(keep, batch_format="pyarrow").materialize()
+        n = kept.count()
+        if n == 0:
+            import ray
+
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([], type=pa.int64()),
+                        "b": pa.array([], type=pa.int64()),
+                        "support": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+        und = kept
+        if n == prev_edges:
+            break
+        prev_edges = n
+        deg = pair_degrees(und).materialize()
+    final = edge_support(und, deg)
+
+    def trim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("support"), k - 2))
+
+    return final.map_batches(trim, batch_format="pyarrow")
 
 
 def bfs_hops(

@@ -748,3 +748,33 @@ def test_bowtie_depth_cap(ray_session) -> None:
     # seed itself is `core` (hop 0 in both passes); 1..3 are OUT within
     # the cap; 4..6 are beyond it
     assert got == {"core": 1, "out": 3, "other": 3}
+
+
+def test_k_truss_keeps_k4_drops_pendant_triangle(ray_session) -> None:
+    """K4 on {1,2,3,4} is a 4-truss (every edge in 2 triangles); a
+    triangle {3,4,9} hanging off one K4 edge contributes two support-1
+    edges that peel away without disturbing the K4."""
+    from promptner_ray.functions.graphops import k_truss
+
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 9), (4, 9)]
+    got = (
+        k_truss(ray.data.from_arrow(_edge_table([(a, b, 1) for a, b in und])))
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert list(map(tuple, got[["a", "b"]].values)) == k4
+    assert got["support"].tolist() == [2] * 6
+
+
+def test_k_truss_cascade_to_empty(ray_session) -> None:
+    """A triangle strip (1-2-3, 2-3-4, 3-4-5) has no 4-truss: the
+    support-1 border edges peel first, then the spine loses its
+    triangles — the cascade must run to the empty fixpoint."""
+    from promptner_ray.functions.graphops import k_truss
+
+    und = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)]
+    got = k_truss(
+        ray.data.from_arrow(_edge_table([(a, b, 1) for a, b in und]))
+    ).to_pandas()
+    assert len(got) == 0
