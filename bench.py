@@ -156,7 +156,31 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
     names_ref = ray.put(dict(zip(nodes_df["entity_id"], nodes_df["canonical"])))
     kg.named_edges(edges, names_ref).count()
     out["kg_graph"] = round(time.monotonic() - t0, 3)
+    # schema induction / pruning consume the full bench triple stream
+    # (4.6M rows), not the toy edge table
+    from promptner_ray.functions.kgschema import (
+        negative_samples,
+        path_counts,
+        schema_filter,
+        schema_patterns,
+    )
+
+    triples_mat = kg.triples(det, cfg).materialize()
+    for name, fn in (
+        ("kg_schema", schema_patterns),
+        ("kg_schema_filter", schema_filter),
+    ):
+        t0 = time.monotonic()
+        fn(triples_mat).count()
+        out[name] = round(time.monotonic() - t0, 3)
     edges_mat = edges.materialize()
+    t0 = time.monotonic()
+    negative_samples(
+        edges_mat, links.select_columns(["entity_id"])
+    ).count()
+    out["kg_negative_samples"] = round(time.monotonic() - t0, 3)
+    from promptner_ray.functions.graphops import k_truss
+
     for name, fn in (
         ("kg_degrees", node_degrees),
         ("kg_pmi", edge_pmi),
@@ -164,6 +188,8 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         ("kg_pagerank", lambda e: pagerank(e, iters=4)),
         ("kg_node_jaccard", neighbor_jaccard),
         ("kg_kcore", lambda e: k_core(e, k=3)),
+        ("kg_ktruss", k_truss),
+        ("kg_paths", path_counts),
         ("kg_communities", label_propagation),
         ("kg_random_walks", random_walks),
     ):
@@ -211,6 +237,19 @@ def _web_page_ops(corpus_root: pathlib.Path) -> dict[str, float]:
     return out
 
 
+def _with_const_pred(edges):
+    """(subj_id, obj_id, weight) → + pred='links_to' (the web edge
+    table has a single implicit predicate)."""
+    import pyarrow as pa
+
+    return edges.map_batches(
+        lambda t: t.append_column(
+            "pred", pa.array(["links_to"] * len(t), type=pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     """Graph analytics over the REAL web graph (≥10⁶ edges), not the
     KG toy: PageRank / k-core / walks / triangles / degrees over the
@@ -240,12 +279,14 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         connected_components,
         hits,
         k_core,
+        k_truss,
         node_degrees,
         pagerank,
         random_walks,
         reciprocity,
         triangle_counts,
     )
+    from promptner_ray.functions.kgschema import negative_samples
 
     t0 = time.monotonic()
     edges = _build_web_edges(corpus_root)
@@ -283,6 +324,15 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         ("web_random_walks", random_walks),
         ("web_random_walks_bsp", random_walks_bsp),
         ("web_triangles", triangle_counts),
+        ("web_ktruss", k_truss),
+        (
+            "web_negative_samples",
+            # web edges carry no predicate column — name the link type
+            lambda e: negative_samples(
+                _with_const_pred(e),
+                node_degrees(e).select_columns(["entity_id"]),
+            ),
+        ),
         ("web_hits", lambda e: hits(e, iters=pr_iters)),
         ("web_hits_bsp", lambda e: hits_bsp(e, iters=pr_iters)),
         ("web_reciprocity", reciprocity),
@@ -329,6 +379,7 @@ def _operator_suite() -> dict[str, float]:
         "doc_classifier_score",
         "doc_tfidf",
         "doc_lm_score",
+        "doc_ccnet_buckets",
         "doc_distinct_sketch",
         "domain_counts",
         "doc_domain_cap",
