@@ -1212,6 +1212,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist": lambda sf: _docs(sf).map_batches(
             textstats.blocklist_batch, batch_format="pyarrow"
         ),
+        # Gopher quality rules (Rae et al. 2021): per-rule booleans +
+        # composite keep, all from integer counts and single divisions
+        "doc_gopher": lambda sf: _docs(sf).map_batches(
+            textstats.gopher_batch, batch_format="pyarrow"
+        ),
         "doc_domains": lambda sf: urls.doc_domains(_docs(sf)),
         "domain_counts": lambda sf: urls.domain_counts(_docs(sf)),
         "doc_domain_cap": lambda sf: urls.domain_cap(_docs(sf)),
@@ -2759,6 +2764,12 @@ def _linear_score_sql() -> str:
     return sql_linear_score()
 
 
+def _gopher_sql() -> str:
+    from promptner_ray.functions.textstats import sql_gopher
+
+    return sql_gopher()
+
+
 def _blocklist_sql() -> str:
     from promptner_ray.functions.textstats import sql_blocklist
 
@@ -3026,6 +3037,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hashed_tf": _hashed_tf_sql(),
         "doc_classifier_score": _linear_score_sql(),
         "doc_blocklist": _blocklist_sql(),
+        "doc_gopher": _gopher_sql(),
         "doc_domains": _doc_domains_sql(),
         "domain_counts": _domain_counts_sql(),
         "doc_domain_cap": _domain_cap_sql(),

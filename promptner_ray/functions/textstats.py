@@ -602,3 +602,144 @@ def quality_by_source(docs):
         num_partitions=1,
     )
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, §A1.1) — composite document filter
+# ---------------------------------------------------------------------------
+
+# Rule thresholds.  Structure follows the paper; the word-count floor is
+# tuned to the synthetic corpus (10-99-token docs) so the gate stays
+# non-trivial — the published 50/100k bounds would pass or fail docs on
+# length alone.  Line-shape rules (bullet/ellipsis line fractions) are
+# omitted: the corpus is single-line by construction.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 5000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_KINDS = 1  # corpus vocabulary carries only "the"/"to"
+# the paper's 8-word English indicator set
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_batch(batch: pa.Table) -> pa.Table:
+    """documents → Gopher quality-rule row per doc.
+
+    All inputs are integer counts; every ratio is ONE IEEE division of
+    those counts, and every rule a comparison on the result — so the
+    DuckDB twin (identical formulas) hash-matches bit for bit.
+    Vectorized: one split, one regex match over the flat token array,
+    substring counts via the non-overlapping replace-length identity
+    (``(len - len(replace(s, '...', ''))) / 3`` — the same left-to-right
+    non-overlap semantics DuckDB's ``replace`` has).
+    """
+    flat, offsets = _split_tokens(batch)
+    n_words = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    text_col = batch.column("text").combine_chunks()
+    n_chars = pc.utf8_length(text_col).cast(pa.int64()).to_numpy()
+    safe_n = np.maximum(n_words, 1)
+    # single-space-joined text: total token chars = chars − (words − 1)
+    mean_word_len = (n_chars - (n_words - 1)) / safe_n
+    n_hash = (
+        n_chars
+        - pc.utf8_length(pc.replace_substring(text_col, "#", ""))
+        .cast(pa.int64())
+        .to_numpy()
+    )
+    n_ellipsis = (
+        n_chars
+        - pc.utf8_length(pc.replace_substring(text_col, "...", ""))
+        .cast(pa.int64())
+        .to_numpy()
+    ) // 3
+    symbol_ratio = (n_hash + n_ellipsis) / safe_n
+    alpha = (
+        pc.match_substring_regex(flat, "[A-Za-z]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_alpha = (
+        np.add.reduceat(alpha, offsets[:-1])
+        if len(alpha)
+        else np.zeros(len(n_words), dtype=np.int64)
+    )
+    alpha_frac = n_alpha / safe_n
+    stop_kinds = np.zeros(len(n_words), dtype=np.int64)
+    for w in GOPHER_STOPWORDS:
+        stop_kinds += (
+            _per_row_member_counts(flat, offsets, (w,)) > 0
+        ).astype(np.int64)
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mean = (mean_word_len >= GOPHER_MIN_MEAN_LEN) & (
+        mean_word_len <= GOPHER_MAX_MEAN_LEN
+    )
+    r_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = stop_kinds >= GOPHER_MIN_STOP_KINDS
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "mean_word_len": pa.array(mean_word_len, type=pa.float64()),
+            "symbol_ratio": pa.array(symbol_ratio, type=pa.float64()),
+            "alpha_frac": pa.array(alpha_frac, type=pa.float64()),
+            "stop_kinds": pa.array(stop_kinds, type=pa.int64()),
+            "r_words": pa.array(r_words, type=pa.bool_()),
+            "r_mean": pa.array(r_mean, type=pa.bool_()),
+            "r_symbol": pa.array(r_symbol, type=pa.bool_()),
+            "r_alpha": pa.array(r_alpha, type=pa.bool_()),
+            "r_stop": pa.array(r_stop, type=pa.bool_()),
+            "keep": pa.array(
+                r_words & r_mean & r_symbol & r_alpha & r_stop,
+                type=pa.bool_(),
+            ),
+        }
+    )
+
+
+def sql_gopher() -> str:
+    """DuckDB twin of :func:`gopher_batch` (identical count → single
+    division → comparison chain)."""
+    stops = " + ".join(
+        f"list_contains(string_split(text, ' '), '{w}')::INT"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+            len(string_split(text, ' '))::BIGINT AS n_words,
+            length(text)::BIGINT AS n_chars,
+            ((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) // 3
+            )::BIGINT AS n_sym,
+            len(list_filter(string_split(text, ' '),
+                w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha,
+            ({stops})::BIGINT AS stop_kinds
+          FROM documents),
+        calc AS (
+          SELECT doc_id, n_words, stop_kinds,
+            (n_chars - (n_words - 1))::DOUBLE
+              / greatest(n_words, 1)::DOUBLE AS mean_word_len,
+            n_sym::DOUBLE / greatest(n_words, 1)::DOUBLE AS symbol_ratio,
+            n_alpha::DOUBLE / greatest(n_words, 1)::DOUBLE AS alpha_frac
+          FROM base)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+               stop_kinds,
+          (n_words >= {GOPHER_MIN_WORDS}
+           AND n_words <= {GOPHER_MAX_WORDS}) AS r_words,
+          (mean_word_len >= {GOPHER_MIN_MEAN_LEN}
+           AND mean_word_len <= {GOPHER_MAX_MEAN_LEN}) AS r_mean,
+          (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS r_symbol,
+          (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS r_alpha,
+          (stop_kinds >= {GOPHER_MIN_STOP_KINDS}) AS r_stop,
+          (n_words >= {GOPHER_MIN_WORDS}
+           AND n_words <= {GOPHER_MAX_WORDS}
+           AND mean_word_len >= {GOPHER_MIN_MEAN_LEN}
+           AND mean_word_len <= {GOPHER_MAX_MEAN_LEN}
+           AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+           AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+           AND stop_kinds >= {GOPHER_MIN_STOP_KINDS}) AS keep
+        FROM calc
+    """
