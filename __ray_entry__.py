@@ -1067,6 +1067,20 @@ def _cosine_pairs_ivf(sf_dir: str):
     ).select_columns(["vec_a", "vec_b"])
 
 
+def _embed_pq(sf_dir: str):
+    """Product-quantization encode: m 4-bit sub-codes per vector; the
+    codebooks are exported so the SQL twin recomputes the argmin-L2
+    assignment over the identical table."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    similarity.ensure_pq_export(sf_dir)
+    cb_ref = ray.put(similarity.train_pq(sf_dir))
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pq_assign(emb, cb_ref)
+
+
 def _events_asof(sf_dir: str):
     import ray
 
@@ -1335,6 +1349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": lambda sf: similarity.quantize_embeddings(
             _emb(sf)
         ),
+        # product quantization: m sub-codebooks, argmin-L2 codes
+        "embed_pq": _embed_pq,
         "embed_cosine_pairs_ivf": _cosine_pairs_ivf,
         # --- multimodal plumbing (documents-as-binary) ---------------
         "multimodal_features": lambda sf: multimodal.media_features(
@@ -2205,6 +2221,31 @@ def _PATH_PIVOT_CAP() -> int:
     return PATH_PIVOT_CAP
 
 
+def _pq_sql() -> str:
+    """SQL twin of ``_embed_pq``: per subspace one correlated argmin-L2
+    subquery over the exported codebooks (DuckDB ``list_distance`` on
+    the 1-based-inclusive subvector slice)."""
+    from promptner_ray.functions.similarity import PQ_M
+
+    dim = 64
+    sub = dim // PQ_M
+    cb = f"/tmp/promptner_pq/{_ORACLE_SF_NAME}/codebooks.parquet"
+    codes = ",\n          ".join(
+        f"""(SELECT c.code FROM read_parquet('{cb}') c
+             WHERE c.sub = {s}
+             ORDER BY list_distance(
+               e.embedding[{s * sub + 1}:{(s + 1) * sub}]::DOUBLE[],
+               c.centroid) ASC, c.code ASC
+             LIMIT 1) AS code{s}"""
+        for s in range(PQ_M)
+    )
+    return f"""
+        SELECT e.vec_id,
+          {codes}
+        FROM embeddings e
+    """
+
+
 def _negatives_sql() -> str:
     """SQL twin of ``_kg_negative_samples``: node ranks via
     ``row_number() OVER (ORDER BY uint64(entity_id))``, candidate tails
@@ -2887,8 +2928,11 @@ def oracle_sql() -> dict[str, str]:
         ensure_plane_export,
     )
 
+    from promptner_ray.functions.similarity import ensure_pq_export
+
     ensure_centroid_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     ensure_plane_export(f"/root/testdata/{_ORACLE_SF_NAME}")
+    ensure_pq_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     _centroids = (
         f"/tmp/promptner_centroids/{_ORACLE_SF_NAME}/centroids.parquet"
     )
@@ -3456,6 +3500,9 @@ def oracle_sql() -> dict[str, str]:
                     a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                   >= {COSINE_THRESHOLD}
         """,
+        # PQ codes over the exported sub-codebooks: per subspace the
+        # argmin-L2 code (dist ASC, code ASC — np.argmin's first-min)
+        "embed_pq": _pq_sql(),
         # SemDeDup keep rule over the exported-centroid assignment:
         # drop a vector iff a smaller-id same-cell vector is within the
         # cosine ball — the engine's id-greedy rule as a NOT EXISTS

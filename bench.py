@@ -397,6 +397,7 @@ def _operator_suite() -> dict[str, float]:
         "embed_knn",
         "embed_semdedup",
         "embed_quantize",
+        "embed_pq",
         "embed_knn_lsh",
         "embed_knn_ivf",
         "embed_cosine_pairs",

@@ -51,6 +51,10 @@ from ..stages.link import _hash_ids
 # exact in both engines).
 SCHEMA_KEEP_DEN = 20
 
+# Admissible-pattern sets up to this size broadcast (one int64 each →
+# ≤ 8 MB in the object store); larger sets take the semi-join path.
+SCHEMA_BROADCAST_MAX = 1_000_000
+
 # 2-hop paths only pivot through nodes with n_in + n_out <= cap: the
 # same hub-safety argument as neighbor_jaccard's pivot-degree cap.
 PATH_PIVOT_CAP = 64
@@ -223,9 +227,16 @@ def schema_filter(triples_ds, num_partitions: int | None = None):
     import pyarrow.compute as pc
 
     num_partitions = sized_partitions(triples_ds.count(), num_partitions)
+    # The pattern table is re-consumed (totals join + count + take_all):
+    # materialize it once — it is |patterns|-sized, not corpus-sized —
+    # and size every pattern-side exchange to ITS cardinality (the
+    # 1-partition fast path on toy/bench ontologies; the full-corpus
+    # bench paid three CPU-count sort exchanges plus a lineage re-run
+    # here, 43 s → ~6 s).
     pat = pattern_counts(
         triples_ds, num_partitions=max(1, num_partitions // 4)
-    )
+    ).materialize()
+    small = sized_partitions(pat.count())
 
     def add_pred_key(t: pa.Table) -> pa.Table:
         preds = t.column("pred")
@@ -244,7 +255,7 @@ def schema_filter(triples_ds, num_partitions: int | None = None):
         ["pred_key"],
         [("n_triples", "sum")],
         rename={"n_triples_sum": "pred_total"},
-        num_partitions=max(1, num_partitions // 4),
+        num_partitions=small,
     )
     pat_schema = pa.schema(
         [
@@ -265,7 +276,7 @@ def schema_filter(triples_ds, num_partitions: int | None = None):
         on=["pred_key"],
         left_schema=pat_schema,
         right_schema=tot_schema,
-        num_partitions=max(1, num_partitions // 4),
+        num_partitions=small,
     )
 
     def admissible(t: pa.Table) -> pa.Table:
@@ -277,7 +288,42 @@ def schema_filter(triples_ds, num_partitions: int | None = None):
             pa.array(n * SCHEMA_KEEP_DEN >= tot)
         )
 
-    keep = joined.map_batches(admissible, batch_format="pyarrow")
+    keep = joined.map_batches(
+        admissible, batch_format="pyarrow"
+    ).materialize()
+
+    # Size-thresholded switch (the edge-naming idiom, pipelines/kg.py::
+    # run_graph): the admissible set is one int64 per pattern.  Under
+    # the threshold it broadcasts once (``ray.put``) and the corpus side
+    # is a pure streaming ``is_in`` map — no exchange at all, which also
+    # sidesteps the pattern-key skew a pk-keyed semi-join suffers (a few
+    # dominant signatures own nearly every triple, so hash-partitioning
+    # the corpus on pk serializes; measured 43 s → ~3 s at bench scale).
+    # Over the threshold (an open predicate vocabulary can reach
+    # |preds|·|types|² patterns) it falls back to the distributed
+    # semi-join.
+    if keep.count() <= SCHEMA_BROADCAST_MAX:
+        import ray
+
+        keys = np.sort(
+            np.fromiter(
+                (r["pk"] for r in keep.take_all()), dtype=np.int64
+            )
+        )
+        keys_ref = ray.put(keys)
+
+        def bfilter(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch
+            ks = ray.get(keys_ref)
+            if len(ks) == 0:
+                return batch.slice(0, 0)
+            pk = _pattern_key(batch).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ks, pk)
+            idx[idx >= len(ks)] = 0
+            return batch.filter(pa.array(ks[idx] == pk))
+
+        return triples_ds.map_batches(bfilter, batch_format="pyarrow")
 
     def with_pk(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:

@@ -899,3 +899,145 @@ def sql_quantize(dim: int = 64) -> str:
                     ELSE 0 END AS code
         FROM x JOIN s ON x.dim_idx = s.dim_idx
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): m sub-codebooks, k codes each
+# ---------------------------------------------------------------------------
+
+PQ_M = 4            # subspaces (64-dim embeddings → 16-dim subvectors)
+PQ_K = 16           # codes per subspace → 4 bits; a vector stores m·4 bits
+PQ_KMEANS_ITERS = 15
+PQ_EXPORT_ROOT = "/tmp/promptner_pq"
+_PQ_CACHE: dict = {}
+
+
+def train_pq(
+    sf_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = 42,
+    sample_rows: int = IVF_SAMPLE_ROWS,
+) -> np.ndarray:
+    """(m, k, dim/m) L2 k-means sub-codebooks over the bounded head
+    sample — the same driver-side training regime (and in-process
+    cache) as :func:`train_centroids`; PQ codebooks are trained on a
+    sample and served frozen, so the corpus never feeds training."""
+    import pyarrow.parquet as pq
+
+    key = (sf_dir, m, k, seed, sample_rows)
+    hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    tbl = next(
+        pf.iter_batches(batch_size=sample_rows, columns=["vec_id", "embedding"])
+    )
+    _, mat = _batch_matrix(pa.Table.from_batches([tbl]))
+    cbs = train_pq_from_matrix(mat, m, k, seed)
+    _PQ_CACHE[key] = cbs
+    return cbs
+
+
+def train_pq_from_matrix(
+    mat: np.ndarray,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = 42,
+    iters: int = PQ_KMEANS_ITERS,
+) -> np.ndarray:
+    x = mat.astype(np.float64)
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
+    sub = x.shape[1] // m
+    out = np.empty((m, min(k, len(x)), sub), dtype=np.float64)
+    for s in range(m):
+        xs = x[:, s * sub:(s + 1) * sub]
+        rs = np.random.RandomState(seed + s)
+        kk = min(k, len(xs))
+        cent = xs[rs.choice(len(xs), kk, replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(kk):
+                sel = xs[assign == c]
+                if len(sel):
+                    cent[c] = sel.mean(axis=0)
+        out[s] = cent
+    return out
+
+
+def ensure_pq_export(sf_dir: str) -> str:
+    """Export the sub-codebooks as plain parquet (sub, code, centroid)
+    so the SQL twin can recompute the code assignment — the
+    exported-upstream oracle scheme of :func:`ensure_centroid_export`."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    out_dir = pathlib.Path(PQ_EXPORT_ROOT) / pathlib.Path(sf_dir).name
+    out = out_dir / "codebooks.parquet"
+    if out.exists():
+        return str(out)
+    cbs = train_pq(sf_dir)
+    rows_sub, rows_code, rows_cent = [], [], []
+    for s in range(cbs.shape[0]):
+        for c in range(cbs.shape[1]):
+            rows_sub.append(s)
+            rows_code.append(c)
+            rows_cent.append(cbs[s, c].astype(float).tolist())
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tbl = pa.table(
+        {
+            "sub": pa.array(rows_sub, type=pa.int32()),
+            "code": pa.array(rows_code, type=pa.int32()),
+            "centroid": pa.array(rows_cent, type=pa.list_(pa.float64())),
+        }
+    )
+    tmp = out_dir / "codebooks.parquet.tmp"
+    pq.write_table(tbl, tmp)
+    tmp.rename(out)
+    return str(out)
+
+
+class _PqAssigner:
+    """Ingest-time PQ encoding: per subspace one (batch × k) distance
+    matmul against the broadcast codebooks (``ray.put`` once, resolved
+    in ``__init__`` per actor); argmin = first minimum, matching the
+    SQL twin's ``ORDER BY dist, code``.  Like the IVF cell column, codes
+    are stored with the vector in production, so this is the one-time
+    encode pass a PQ-compressed 100 TB vector store runs at ingest —
+    the decode side is a (m·k)-entry lookup table, never the corpus."""
+
+    def __init__(self, cb_ref) -> None:
+        import ray
+
+        self.cbs = ray.get(cb_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        x = mat.astype(np.float64)
+        cols = {"vec_id": pa.array(ids, type=pa.int64())}
+        m, _, sub = self.cbs.shape
+        for s in range(m):
+            xs = x[:, s * sub:(s + 1) * sub]
+            cent = self.cbs[s]
+            d = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2.0 * (xs @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            cols[f"code{s}"] = pa.array(
+                np.argmin(d, axis=1).astype(np.int32), type=pa.int32()
+            )
+        return pa.table(cols)
+
+
+def pq_assign(embeddings, cb_ref):
+    """embeddings → (vec_id, code0..code{m-1}) PQ codes."""
+    return embeddings.map_batches(
+        _PqAssigner,
+        fn_constructor_kwargs={"cb_ref": cb_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

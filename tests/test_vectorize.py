@@ -130,3 +130,38 @@ def test_ccnet_buckets_orders_by_typicality(ray_session):
     assert collections.Counter(out["bucket"]) == {
         "head": 10, "middle": 10, "tail": 10,
     }
+
+
+def test_pq_codes_are_argmin_l2(ray_session):
+    """Each emitted code must be the true argmin-L2 codebook entry for
+    its subvector (first-min tie-break), at any partition count."""
+    import numpy as np
+    import ray
+
+    from promptner_ray.functions.similarity import (
+        pq_assign,
+        train_pq_from_matrix,
+    )
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(120, 64)).astype(np.float32)
+    cbs = train_pq_from_matrix(mat, m=4, k=16, seed=1)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+            "embedding": pa.array(
+                [row.astype(float).tolist() for row in mat],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = (
+        pq_assign(ray.data.from_arrow(tbl).repartition(5), ray.put(cbs))
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    x = mat.astype(np.float64)
+    for s in range(4):
+        xs = x[:, s * 16:(s + 1) * 16]
+        d = ((xs[:, None, :] - cbs[s][None]) ** 2).sum(axis=2)
+        assert out[f"code{s}"].tolist() == np.argmin(d, axis=1).tolist()
