@@ -427,6 +427,22 @@ def _kg_triangles(sf_dir: str):
     return triangle_counts(_kg_edges_raw(sf_dir))
 
 
+def _kg_entity_times(sf_dir: str):
+    """Per-entity temporal profile over the mentions stage + page
+    timestamps."""
+    from promptner_ray.pipelines.kg import entity_times
+
+    return entity_times(_kg_mentions(sf_dir), _pages(sf_dir))
+
+
+def _kg_pred_cooc(sf_dir: str):
+    """DIRT-style relation-synonym candidates: predicate pairs sharing
+    distinct argument pairs."""
+    from promptner_ray.functions.kgschema import pred_cooc
+
+    return pred_cooc(_kg_triples(sf_dir))
+
+
 def _kg_ktruss(sf_dir: str):
     """Edge-level cohesion: the 4-truss of the entity graph (every kept
     edge in ≥ 2 triangles inside the truss)."""
@@ -1425,6 +1441,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": _kg_degrees,
         # temporal edges: first/last crawl timestamp asserting each edge
         "kg_edge_times": _kg_edge_times,
+        # per-entity first/last-seen + page breadth
+        "kg_entity_times": _kg_entity_times,
+        # DIRT-style predicate co-occurrence (relation synonyms)
+        "kg_pred_cooc": _kg_pred_cooc,
         "kg_edges_asof": _kg_edges_asof,
         # PMI edge re-weighting vs the weighted-degree null model
         "kg_pmi": _kg_pmi,
@@ -2243,6 +2263,32 @@ def _pq_sql() -> str:
         SELECT e.vec_id,
           {codes}
         FROM embeddings e
+    """
+
+
+def _pred_cooc_sql() -> str:
+    """SQL twin of ``_kg_pred_cooc``: distinct (subj_id, obj_id, pred)
+    rows self-joined on the argument pair under the hot-pair cap;
+    ``a.pred < b.pred`` is byte order = the engine's ``sorted()`` on
+    the ASCII predicate tokens."""
+    from promptner_ray.functions.kgschema import DIRT_PAIR_CAP
+
+    return f"""
+        WITH tr AS (SELECT subj, pred, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        e AS (
+          SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS s,
+                 {_sql_hash64(_sql_norm('obj'))} AS o, pred
+          FROM tr),
+        cnt AS (SELECT s, o, count(*)::BIGINT AS c FROM e GROUP BY s, o),
+        ok AS (SELECT s, o FROM cnt
+               WHERE c BETWEEN 2 AND {DIRT_PAIR_CAP})
+        SELECT a.pred AS pred_a, b.pred AS pred_b,
+               count(*)::BIGINT AS n_pairs
+        FROM e a
+        JOIN e b ON a.s = b.s AND a.o = b.o AND a.pred < b.pred
+        JOIN ok ON a.s = ok.s AND a.o = ok.o
+        GROUP BY 1, 2
     """
 
 
@@ -3910,6 +3956,26 @@ def oracle_sql() -> dict[str, str]:
             FROM tr JOIN pg USING (url)
             GROUP BY 1, 2, 3
         """,
+        # per-entity temporal profile: mentions ⋈ page timestamps, the
+        # (entity, page) inner group makes n_pages an exact distinct
+        "kg_entity_times": f"""
+            WITH mm AS (SELECT url, mention
+                        FROM read_parquet('{_EXPORT}/mentions/part=*/*.parquet')),
+            pg AS (SELECT url, epoch_us(warc_ts)::BIGINT AS ts
+                   FROM read_parquet('{_CORPUS_GLOB}')),
+            per AS (
+              SELECT {_sql_hash64(_sql_norm('mention'))} AS entity_id,
+                     mm.url, count(*)::BIGINT AS n, min(pg.ts) AS ts
+              FROM mm JOIN pg USING (url)
+              GROUP BY 1, 2)
+            SELECT entity_id, min(ts) AS first_seen, max(ts) AS last_seen,
+                   sum(n)::BIGINT AS n_mentions,
+                   count(*)::BIGINT AS n_pages
+            FROM per GROUP BY entity_id
+        """,
+        # DIRT predicate co-occurrence: distinct typed pairs self-joined
+        # under the identical hot-pair cap (2..cap distinct preds)
+        "kg_pred_cooc": _pred_cooc_sql(),
         # time-travel snapshot: edge_times filtered at the integer
         # midpoint of the corpus crawl-timestamp span
         "kg_edges_asof": f"""

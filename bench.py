@@ -166,13 +166,19 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
     )
 
     triples_mat = kg.triples(det, cfg).materialize()
+    from promptner_ray.functions.kgschema import pred_cooc
+
     for name, fn in (
         ("kg_schema", schema_patterns),
         ("kg_schema_filter", schema_filter),
+        ("kg_pred_cooc", pred_cooc),
     ):
         t0 = time.monotonic()
         fn(triples_mat).count()
         out[name] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    kg.entity_times(kg.mentions(det, cfg), pages).count()
+    out["kg_entity_times"] = round(time.monotonic() - t0, 3)
     edges_mat = edges.materialize()
     t0 = time.monotonic()
     negative_samples(

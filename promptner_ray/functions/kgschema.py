@@ -740,3 +740,119 @@ def negative_samples(
         )
 
     return joined.map_batches(keep_misses, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DIRT-style predicate co-occurrence (relation-synonym candidates)
+# ---------------------------------------------------------------------------
+
+# Entity pairs connected by more than this many DISTINCT predicates are
+# skipped (hot caps: a boilerplate pair asserting every predicate would
+# otherwise contribute quadratically) — the neighbor_jaccard cap idiom.
+DIRT_PAIR_CAP = 16
+
+
+def pred_cooc(
+    triples_ds,
+    cap: int = DIRT_PAIR_CAP,
+    num_partitions: int | None = None,
+):
+    """Relation-synonym candidates à la DIRT (Lin & Pantel 2001): for
+    every entity pair connected by 2..``cap`` distinct predicates, count
+    the pair evidence per predicate pair → (pred_a, pred_b, n_pairs)
+    with ``pred_a < pred_b`` lexicographically.  Two predicates sharing
+    many distinct argument pairs are paraphrase candidates — the
+    classic distributional signal for relation canonicalization.
+
+    One pair-keyed exchange: per-block distinct (subj, obj, pred) rows
+    co-locate on the (subj_id, obj_id) digest, the per-partition kernel
+    walks pair runs (rare beyond size 1, bounded by ``cap``) and
+    combines pred-pair counts before the final tiny digest-keyed Sum.
+    """
+    import pyarrow.compute as pc
+
+    num_partitions = sized_partitions(triples_ds.count(), num_partitions)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], type=pa.int64()),
+                    "o": pa.array([], type=pa.int64()),
+                    "pred": pa.array([], type=pa.string()),
+                }
+            )
+        tbl = pa.table(
+            {
+                "s": _hash_ids(batch.column("subj")),
+                "o": _hash_ids(batch.column("obj")),
+                "pred": batch.column("pred").cast(pa.string()),
+            }
+        )
+        return tbl.group_by(["s", "o", "pred"]).aggregate([])
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pred_a": pa.array([], type=pa.string()),
+                "pred_b": pa.array([], type=pa.string()),
+                "ka": pa.array([], type=pa.int64()),
+                "kb": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0 or "s" not in t.column_names:
+            return empty
+        d = t.group_by(["s", "o", "pred"]).aggregate([])  # cross-block dedup
+        s = d.column("s").to_numpy(zero_copy_only=False)
+        o = d.column("o").to_numpy(zero_copy_only=False)
+        preds = d.column("pred").to_pylist()
+        order = np.lexsort((o, s))
+        s, o = s[order], o[order]
+        counts: dict[tuple[str, str], int] = {}
+        i = 0
+        n_rows = len(s)
+        while i < n_rows:
+            j = i + 1
+            while j < n_rows and s[j] == s[i] and o[j] == o[i]:
+                j += 1
+            m = j - i
+            if 2 <= m <= cap:
+                run = sorted(preds[order[idx]] for idx in range(i, j))
+                for x in range(m):
+                    for y in range(x + 1, m):
+                        key = (run[x], run[y])
+                        counts[key] = counts.get(key, 0) + 1
+            i = j
+        if not counts:
+            return empty
+        pa_, pb_, n_ = zip(*((a, b, c) for (a, b), c in counts.items()))
+        return pa.table(
+            {
+                "pred_a": pa.array(pa_, type=pa.string()),
+                "pred_b": pa.array(pb_, type=pa.string()),
+                "ka": pa.array(
+                    [surface_hash64(x) for x in pa_], type=pa.int64()
+                ),
+                "kb": pa.array(
+                    [surface_hash64(x) for x in pb_], type=pa.int64()
+                ),
+                "n": pa.array(n_, type=pa.int64()),
+            }
+        )
+
+    parted = hash_partitioned(
+        triples_ds.map_batches(partials, batch_format="pyarrow"),
+        ["s", "o"],
+        pair_kernel,
+        num_partitions=num_partitions,
+    )
+    out = hash_grouped(
+        parted,
+        ["ka", "kb", "pred_a", "pred_b"],
+        [("n", "sum")],
+        rename={"n_sum": "n_pairs"},
+        hash_cols=["ka", "kb"],
+        num_partitions=max(1, num_partitions // 4),
+    )
+    return out.drop_columns(["ka", "kb"])

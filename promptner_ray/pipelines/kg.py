@@ -292,6 +292,100 @@ def edge_times(triples_ds, pages_ds, num_partitions: int | None = None):
     )
 
 
+def entity_times(mentions_ds, pages_ds, num_partitions: int | None = None):
+    """Per-entity temporal profile: (entity_id, first_seen, last_seen,
+    n_mentions, n_pages) — when the crawl first/last asserted each
+    entity and how broadly (distinct pages) it is attested.  The
+    entity-level companion of :func:`edge_times`; feeds staleness
+    scoring and crawl-diff triage.
+
+    Plan: map-side combine of mentions to per-(page, entity) counts,
+    the url-digest-keyed join against the page-timestamp table, then
+    TWO grouped exchanges — (entity, page) first so ``n_pages`` is an
+    exact distinct-page count, entity rollup second.  Timestamps stay
+    int64 epoch-µs end to end.
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels.cleaning import surface_hash64
+    from ..shuffle import hash_grouped, local_hash_join, sized_partitions
+    from ..stages.link import _hash_ids
+
+    if num_partitions is None:
+        num_partitions = sized_partitions(mentions_ds.count(), None)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "url_key": pa.array([], type=pa.int64()),
+                    "entity_id": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        urls = batch.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        d = pc.dictionary_encode(urls)
+        keys = pa.array(
+            [surface_hash64(u) for u in d.dictionary.to_pylist()],
+            type=pa.int64(),
+        )
+        tbl = pa.table(
+            {
+                "url_key": pc.take(keys, d.indices),
+                "entity_id": _hash_ids(batch.column("mention")),
+            }
+        )
+        out = tbl.group_by(["url_key", "entity_id"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "url_key": out.column("url_key"),
+                "entity_id": out.column("entity_id"),
+                "n": out.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    joined = local_hash_join(
+        mentions_ds.map_batches(partials, batch_format="pyarrow"),
+        page_times(pages_ds),
+        on=["url_key"],
+        left_schema=pa.schema(
+            [
+                ("url_key", pa.int64()),
+                ("entity_id", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("url_key", pa.int64()), ("ts", pa.int64())]
+        ),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    per_page = hash_grouped(
+        joined,
+        ["entity_id", "url_key"],
+        [("n", "sum"), ("ts", "min")],
+        rename={"n_sum": "n", "ts_min": "ts"},
+        num_partitions=num_partitions,
+    )
+    return hash_grouped(
+        per_page,
+        ["entity_id"],
+        [("ts", "min"), ("ts", "max"), ("n", "sum"), ([], "count_all")],
+        rename={
+            "ts_min": "first_seen",
+            "ts_max": "last_seen",
+            "n_sum": "n_mentions",
+            "count_all": "n_pages",
+        },
+        num_partitions=num_partitions,
+    )
+
+
 def merge_edge_tables(*edge_tables, num_partitions: int | None = None):
     """Incremental-crawl merge: edge tables built from separately
     processed waves (monthly Common-Crawl segments, incremental

@@ -143,3 +143,30 @@ def test_negative_samples_excludes_true_and_degenerate(
     a = out[key].sort_values(key, ignore_index=True)
     b = out2[key].sort_values(key, ignore_index=True)
     assert a.equals(b)
+
+
+def test_pred_cooc_counts_and_hot_cap(ray_session) -> None:
+    from promptner_ray.functions.kgschema import DIRT_PAIR_CAP, pred_cooc
+
+    rows = []
+    # pair (alice, acme): 3 distinct preds → 3 predicate pairs
+    for p in ("founded", "leads", "owns"):
+        rows.append(("alice", p, "acme", "person", "org"))
+    rows.append(("alice", "founded", "acme", "person", "org"))  # dup triple
+    # pair (bob, acme): shares "founded"+"leads" → reinforces that pair
+    rows.append(("bob", "founded", "acme", "person", "org"))
+    rows.append(("bob", "leads", "acme", "person", "org"))
+    # hot pair: > cap distinct preds must be skipped entirely
+    for i in range(DIRT_PAIR_CAP + 1):
+        rows.append(("x", f"p{i:02d}", "y", "t", "t"))
+    got = (
+        pred_cooc(ray.data.from_arrow(_triples(rows)))
+        .to_pandas()
+        .set_index(["pred_a", "pred_b"])["n_pairs"]
+        .to_dict()
+    )
+    assert got == {
+        ("founded", "leads"): 2,
+        ("founded", "owns"): 1,
+        ("leads", "owns"): 1,
+    }
