@@ -443,6 +443,14 @@ def _kg_pred_cooc(sf_dir: str):
     return pred_cooc(_kg_triples(sf_dir))
 
 
+def _kg_scc(sf_dir: str):
+    """Strongly connected components of the directed entity graph
+    (Orzan coloring; scc_id = min node id of the component)."""
+    from promptner_ray.functions.graphops import scc
+
+    return scc(_kg_edges_raw(sf_dir))
+
+
 def _kg_ktruss(sf_dir: str):
     """Edge-level cohesion: the 4-truss of the entity graph (every kept
     edge in ≥ 2 triangles inside the truss)."""
@@ -1470,6 +1478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _kg_kcore,
         # edge-level cohesion one notch past k-core: support peel
         "kg_ktruss": _kg_ktruss,
+        # directed cycle structure: strongly connected components
+        "kg_scc": _kg_scc,
         # same core on the BSP actor-pool plan; same oracle
         "kg_kcore_bsp": _kg_kcore_bsp,
         # oracle: recursive-CTE BFS (min hop per node, capped depth)
@@ -4105,6 +4115,29 @@ def oracle_sql() -> dict[str, str]:
         # k-truss support peel: same recursive-edge-set discipline, the
         # per-round filter is the inlined 3-self-join triangle rollup
         "kg_ktruss": _ktruss_sql(),
+        # SCC: mutual-reachability closure (an algorithm independent of
+        # the engine's coloring loop) grouped to min-id components
+        "kg_scc": f"""
+            WITH RECURSIVE tr AS (SELECT subj, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+            edg AS (
+              SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS src,
+                     {_sql_hash64(_sql_norm('obj'))} AS dst
+              FROM tr),
+            nodes AS (SELECT DISTINCT node FROM (
+              SELECT src AS node FROM edg UNION ALL SELECT dst FROM edg)),
+            dedg AS (SELECT src, dst FROM edg WHERE src != dst),
+            reach(src, dst) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.src, e.dst
+              FROM reach r JOIN dedg e ON e.src = r.dst
+            )
+            SELECT a.dst AS entity_id, min(a.src) AS scc_id
+            FROM reach a
+            JOIN reach b ON b.src = a.dst AND b.dst = a.src
+            GROUP BY a.dst
+        """,
         # BFS min-hop from the top hub, shared depth cap
         "kg_reachability": _bfs_sql(),
         "kg_reachability_bsp": _bfs_sql(),

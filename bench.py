@@ -136,6 +136,7 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         node_degrees,
         pagerank,
         random_walks,
+        scc,
         triangle_counts,
     )
     from promptner_ray.pipelines import kg
@@ -198,6 +199,7 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         ("kg_paths", path_counts),
         ("kg_communities", label_propagation),
         ("kg_random_walks", random_walks),
+        ("kg_scc", scc),
     ):
         t0 = time.monotonic()
         fn(edges_mat).count()

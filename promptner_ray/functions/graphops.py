@@ -641,6 +641,296 @@ def k_core(edges_ds, k: int = 3, max_iters: int = 30,
     )
 
 
+def _same_color_edges(t: pa.Table) -> pa.Table:
+    """(src, dst, cu, cv) → (u, v, c) keeping same-color endpoints."""
+    import pyarrow.compute as pc
+
+    out = pa.table(
+        {
+            "u": t.column("src"),
+            "v": t.column("dst"),
+            "c": t.column("cu"),
+        }
+    )
+    return out.filter(pc.equal(t.column("cu"), t.column("cv")))
+
+
+def _color_roots(t: pa.Table) -> pa.Table:
+    """(dst, label) color rows → (node, c) roots where color(c) = c."""
+    import pyarrow.compute as pc
+
+    out = pa.table({"node": t.column("dst"), "c": t.column("label")})
+    return out.filter(pc.equal(t.column("dst"), t.column("label")))
+
+
+def scc(
+    edges_ds,
+    max_rounds: int = 30,
+    max_inner_iters: int = 50,
+    num_partitions: int | None = None,
+):
+    """Strongly connected components of the DIRECTED entity graph —
+    (entity_id, scc_id) with ``scc_id`` = min node id of the component —
+    the cycle structure CC (which is undirected) cannot see: mutual-
+    citation cores vs one-way reference chains.
+
+    Orzan-style coloring, each phase in Dataset operators: (1) forward
+    min-label fixpoint — color(v) = min id that reaches v (the directed
+    sibling of :func:`connected_components`'s loop, digest-converged);
+    (2) every color's root c (color(c) = c) seeds a backward BFS over
+    reverse edges RESTRICTED to color-c nodes — any v→…→c path stays
+    inside the color class (an intermediate with a smaller color would
+    force color(c) < c), so the visited set is exactly SCC(c), and c is
+    its min id (nothing smaller reaches c at all); (3) finished
+    components leave the active set and the loop re-colors the rest.
+    One SCC per color class retires per round, so rounds scale with the
+    condensation-DAG's color depth (like the CC loop's diameter bound);
+    per round every exchange is int64-keyed and nothing graph-sized
+    reaches the driver.
+    """
+    from ..shuffle import hash_grouped, local_hash_join
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("subj_id").to_numpy(zero_copy_only=False)
+        o = t.column("obj_id").to_numpy(zero_copy_only=False)
+        keep = s != o
+        return pa.table(
+            {
+                "src": pa.array(s[keep], type=pa.int64()),
+                "dst": pa.array(o[keep], type=pa.int64()),
+            }
+        )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        # node set from ALL endpoints (before the self-loop drop, so a
+        # self-loop-only node still gets its singleton component)
+        cols = [
+            t.column("subj_id").combine_chunks(),
+            t.column("obj_id").combine_chunks(),
+        ]
+        return pa.table(
+            {"node": pa.concat_arrays([c.cast(pa.int64()) for c in cols])}
+        )
+
+    num_partitions = _iter_partitions(edges_ds.count(), num_partitions)
+    edges = hash_grouped(
+        edges_ds.map_batches(to_pairs, batch_format="pyarrow"),
+        ["src", "dst"],
+        [],
+        num_partitions=num_partitions,
+    ).materialize()
+    active_nodes = hash_grouped(
+        edges_ds.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"],
+        [],
+        num_partitions=num_partitions,
+    ).materialize()
+    active_edges = edges
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    label_schema = pa.schema([("src", pa.int64()), ("label", pa.int64())])
+    node_schema = pa.schema([("node", pa.int64())])
+    results = []
+
+    for _ in range(max_rounds):
+        n_active = active_nodes.count()
+        if n_active == 0:
+            break
+        parts = _iter_partitions(max(n_active, active_edges.count()), None)
+
+        # (1) forward min-label fixpoint over the ACTIVE subgraph
+        colors = active_nodes.map_batches(
+            lambda t: pa.table(
+                {"dst": t.column("node"), "label": t.column("node")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        digest = _label_digest(colors)
+        for _ in range(max_inner_iters):
+            prop = local_hash_join(
+                active_edges,
+                colors.map_batches(
+                    lambda t: pa.table(
+                        {"src": t.column("dst"), "label": t.column("label")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                on=["src"],
+                left_schema=edge_schema,
+                right_schema=label_schema,
+                how="inner",
+                num_partitions=parts,
+            ).select_columns(["dst", "label"])
+            new_colors = hash_grouped(
+                prop.union(colors),
+                ["dst"],
+                [("label", "min")],
+                rename={"label_min": "label"},
+                num_partitions=parts,
+            ).materialize()
+            new_digest = _label_digest(new_colors)
+            colors = new_colors
+            if new_digest == digest:
+                break
+            digest = new_digest
+
+        # (2) reverse edges restricted to same-color endpoints
+        colored_schema = pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("cu", pa.int64())]
+        )
+        e1 = local_hash_join(
+            active_edges,
+            colors.map_batches(
+                lambda t: pa.table(
+                    {"src": t.column("dst"), "cu": t.column("label")}
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["src"],
+            left_schema=edge_schema,
+            right_schema=pa.schema([("src", pa.int64()), ("cu", pa.int64())]),
+            how="inner",
+            num_partitions=parts,
+        )
+        ecol = local_hash_join(
+            e1,
+            colors.map_batches(
+                lambda t: pa.table(
+                    {"dst": t.column("dst"), "cv": t.column("label")}
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["dst"],
+            left_schema=colored_schema,
+            right_schema=pa.schema([("dst", pa.int64()), ("cv", pa.int64())]),
+            how="inner",
+            num_partitions=parts,
+        ).map_batches(_same_color_edges, batch_format="pyarrow").materialize()
+
+        # (3) backward multi-source BFS: roots → everything reaching them
+        visited = colors.map_batches(
+            _color_roots, batch_format="pyarrow"
+        ).materialize()
+        frontier = visited
+        front_schema = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+        ecol_schema = pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("c", pa.int64())]
+        )
+        for _ in range(max_inner_iters):
+            if frontier.count() == 0:
+                break
+            hop = local_hash_join(
+                ecol,
+                frontier.map_batches(
+                    lambda t: pa.table(
+                        {"v": t.column("node"), "c": t.column("c")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                on=["v", "c"],
+                left_schema=ecol_schema,
+                right_schema=pa.schema(
+                    [("v", pa.int64()), ("c", pa.int64())]
+                ),
+                how="inner",
+                num_partitions=parts,
+            )
+            cand = hash_grouped(
+                hop.map_batches(
+                    lambda t: pa.table(
+                        {"node": t.column("u"), "c": t.column("c")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["node", "c"],
+                [],
+                num_partitions=parts,
+            )
+            new_front = local_hash_join(
+                cand,
+                visited.select_columns(["node"]),
+                on=["node"],
+                left_schema=front_schema,
+                right_schema=node_schema,
+                how="anti",
+                num_partitions=parts,
+            ).materialize()
+            if new_front.count() == 0:
+                break
+            visited = visited.union(new_front).materialize()
+            frontier = new_front
+
+        results.append(
+            visited.map_batches(
+                lambda t: pa.table(
+                    {
+                        "entity_id": t.column("node"),
+                        "scc_id": t.column("c"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+
+        # (4) retire finished components
+        active_nodes = local_hash_join(
+            active_nodes,
+            visited.select_columns(["node"]),
+            on=["node"],
+            left_schema=node_schema,
+            right_schema=node_schema,
+            how="anti",
+            num_partitions=parts,
+        ).materialize()
+        half = local_hash_join(
+            active_edges,
+            active_nodes.map_batches(
+                lambda t: pa.table({"src": t.column("node")}),
+                batch_format="pyarrow",
+            ),
+            on=["src"],
+            left_schema=edge_schema,
+            right_schema=pa.schema([("src", pa.int64())]),
+            how="semi",
+            num_partitions=parts,
+        )
+        active_edges = local_hash_join(
+            half,
+            active_nodes.map_batches(
+                lambda t: pa.table({"dst": t.column("node")}),
+                batch_format="pyarrow",
+            ),
+            on=["dst"],
+            left_schema=edge_schema,
+            right_schema=pa.schema([("dst", pa.int64())]),
+            how="semi",
+            num_partitions=parts,
+        ).materialize()
+    else:
+        if active_nodes.count() > 0:
+            raise ValueError(
+                "scc: max_rounds exhausted with active nodes remaining"
+            )
+
+    if not results:
+        import ray as _ray
+
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array([], type=pa.int64()),
+                    "scc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out
+
+
 def k_truss(edges_ds, k: int = 4, max_iters: int = 8,
             num_partitions: int | None = None):
     """Edges of the k-truss of the undirected entity graph — the maximal

@@ -778,3 +778,74 @@ def test_k_truss_cascade_to_empty(ray_session) -> None:
         ray.data.from_arrow(_edge_table([(a, b, 1) for a, b in und]))
     ).to_pandas()
     assert len(got) == 0
+
+
+def _brute_scc(edges, nodes):
+    """Floyd-Warshall mutual reachability on a tiny graph."""
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    reach = [[i == j for j in range(n)] for i in range(n)]
+    for s, t in edges:
+        reach[idx[s]][idx[t]] = True
+    for k in range(n):
+        for i in range(n):
+            if reach[i][k]:
+                row_k = reach[k]
+                reach[i] = [a or b for a, b in zip(reach[i], row_k)]
+    out = {}
+    for v in nodes:
+        out[v] = min(
+            u for u in nodes
+            if reach[idx[u]][idx[v]] and reach[idx[v]][idx[u]]
+        )
+    return out
+
+
+def test_scc_matches_brute_force(ray_session) -> None:
+    """2-cycle, 3-cycle, a chain between them, a self-loop singleton,
+    and a dangling tail — components must be the mutual-reachability
+    classes with min-id labels."""
+    from promptner_ray.functions.graphops import scc
+
+    edges = [
+        (1, 2), (2, 1),              # SCC {1, 2}
+        (3, 4), (4, 5), (5, 3),      # SCC {3, 4, 5}
+        (2, 3),                      # one-way bridge
+        (6, 6),                      # self-loop singleton
+        (5, 7), (7, 8),              # dangling chain
+    ]
+    nodes = sorted({x for e in edges for x in e})
+    got = (
+        scc(
+            ray.data.from_arrow(
+                _edge_table([(a, b, 1) for a, b in edges])
+            ).repartition(3)
+        )
+        .to_pandas()
+        .set_index("entity_id")["scc_id"]
+        .to_dict()
+    )
+    assert got == _brute_scc(edges, nodes)
+
+
+def test_scc_random_graph_matches_brute_force(ray_session) -> None:
+    import numpy as np
+
+    from promptner_ray.functions.graphops import scc
+
+    rng = np.random.default_rng(13)
+    edges = sorted(
+        {
+            (int(s), int(t))
+            for s, t in rng.integers(0, 14, size=(60, 2))
+            if s != t
+        }
+    )
+    nodes = sorted({x for e in edges for x in e})
+    got = (
+        scc(ray.data.from_arrow(_edge_table([(a, b, 1) for a, b in edges])))
+        .to_pandas()
+        .set_index("entity_id")["scc_id"]
+        .to_dict()
+    )
+    assert got == _brute_scc(edges, nodes)
