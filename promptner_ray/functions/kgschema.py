@@ -22,7 +22,9 @@ Scale notes (100 TB):
   |pred vocabulary| × |type|² — potentially large with an open predicate
   vocabulary, so the pruning plan never materializes it on the driver:
   pattern support joins per-pred totals through a tiny digest-keyed
-  exchange, and the corpus side is filtered with ONE semi-join.
+  exchange, and the corpus side is filtered by a size-thresholded
+  broadcast of the admissible digests (one int64 per pattern) with a
+  distributed semi-join as the over-threshold fallback.
 - Path enumeration is bounded by the pivot cap (same argument as
   ``graphops.neighbor_jaccard``): hubs never pivot, so the output is
   ≤ Σ_{capped b} in(b)·out(b).
