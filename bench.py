@@ -177,8 +177,12 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         t0 = time.monotonic()
         fn(triples_mat).count()
         out[name] = round(time.monotonic() - t0, 3)
+    # materialize mentions so the timing isolates the operator (the
+    # query path reads the cached stage export; a lazy chain here would
+    # re-run detection inside the timed window)
+    mentions_mat = kg.mentions(det, cfg).materialize()
     t0 = time.monotonic()
-    kg.entity_times(kg.mentions(det, cfg), pages).count()
+    kg.entity_times(mentions_mat, pages).count()
     out["kg_entity_times"] = round(time.monotonic() - t0, 3)
     edges_mat = edges.materialize()
     t0 = time.monotonic()
