@@ -1255,6 +1255,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher": lambda sf: _docs(sf).map_batches(
             textstats.gopher_batch, batch_format="pyarrow"
         ),
+        # C4 line-level rules (Raffel et al. 2020) over a disclosed
+        # deterministic line/punctuation injection (the sandbox corpus is
+        # single-line and punctuation-free); the oracle replays both
+        "doc_c4": lambda sf: _docs(sf)
+        .map_batches(textstats.inject_c4_lines_batch, batch_format="pyarrow")
+        .map_batches(textstats.c4_batch, batch_format="pyarrow"),
         "doc_domains": lambda sf: urls.doc_domains(_docs(sf)),
         "domain_counts": lambda sf: urls.domain_counts(_docs(sf)),
         "doc_domain_cap": lambda sf: urls.domain_cap(_docs(sf)),
@@ -2867,6 +2873,12 @@ def _gopher_sql() -> str:
     return sql_gopher()
 
 
+def _c4_sql() -> str:
+    from promptner_ray.functions.textstats import sql_c4
+
+    return sql_c4()
+
+
 def _blocklist_sql() -> str:
     from promptner_ray.functions.textstats import sql_blocklist
 
@@ -3138,6 +3150,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_classifier_score": _linear_score_sql(),
         "doc_blocklist": _blocklist_sql(),
         "doc_gopher": _gopher_sql(),
+        "doc_c4": _c4_sql(),
         "doc_domains": _doc_domains_sql(),
         "domain_counts": _domain_counts_sql(),
         "doc_domain_cap": _domain_cap_sql(),

@@ -743,3 +743,207 @@ def sql_gopher() -> str:
            AND stop_kinds >= {GOPHER_MIN_STOP_KINDS}) AS keep
         FROM calc
     """
+
+
+# --- C4 line-level quality rules (Raffel et al. 2020) ----------------------
+
+C4_LINE_WORDS = 10       # injected line length (words)
+C4_MIN_LINE_WORDS = 5    # C4: only retain lines with >= 5 words
+C4_MIN_KEPT_LINES = 3    # C4: discard pages with < 3 sentences
+C4_JS_SUFFIX = " javascript code."
+C4_LOREM_LINE = "lorem ipsum."
+C4_BRACE_LINE = "config { done }."
+
+
+def inject_c4_lines_batch(batch: pa.Table) -> pa.Table:
+    """Plant a deterministic newline/punctuation structure on the corpus
+    — a disclosed test/benchmark device (the nav-banner / synthetic-PII
+    idiom): the sandbox documents are single-line, punctuation-free
+    space-joined tokens, so the C4 line rules would be degenerate on the
+    raw text.  The injection re-wraps each doc into ``C4_LINE_WORDS``-word
+    lines and, per line ``l`` with ``r = doc_id + l``:
+
+    - ``r % 5 == 0`` → append ``' javascript code.'`` (terminal punct but
+      carries the word ``javascript`` → line dropped by the JS rule)
+    - else ``r % 3 == 0`` → leave unterminated (dropped: no terminal punct)
+    - else → append ``'.'`` (kept iff the line has >= 5 words)
+
+    plus a page-level ``'lorem ipsum.'`` line when ``doc_id % 13 == 0``
+    and a ``'config { done }.'`` line when ``doc_id % 17 == 0``.  Every
+    branch is a pure function of (doc_id, line index), replayed verbatim
+    by :func:`sql_c4`'s CTE chain."""
+    if batch.num_rows == 0:
+        return batch
+    flat, offsets = _split_tokens(batch)
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    nl = (counts + C4_LINE_WORDS - 1) // C4_LINE_WORDS
+    total = int(nl.sum())
+    doc_of_line = np.repeat(np.arange(len(counts)), nl)
+    line_in_doc = np.arange(total) - np.repeat(np.cumsum(nl) - nl, nl)
+    line_start = offsets[:-1][doc_of_line] + C4_LINE_WORDS * line_in_doc
+    # lines tile each doc's token range exactly, so the line list offsets
+    # are just the starts plus the final end — one zero-copy ListArray
+    line_offsets = np.append(line_start, offsets[-1]).astype(np.int64)
+    # int32 list offsets are safe here: this runs per map_batches block
+    # (~target_max_block_size), never per whole partition
+    lines = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(line_offsets.astype(np.int32), type=pa.int32()), flat
+        ),
+        " ",
+    )
+    r = doc_id[doc_of_line] + line_in_doc
+    suffix = np.where(
+        r % 5 == 0, C4_JS_SUFFIX, np.where(r % 3 == 0, "", ".")
+    )
+    lines = pc.binary_join_element_wise(
+        lines, pa.array(suffix, type=pa.string()), ""
+    )
+    # per-doc rejoin with '\n'
+    doc_line_offsets = np.append(0, np.cumsum(nl)).astype(np.int32)
+    text = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(doc_line_offsets, type=pa.int32()),
+            lines.combine_chunks() if isinstance(lines, pa.ChunkedArray)
+            else lines,
+        ),
+        "\n",
+    )
+    tail = np.where(doc_id % 13 == 0, "\n" + C4_LOREM_LINE, "")
+    tail2 = np.where(doc_id % 17 == 0, "\n" + C4_BRACE_LINE, "")
+    text = pc.binary_join_element_wise(
+        text,
+        pa.array(tail, type=pa.string()),
+        pa.array(tail2, type=pa.string()),
+        "",
+    )
+    cols = {name: batch.column(name) for name in batch.column_names}
+    cols["text"] = text
+    return pa.table(cols)
+
+
+def c4_batch(batch: pa.Table) -> pa.Table:
+    """multi-line documents → C4 quality-rule row per doc (Raffel et al.
+    2020 §2.2, the heuristics behind the C4 corpus): a line is retained
+    iff it ends in terminal punctuation (``. ! ? "``), has at least
+    ``C4_MIN_LINE_WORDS`` words, and does not contain the word
+    ``javascript``; the page is retained iff at least
+    ``C4_MIN_KEPT_LINES`` lines survive and no line carries
+    ``lorem ipsum`` or ``{``.  All predicates are per-line and vectorized
+    (one split + Arrow kernels over the flat line array); ``clean_text``
+    is the kept lines re-joined — the filter's actual training-data
+    output."""
+    col = batch.column("text").combine_chunks()
+    lists = pc.split_pattern(col, "\n")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    lines, offsets = lists.values, np.asarray(lists.offsets)
+    n_lines = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    lw = (
+        pc.utf8_length(lines).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        - pc.utf8_length(pc.replace_substring(lines, " ", ""))
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+        + 1
+    )
+    term = (
+        pc.ends_with(lines, ".")
+        .to_numpy(zero_copy_only=False)
+        | pc.ends_with(lines, "!").to_numpy(zero_copy_only=False)
+        | pc.ends_with(lines, "?").to_numpy(zero_copy_only=False)
+        | pc.ends_with(lines, '"').to_numpy(zero_copy_only=False)
+    )
+    low = pc.utf8_lower(lines)
+    js = pc.match_substring_regex(
+        low, "(^| )javascript( |$)"
+    ).to_numpy(zero_copy_only=False)
+    lorem = pc.match_substring(low, "lorem ipsum").to_numpy(
+        zero_copy_only=False
+    )
+    brace = pc.match_substring(lines, "{").to_numpy(zero_copy_only=False)
+    kept = term & (lw >= C4_MIN_LINE_WORDS) & ~js
+
+    def _doc_sum(x: np.ndarray) -> np.ndarray:
+        if len(x) == 0:
+            return np.zeros(len(n_lines), dtype=np.int64)
+        return np.add.reduceat(x.astype(np.int64), offsets[:-1])
+
+    n_kept = _doc_sum(kept)
+    has_lorem = _doc_sum(lorem) > 0
+    has_brace = _doc_sum(brace) > 0
+    keep = (n_kept >= C4_MIN_KEPT_LINES) & ~has_lorem & ~has_brace
+    # clean_text: kept lines re-joined with '\n' per doc
+    kept_lines = lines.filter(pa.array(kept))
+    kept_offsets = np.append(0, np.cumsum(n_kept)).astype(np.int32)
+    clean = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(kept_offsets, type=pa.int32()), kept_lines
+        ),
+        "\n",
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "n_kept": pa.array(n_kept, type=pa.int64()),
+            "has_lorem": pa.array(has_lorem, type=pa.bool_()),
+            "has_brace": pa.array(has_brace, type=pa.bool_()),
+            "keep": pa.array(keep, type=pa.bool_()),
+            "clean_text": clean,
+        }
+    )
+
+
+def sql_c4() -> str:
+    """DuckDB twin of ``inject_c4_lines_batch`` + :func:`c4_batch`: the
+    line re-wrap, the injected suffixes, and every C4 predicate replayed
+    as pure SQL over the raw documents table."""
+    return f"""
+        WITH words AS (
+          SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents)),
+        lines0 AS (
+          SELECT doc_id, ((i - 1) // {C4_LINE_WORDS})::BIGINT AS line_id,
+                 string_agg(w, ' ' ORDER BY i) AS line
+          FROM words GROUP BY doc_id, ((i - 1) // {C4_LINE_WORDS})),
+        lines1 AS (
+          SELECT doc_id, line_id,
+            CASE WHEN (doc_id + line_id) % 5 = 0
+                   THEN line || '{C4_JS_SUFFIX}'
+                 WHEN (doc_id + line_id) % 3 = 0 THEN line
+                 ELSE line || '.' END AS line
+          FROM lines0
+          UNION ALL
+          SELECT doc_id, 1000000000, '{C4_LOREM_LINE}'
+          FROM documents WHERE doc_id % 13 = 0
+          UNION ALL
+          SELECT doc_id, 1000000001, '{C4_BRACE_LINE}'
+          FROM documents WHERE doc_id % 17 = 0),
+        per_line AS (
+          SELECT doc_id, line_id, line,
+            (length(line) - length(replace(line, ' ', '')) + 1
+            )::BIGINT AS lw,
+            (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+             OR line LIKE '%"') AS term,
+            regexp_matches(lower(line), '(^| )javascript( |$)') AS js,
+            (position('lorem ipsum' IN lower(line)) > 0) AS lorem,
+            (position('{{' IN line) > 0) AS brace
+          FROM lines1)
+        SELECT doc_id,
+          count(*)::BIGINT AS n_lines,
+          coalesce(sum(CASE WHEN term AND lw >= {C4_MIN_LINE_WORDS}
+                            AND NOT js THEN 1 END), 0)::BIGINT AS n_kept,
+          bool_or(lorem) AS has_lorem,
+          bool_or(brace) AS has_brace,
+          (coalesce(sum(CASE WHEN term AND lw >= {C4_MIN_LINE_WORDS}
+                             AND NOT js THEN 1 END), 0)
+             >= {C4_MIN_KEPT_LINES}
+           AND NOT bool_or(lorem) AND NOT bool_or(brace)) AS keep,
+          coalesce(string_agg(
+            CASE WHEN term AND lw >= {C4_MIN_LINE_WORDS} AND NOT js
+                 THEN line END, chr(10) ORDER BY line_id), '')
+            AS clean_text
+        FROM per_line GROUP BY doc_id
+    """
