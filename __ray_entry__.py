@@ -1313,6 +1313,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (sample → count-min hot detection → two-stage salted merge);
         # result is plan-independent, so a plain GROUP BY oracles it
         "doc_word_counts": lambda sf: ngrams.token_counts_salted(_docs(sf)),
+        # one BPE merge iteration's pair statistics (Sennrich et al.
+        # 2016): corpus-weighted adjacent-symbol pairs over chars+</w>
+        "doc_bpe_pairs": lambda sf: ngrams.bpe_pair_counts(_docs(sf)),
         "doc_pack": _doc_pack,
         "doc_shuffle": _doc_shuffle,
         "doc_stratified_sample": lambda sf: sampling.stratified_sample(
@@ -2879,6 +2882,12 @@ def _c4_sql() -> str:
     return sql_c4()
 
 
+def _bpe_pairs_sql() -> str:
+    from promptner_ray.functions.ngrams import sql_bpe_pairs
+
+    return sql_bpe_pairs()
+
+
 def _blocklist_sql() -> str:
     from promptner_ray.functions.textstats import sql_blocklist
 
@@ -3250,6 +3259,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY w
         """,
+        "doc_bpe_pairs": _bpe_pairs_sql(),
         # deterministic global training-shuffle order: dense zero-based
         # rank under ORDER BY md5(doc_id:seed), doc_id
         "doc_shuffle": """

@@ -214,3 +214,138 @@ def token_counts_salted(
         hash_cols=["g_key"],
         num_partitions=num_partitions,
     )
+
+
+BPE_EOW = "</w>"
+
+
+def _bpe_pair_batch(batch: pa.Table) -> pa.Table:
+    """(word, n) vocabulary rows → (sym_a, sym_b, n, p_key) adjacent
+    symbol-pair partials — the statistic one BPE merge iteration ranks
+    (Sennrich et al. 2016): each word is its character sequence plus the
+    ``</w>`` end-of-word marker, and every adjacent pair contributes the
+    word's corpus count.
+
+    Vectorized as a loop over character POSITIONS (bounded by the
+    longest in-batch word, ~dozens), not words: two scalar-offset slice
+    kernels per position over the whole word column.  Work here is per
+    DISTINCT word — the corpus-sized stream was already collapsed by the
+    word-count exchange upstream."""
+    import numpy as np
+
+    empty = pa.table(
+        {
+            "sym_a": pa.array([], type=pa.string()),
+            "sym_b": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "p_key": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    words = batch.column("gram").combine_chunks()
+    counts = batch.column("n").combine_chunks()
+    lengths = pc.utf8_length(words).to_numpy(zero_copy_only=False)
+    max_len = int(lengths.max()) if len(lengths) else 0
+    parts_a, parts_b, parts_n = [], [], []
+    for p in range(max_len - 1):
+        mask = pa.array(lengths > p + 1)
+        w = words.filter(mask)
+        parts_a.append(pc.utf8_slice_codeunits(w, start=p, stop=p + 1))
+        parts_b.append(pc.utf8_slice_codeunits(w, start=p + 1, stop=p + 2))
+        parts_n.append(counts.filter(mask))
+    # end-of-word pair: (last char, </w>) for every non-empty word
+    mask = pa.array(lengths > 0)
+    w = words.filter(mask)
+    last = pc.utf8_slice_codeunits(w, start=-1, stop=2**30)
+    parts_a.append(last)
+    parts_b.append(pa.array([BPE_EOW] * len(w), type=pa.string()))
+    parts_n.append(counts.filter(mask))
+    tbl = pa.table(
+        {
+            "sym_a": pa.concat_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+                 for x in parts_a]
+            ),
+            "sym_b": pa.concat_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+                 for x in parts_b]
+            ),
+            "n": pa.concat_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+                 for x in parts_n]
+            ),
+        }
+    )
+    local = tbl.group_by(["sym_a", "sym_b"]).aggregate([("n", "sum")])
+    keys = [
+        int.from_bytes(
+            hashlib.blake2b(
+                f"{a}\x1f{b}".encode("utf-8"), digest_size=8
+            ).digest(),
+            "big",
+            signed=True,
+        )
+        for a, b in zip(
+            local.column("sym_a").to_pylist(),
+            local.column("sym_b").to_pylist(),
+        )
+    ]
+    return pa.table(
+        {
+            "sym_a": local.column("sym_a"),
+            "sym_b": local.column("sym_b"),
+            "n": local.column("n_sum"),
+            "p_key": pa.array(keys, type=pa.int64()),
+        }
+    )
+
+
+def bpe_pair_counts(docs, num_partitions: int | None = None):
+    """documents → (sym_a, sym_b, n): corpus-weighted adjacent
+    symbol-pair counts over the initial BPE symbol sequences (characters
+    + ``</w>``) — the exact statistic whose argmax is the first BPE
+    merge (Sennrich et al. 2016), i.e. one iteration of distributed
+    tokenizer training.
+
+    Scale shape: the corpus-sized token stream collapses in the existing
+    word-count exchange (map-side combine → digest-keyed Sum), pair
+    explosion then costs O(vocabulary · word length) — independent of
+    corpus size — and the final exchange carries at most
+    ``symbol-alphabet²`` rows.  Oracled by a plain two-level GROUP BY.
+    """
+    from ..shuffle import hash_grouped
+
+    vocab = ngram_counts(docs, n=1, num_partitions=num_partitions)
+    partial = vocab.map_batches(_bpe_pair_batch, batch_format="pyarrow")
+    return hash_grouped(
+        partial,
+        ["sym_a", "sym_b"],
+        [("n", "sum")],
+        rename={"n_sum": "n"},
+        hash_cols=["p_key"],
+        num_partitions=num_partitions,
+    )
+
+
+def sql_bpe_pairs() -> str:
+    """DuckDB twin of :func:`bpe_pair_counts`: word counts → per-position
+    character pairs + the ``</w>`` end-of-word pair → SUM of word counts."""
+    return f"""
+        WITH wc AS (
+          SELECT w AS word, count(*)::BIGINT AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY w),
+        pairs AS (
+          SELECT substring(word, i, 1) AS sym_a,
+                 substring(word, i + 1, 1) AS sym_b, n
+          FROM (SELECT word, n,
+                       unnest(generate_series(1, length(word) - 1)) AS i
+                FROM wc)
+          UNION ALL
+          SELECT substring(word, length(word), 1), '{BPE_EOW}', n
+          FROM wc WHERE length(word) > 0)
+        SELECT sym_a, sym_b, sum(n)::BIGINT AS n
+        FROM pairs GROUP BY sym_a, sym_b
+    """

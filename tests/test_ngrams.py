@@ -45,3 +45,31 @@ def test_top_ngrams_exact_with_tiebreak(ray_session):
     out = top_ngrams(ds, k=4).to_pandas()
     assert list(out["gram"]) == ["p q r", "a b c", "b c d", "c d e"]
     assert list(out["n"]) == [3, 2, 1, 1]
+
+
+def test_bpe_pair_batch_counts_and_eow() -> None:
+    import pyarrow as pa
+
+    from promptner_ray.functions.ngrams import _bpe_pair_batch
+
+    vocab = pa.table(
+        {
+            "gram": pa.array(["abab", "b", ""]),
+            "n": pa.array([3, 5, 7], type=pa.int64()),
+        }
+    )
+    out = _bpe_pair_batch(vocab)
+    d = {
+        (a, b): n
+        for a, b, n in zip(
+            out.column("sym_a").to_pylist(),
+            out.column("sym_b").to_pylist(),
+            out.column("n").to_pylist(),
+        )
+    }
+    # 'abab' ×3: (a,b)×2, (b,a)×1, (b,</w>)×1 ; 'b' ×5: (b,</w>)×1
+    assert d[("a", "b")] == 6
+    assert d[("b", "a")] == 3
+    assert d[("b", "</w>")] == 3 + 5
+    # empty word contributes nothing
+    assert sum(d.values()) == 6 + 3 + 8
