@@ -575,6 +575,15 @@ def _kg_communities(sf_dir: str):
     return label_propagation(_kg_edges_raw(sf_dir))
 
 
+def _kg_modularity(sf_dir: str):
+    """Newman modularity per LPA community — the partition-quality gate
+    over the same undirected entity graph; ``q_contrib`` is one fixed
+    float expression of integer inputs (bit-exact vs the SQL twin)."""
+    from promptner_ray.functions.graphops import modularity
+
+    return modularity(_kg_edges_raw(sf_dir))
+
+
 def _kg_communities_bsp(sf_dir: str):
     """Same communities on the BSP actor-pool plan (vote-count combiner
     over static shards — functions/graphbsp.py).  Bit-identical to
@@ -1510,6 +1519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _kg_communities,
         # same communities on the BSP actor-pool plan; same oracle
         "kg_communities_bsp": _kg_communities_bsp,
+        # Newman modularity of the LPA partition (quality gate)
+        "kg_modularity": _kg_modularity,
         # incremental-crawl wave merge must equal the batch edge table
         "kg_edges_incremental": _kg_edges_incremental,
         # oracle: full-outer join of the two wave-replay edge CTEs
@@ -2115,15 +2126,10 @@ def _ktruss_sql(k: int = 4, max_iters: int = 8) -> str:
     """
 
 
-def _labelprop_sql(max_iters: int = 10) -> str:
-    """SQL twin of :func:`graphops.label_propagation`: synchronous
-    min-tie-break voting is deterministic at any parallelism, so the
-    recursive CTE carrying (it, node, label) and replaying the identical
-    vote (count desc, label asc over neighbor labels + self-vote) for
-    exactly ``max_iters`` rounds reproduces the distributed result — an
-    early-converged run re-emits its fixpoint unchanged every remaining
-    round, so the ``it = max_iters`` slice matches both the converged
-    and the iteration-capped case."""
+def _lp_cte(max_iters: int = 10) -> str:
+    """Shared recursive-CTE prefix replaying synchronous min-tie-break
+    label propagation over the undirected distinct entity graph — used
+    by the `kg_communities` and `kg_modularity` twins."""
     votes = """(SELECT v.it, v.dst, v.label, count(*) AS c
           FROM (SELECT l.it, a.dst, l.label
                 FROM adj a JOIN lp l ON l.node = a.src
@@ -2155,9 +2161,58 @@ def _labelprop_sql(max_iters: int = 10) -> str:
               ON mx.it = c.it AND mx.dst = c.dst AND c.c = mx.m
             GROUP BY c.it, c.dst
           ) WHERE it < {max_iters}
-        )
+        )"""
+
+
+def _labelprop_sql(max_iters: int = 10) -> str:
+    """SQL twin of :func:`graphops.label_propagation`: synchronous
+    min-tie-break voting is deterministic at any parallelism, so the
+    recursive CTE carrying (it, node, label) and replaying the identical
+    vote (count desc, label asc over neighbor labels + self-vote) for
+    exactly ``max_iters`` rounds reproduces the distributed result — an
+    early-converged run re-emits its fixpoint unchanged every remaining
+    round, so the ``it = max_iters`` slice matches both the converged
+    and the iteration-capped case."""
+    return f"""{_lp_cte(max_iters)}
         SELECT node AS entity_id, label AS community
         FROM lp WHERE it = {max_iters}
+    """
+
+
+def _modularity_sql(max_iters: int = 10) -> str:
+    """SQL twin of :func:`graphops.modularity`: the `_lp_cte` labels
+    joined back onto the undirected edge and degree tables;
+    ``q_contrib`` is the identical fixed (x/m) − (d/2m)·(d/2m) float
+    expression of integer inputs, so it hash-matches bit for bit."""
+    return f"""{_lp_cte(max_iters)},
+        lab AS (SELECT node AS entity_id, label AS community
+                FROM lp WHERE it = {max_iters}),
+        mm AS (SELECT count(*)::BIGINT AS m FROM und),
+        labeled AS (
+          SELECT la.community AS ca, lb.community AS cb
+          FROM und u
+          JOIN lab la ON la.entity_id = u.a
+          JOIN lab lb ON lb.entity_id = u.b),
+        inner_c AS (
+          SELECT ca AS community, count(*)::BIGINT AS inner_edges
+          FROM labeled WHERE ca = cb GROUP BY ca),
+        degs AS (
+          SELECT node, count(*)::BIGINT AS d
+          FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY node),
+        comm AS (
+          SELECT l.community, count(*)::BIGINT AS n_nodes,
+                 sum(dg.d)::BIGINT AS degree_sum
+          FROM degs dg JOIN lab l ON l.entity_id = dg.node
+          GROUP BY l.community)
+        SELECT c.community, c.n_nodes,
+               coalesce(i.inner_edges, 0)::BIGINT AS inner_edges,
+               c.degree_sum,
+               coalesce(i.inner_edges, 0)::DOUBLE / mm.m::DOUBLE
+                 - (c.degree_sum::DOUBLE / (2 * mm.m)::DOUBLE)
+                   * (c.degree_sum::DOUBLE / (2 * mm.m)::DOUBLE)
+                 AS q_contrib
+        FROM comm c LEFT JOIN inner_c i USING (community), mm
     """
 
 
@@ -4203,6 +4258,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # synchronous label prop: deterministic voting unrolls exactly
         "kg_communities": _labelprop_sql(),
+        "kg_modularity": _modularity_sql(),
         "kg_triangles": f"""
             WITH tr AS (SELECT subj, pred, obj
                         FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),

@@ -2589,6 +2589,7 @@ def label_propagation(
     edges_ds,
     max_iters: int = 10,
     num_partitions: int | None = None,
+    precomputed=None,
 ):
     """Community detection over the undirected entity graph —
     (entity_id, community) by synchronous label propagation (Raghavan et
@@ -2612,7 +2613,12 @@ def label_propagation(
 
     from ..shuffle import hash_grouped, hash_partitioned, local_hash_join
 
-    und, _deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
+    if precomputed is not None:
+        und, num_partitions = precomputed
+    else:
+        und, _deg, num_partitions = _und_and_degrees(
+            edges_ds, num_partitions
+        )
 
     def to_adj(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "a" not in t.column_names:
@@ -3042,3 +3048,202 @@ def _bowtie_classify(edges, fwd, bwd, num_partitions: int | None):
             }
         )
     )
+
+
+def modularity(
+    edges_ds,
+    max_iters: int = 10,
+    num_partitions: int | None = None,
+):
+    """Newman modularity per label-propagation community —
+    (community, n_nodes, inner_edges, degree_sum, q_contrib) over the
+    distinct undirected entity graph: the quality gate for the
+    :func:`label_propagation` partition (Σ q_contrib is the classic
+    Q = Σ_c [ e_c/m − (d_c/2m)² ]; a partition no better than the
+    degree-preserving null model scores ≈ 0).
+
+    Plan: the shared ``_und_and_degrees`` stage feeds BOTH the LPA pass
+    (via its ``precomputed`` seam — one distinct-edge exchange total)
+    and the scoring joins: two padded int64 label joins onto the edge
+    endpoints → internal-edge count per community; one label join onto
+    the degree table → (n_nodes, degree_sum) per community; ``m`` is a
+    single driver scalar.  ``q_contrib`` is one fixed float expression
+    of three integers, so the DuckDB twin hash-matches bit for bit.
+    """
+    import numpy as np
+
+    from ..shuffle import hash_grouped, local_hash_join
+
+    und, deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
+    labels = label_propagation(
+        edges_ds,
+        max_iters=max_iters,
+        num_partitions=num_partitions,
+        precomputed=(und, num_partitions),
+    )
+    m = und.count()
+    if m == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "community": pa.array([], type=pa.int64()),
+                    "n_nodes": pa.array([], type=pa.int64()),
+                    "inner_edges": pa.array([], type=pa.int64()),
+                    "degree_sum": pa.array([], type=pa.int64()),
+                    "q_contrib": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    lab_a = pa.schema([("a", pa.int64()), ("ca", pa.int64())])
+    lab_b = pa.schema([("b", pa.int64()), ("cb", pa.int64())])
+    j1 = local_hash_join(
+        und,
+        labels.map_batches(
+            lambda t: pa.table(
+                {"a": t.column("entity_id"), "ca": t.column("community")}
+            ),
+            batch_format="pyarrow",
+        ),
+        on=["a"],
+        left_schema=pair_schema,
+        right_schema=lab_a,
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    j2 = local_hash_join(
+        j1,
+        labels.map_batches(
+            lambda t: pa.table(
+                {"b": t.column("entity_id"), "cb": t.column("community")}
+            ),
+            batch_format="pyarrow",
+        ),
+        on=["b"],
+        left_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("ca", pa.int64())]
+        ),
+        right_schema=lab_b,
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def inner_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(t) == 0 or "ca" not in t.column_names:
+            return pa.table(
+                {
+                    "community": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        eq = pc.equal(t.column("ca"), t.column("cb"))
+        sub = t.filter(eq)
+        out = (
+            pa.table({"community": sub.column("ca")})
+            .group_by(["community"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "community": out.column("community"),
+                "n": out.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    inner = hash_grouped(
+        j2.map_batches(inner_partial, batch_format="pyarrow"),
+        ["community"],
+        [("n", "sum")],
+        rename={"n_sum": "inner_edges"},
+        num_partitions=num_partitions,
+    )
+    degj = local_hash_join(
+        deg.map_batches(
+            lambda t: pa.table(
+                {"entity_id": t.column("node"), "d": t.column("d")}
+            ),
+            batch_format="pyarrow",
+        ),
+        labels,
+        on=["entity_id"],
+        left_schema=pa.schema([("entity_id", pa.int64()), ("d", pa.int64())]),
+        right_schema=pa.schema(
+            [("entity_id", pa.int64()), ("community", pa.int64())]
+        ),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    comm = hash_grouped(
+        degj.map_batches(
+            lambda t: pa.table(
+                {
+                    "community": t.column("community"),
+                    "d": t.column("d"),
+                    "one": pa.array(
+                        np.ones(len(t), dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["community"],
+        [("one", "sum"), ("d", "sum")],
+        rename={"one_sum": "n_nodes", "d_sum": "degree_sum"},
+        num_partitions=num_partitions,
+    )
+    joined = local_hash_join(
+        comm,
+        inner,
+        on=["community"],
+        left_schema=pa.schema(
+            [
+                ("community", pa.int64()),
+                ("n_nodes", pa.int64()),
+                ("degree_sum", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("community", pa.int64()), ("inner_edges", pa.int64())]
+        ),
+        how="left_outer",
+        num_partitions=num_partitions,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "community" not in t.column_names:
+            return pa.table(
+                {
+                    "community": pa.array([], type=pa.int64()),
+                    "n_nodes": pa.array([], type=pa.int64()),
+                    "inner_edges": pa.array([], type=pa.int64()),
+                    "degree_sum": pa.array([], type=pa.int64()),
+                    "q_contrib": pa.array([], type=pa.float64()),
+                }
+            )
+        inner_n = (
+            t.column("inner_edges")
+            .combine_chunks()
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dsum = t.column("degree_sum").to_numpy(zero_copy_only=False)
+        # one fixed float expression of integer inputs — the SQL twin
+        # evaluates the identical (x/m) − (d/2m)·(d/2m)
+        frac = dsum.astype(np.float64) / float(2 * m)
+        q = inner_n.astype(np.float64) / float(m) - frac * frac
+        return pa.table(
+            {
+                "community": t.column("community"),
+                "n_nodes": t.column("n_nodes"),
+                "inner_edges": pa.array(inner_n, type=pa.int64()),
+                "degree_sum": t.column("degree_sum"),
+                "q_contrib": pa.array(q, type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")

@@ -849,3 +849,37 @@ def test_scc_random_graph_matches_brute_force(ray_session) -> None:
         .to_dict()
     )
     assert got == _brute_scc(edges, nodes)
+
+
+def test_modularity_two_triangles_bridge(ray_session) -> None:
+    from promptner_ray.functions.graphops import modularity
+
+    # Two triangles {1,2,3} and {4,5,6} bridged by 3-4: LPA finds the
+    # two triangles; hand-computed Q per community = 3/7 - (7/14)^2.
+    edges = [(1, 2, 1), (1, 3, 1), (2, 3, 1),
+             (4, 5, 1), (4, 6, 1), (5, 6, 1), (3, 4, 1)]
+    out = (
+        modularity(ray.data.from_arrow(_edge_table(edges)))
+        .to_pandas()
+        .set_index("community")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 4]
+    assert list(out["n_nodes"]) == [3, 3]
+    assert list(out["inner_edges"]) == [3, 3]
+    assert list(out["degree_sum"]) == [7, 7]
+    expect = 3.0 / 7.0 - (7.0 / 14.0) ** 2
+    assert all(abs(q - expect) < 1e-12 for q in out["q_contrib"])
+    # total Q of the partition is comfortably positive
+    assert out["q_contrib"].sum() > 0.35
+
+
+def test_modularity_single_community_is_zero(ray_session) -> None:
+    from promptner_ray.functions.graphops import modularity
+
+    # One triangle: everything in one community → inner = m and
+    # degree_sum = 2m, so Q = 1 - 1 = 0 exactly.
+    edges = [(1, 2, 1), (1, 3, 1), (2, 3, 1)]
+    out = modularity(ray.data.from_arrow(_edge_table(edges))).to_pandas()
+    assert len(out) == 1
+    assert float(out["q_contrib"].iloc[0]) == 0.0
