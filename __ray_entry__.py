@@ -1068,6 +1068,100 @@ def _knn_ivf(sf_dir: str):
     )
 
 
+def _knn_ivfadc(sf_dir: str):
+    """IVF-ADC over PQ codes (Jégou et al. 2011): the compressed-index
+    query path — candidates from the probed IVF cells are ranked by m
+    LUT lookups, never touching embedding bytes.  The per-query LUT is
+    computed once, exported for the SQL twin, and broadcast to the
+    actors, so the distance doubles are canonical on both sides."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    similarity.ensure_centroid_export(sf_dir)
+    similarity.ensure_pq_export(sf_dir)
+    _, lut = similarity.ensure_adc_export(sf_dir, KNN_QUERIES)
+    cent_ref = ray.put(similarity.train_centroids(sf_dir))
+    cb_ref = ray.put(similarity.train_pq(sf_dir))
+    lut_ref = ray.put(lut)
+    qref = ray.put(similarity.load_query_matrix(sf_dir, KNN_QUERIES))
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    enc = similarity.ivfadc_encode(emb, cent_ref, cb_ref)
+    return similarity.knn_ivfadc(
+        enc, qref, cent_ref, lut_ref, k=KNN_K
+    )
+
+
+def _ivfadc_sql(centroids_path: str) -> str:
+    """SQL twin of ``_knn_ivfadc``: cell assignment + probe set replay
+    (the proven `embed_knn_ivf` CTEs), PQ code replay (the proven
+    `embed_pq` argmin), then the ADC distance as the identical
+    left-to-right ``l0.dist + l1.dist + …`` chain over the EXPORTED
+    LUT doubles — bit-exact including the float column."""
+    from promptner_ray.functions.similarity import IVF_NPROBE, PQ_M
+
+    dim = 64
+    sub = dim // PQ_M
+    cb = f"/tmp/promptner_pq/{_ORACLE_SF_NAME}/codebooks.parquet"
+    lutp = f"/tmp/promptner_adc/{_ORACLE_SF_NAME}/lut.parquet"
+    codes = ",\n          ".join(
+        f"""(SELECT c.code FROM read_parquet('{cb}') c
+             WHERE c.sub = {s}
+             ORDER BY list_distance(
+               e.embedding[{s * sub + 1}:{(s + 1) * sub}]::DOUBLE[],
+               c.centroid) ASC, c.code ASC
+             LIMIT 1) AS code{s}"""
+        for s in range(PQ_M)
+    )
+    dist_terms = " + ".join(f"l{s}.dist" for s in range(PQ_M))
+    lut_joins = "\n          ".join(
+        f"JOIN lut l{s} ON l{s}.qid = p.qid AND l{s}.sub = {s} "
+        f"AND l{s}.code = c.code{s}"
+        for s in range(PQ_M)
+    )
+    return f"""
+        WITH cent AS (SELECT cell, centroid
+                      FROM read_parquet('{centroids_path}')),
+        assign AS (
+          SELECT e.vec_id, (
+            SELECT c.cell FROM cent c
+            ORDER BY list_cosine_similarity(
+              e.embedding::DOUBLE[], c.centroid) DESC, c.cell ASC
+            LIMIT 1) AS cell
+          FROM embeddings e),
+        codes AS (
+          SELECT e.vec_id,
+          {codes}
+          FROM embeddings e),
+        probes AS (
+          SELECT qid, cell FROM (
+            SELECT e.vec_id AS qid, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.centroid) DESC,
+                       c.cell ASC) AS rn
+            FROM embeddings e, cent c
+            WHERE e.vec_id < {KNN_QUERIES})
+          WHERE rn <= {IVF_NPROBE}),
+        lut AS (SELECT qid, sub, code, dist
+                FROM read_parquet('{lutp}')),
+        cand AS (
+          SELECT p.qid, a.vec_id AS nid,
+                 {dist_terms} AS dist
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN codes c ON c.vec_id = a.vec_id
+          {lut_joins}
+          WHERE a.vec_id != p.qid),
+        ranked AS (
+          SELECT qid, nid, dist,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY dist ASC, nid ASC) AS rank
+          FROM cand)
+        SELECT qid, nid, dist, rank FROM ranked WHERE rank <= {KNN_K}
+    """
+
+
 def _knn_lsh(sf_dir: str):
     """LSH ANN: the hyperplanes are exported so the SQL oracle can
     recompute the sign-pattern buckets and the Hamming-≤2 probe set."""
@@ -1393,6 +1487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # product quantization: m sub-codebooks, argmin-L2 codes
         "embed_pq": _embed_pq,
+        # compressed-index query path: IVF probe + PQ asymmetric distance
+        "embed_knn_ivfadc": _knn_ivfadc,
         "embed_cosine_pairs_ivf": _cosine_pairs_ivf,
         # --- multimodal plumbing (documents-as-binary) ---------------
         "multimodal_features": lambda sf: multimodal.media_features(
@@ -3065,6 +3161,9 @@ def oracle_sql() -> dict[str, str]:
     ensure_centroid_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     ensure_plane_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     ensure_pq_export(f"/root/testdata/{_ORACLE_SF_NAME}")
+    from promptner_ray.functions.similarity import ensure_adc_export
+
+    ensure_adc_export(f"/root/testdata/{_ORACLE_SF_NAME}", KNN_QUERIES)
     _centroids = (
         f"/tmp/promptner_centroids/{_ORACLE_SF_NAME}/centroids.parquet"
     )
@@ -3637,6 +3736,7 @@ def oracle_sql() -> dict[str, str]:
         # PQ codes over the exported sub-codebooks: per subspace the
         # argmin-L2 code (dist ASC, code ASC — np.argmin's first-min)
         "embed_pq": _pq_sql(),
+        "embed_knn_ivfadc": _ivfadc_sql(_centroids),
         # SemDeDup keep rule over the exported-centroid assignment:
         # drop a vector iff a smaller-id same-cell vector is within the
         # cosine ball — the engine's id-greedy rule as a NOT EXISTS

@@ -1041,3 +1041,234 @@ def pq_assign(embeddings, cb_ref):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-ADC (Jégou et al. 2011): PQ-compressed asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+ADC_EXPORT_ROOT = "/tmp/promptner_adc"
+_ADC_CACHE: dict = {}
+
+
+def ensure_adc_export(
+    sf_dir: str, n_queries: int = 10
+) -> tuple[str, np.ndarray]:
+    """Compute and export the per-query ADC lookup tables —
+    ``lut[q, s, c] = ||q_sub(s) − codebook[s, c]||²`` — as plain parquet
+    (qid, sub, code, dist).  The SAME float64 array drives the engine
+    (broadcast via ``ray.put``) and the SQL twin (read back from the
+    export), so the m-term distance sums are bit-identical on both
+    sides: there is exactly one canonical set of LUT doubles.  Size is
+    n_queries × m × k (≈ 640 rows) — query-time state, never the corpus.
+    """
+    import pathlib
+
+    import pyarrow.parquet as pq_
+
+    key = (sf_dir, n_queries)
+    hit = _ADC_CACHE.get(key)
+    out_dir = pathlib.Path(ADC_EXPORT_ROOT) / pathlib.Path(sf_dir).name
+    out = out_dir / "lut.parquet"
+    if hit is not None and out.exists():
+        return str(out), hit
+    qids, qmat = load_query_matrix(sf_dir, n_queries)
+    cbs = train_pq(sf_dir)  # (m, k, sub)
+    m, kk, sub = cbs.shape
+    q = qmat.astype(np.float64)
+    lut = np.empty((len(qids), m, kk), dtype=np.float64)
+    for s in range(m):
+        qs = q[:, s * sub:(s + 1) * sub]          # (nq, sub)
+        diff = qs[:, None, :] - cbs[s][None, :, :]  # (nq, k, sub)
+        lut[:, s, :] = (diff * diff).sum(axis=2)
+    rows_q = np.repeat(qids, m * kk)
+    rows_s = np.tile(np.repeat(np.arange(m, dtype=np.int32), kk), len(qids))
+    rows_c = np.tile(np.arange(kk, dtype=np.int32), len(qids) * m)
+    tbl = pa.table(
+        {
+            "qid": pa.array(rows_q, type=pa.int64()),
+            "sub": pa.array(rows_s, type=pa.int32()),
+            "code": pa.array(rows_c, type=pa.int32()),
+            "dist": pa.array(lut.reshape(-1), type=pa.float64()),
+        }
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tmp = out_dir / "lut.parquet.tmp"
+    pq_.write_table(tbl, tmp)
+    tmp.rename(out)
+    _ADC_CACHE[key] = lut
+    return str(out), lut
+
+
+class _IvfAdcEncoder:
+    """One-pass ingest encode: IVF cell (argmax cosine, the
+    ``_IvfAssigner`` kernel) + PQ codes (argmin L2 per subspace, the
+    ``_PqAssigner`` kernel) — what a PQ-compressed vector store writes
+    next to each vector.  The full-precision embedding is DROPPED from
+    the output: downstream search touches only (cell, codes), the whole
+    point of the compressed index."""
+
+    def __init__(self, cent_ref, cb_ref) -> None:
+        import ray
+
+        self.cent = ray.get(cent_ref)
+        self.cbs = ray.get(cb_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            m = self.cbs.shape[0]
+            cols = {
+                "vec_id": pa.array([], type=pa.int64()),
+                "cell": pa.array([], type=pa.int32()),
+            }
+            for s in range(m):
+                cols[f"code{s}"] = pa.array([], type=pa.int32())
+            return pa.table(cols)
+        norm = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax((mat / norm) @ self.cent.T, axis=1)
+        x = mat.astype(np.float64)
+        m, _, sub = self.cbs.shape
+        cols = {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "cell": pa.array(cell.astype(np.int32), type=pa.int32()),
+        }
+        for s in range(m):
+            xs = x[:, s * sub:(s + 1) * sub]
+            cent = self.cbs[s]
+            d = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2.0 * (xs @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            cols[f"code{s}"] = pa.array(
+                np.argmin(d, axis=1).astype(np.int32), type=pa.int32()
+            )
+        return pa.table(cols)
+
+
+def ivfadc_encode(embeddings, cent_ref, cb_ref):
+    """embeddings → (vec_id, cell, code0..code{m-1}): the one-time
+    compressed-index ingest pass."""
+    return embeddings.map_batches(
+        _IvfAdcEncoder,
+        fn_constructor_kwargs={"cent_ref": cent_ref, "cb_ref": cb_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+class _IvfAdcPartial:
+    """Partial top-k by asymmetric distance over the compressed index:
+    candidates are the query's top-``nprobe`` cells, their distance is
+    ``m`` LUT lookups added LEFT TO RIGHT (the SQL twin evaluates the
+    identical ``d0 + d1 + … + d{m-1}`` chain over the identical exported
+    doubles, so even the float sums are bit-exact).  No embedding bytes
+    are read at query time — the 100 TB search path."""
+
+    def __init__(self, queries_ref, cent_ref, lut_ref, k, nprobe) -> None:
+        import ray
+
+        self.qids, qmat = ray.get(queries_ref)
+        cent = ray.get(cent_ref)
+        self.lut = ray.get(lut_ref)  # (nq, m, k)
+        self.k = k
+        qn = np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        scores = (qmat / qn) @ cent.T
+        self.probes = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "qid": pa.array([], type=pa.int64()),
+                "nid": pa.array([], type=pa.int64()),
+                "dist": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(batch) == 0 or "vec_id" not in batch.column_names:
+            return empty
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        m = self.lut.shape[1]
+        codes = [
+            batch.column(f"code{s}").to_numpy(zero_copy_only=False)
+            for s in range(m)
+        ]
+        out_q, out_n, out_d = [], [], []
+        for qi, qid in enumerate(self.qids):
+            cand = np.nonzero(
+                np.isin(cells, self.probes[qi]) & (ids != qid)
+            )[0]
+            if len(cand) == 0:
+                continue
+            dist = self.lut[qi, 0][codes[0][cand]].copy()
+            for s in range(1, m):
+                dist += self.lut[qi, s][codes[s][cand]]
+            order = np.lexsort((ids[cand], dist))[: self.k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(ids[cand][order].tolist())
+            out_d.extend(dist[order].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "nid": pa.array(out_n, type=pa.int64()),
+                "dist": pa.array(out_d, type=pa.float64()),
+            }
+        )
+
+
+def _adc_merge(k: int):
+    """Vectorized final merge keeping the bit-exact ADC distance:
+    (dist ASC, nid ASC) per qid, rank ≤ k."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        qids = t.column("qid").to_numpy(zero_copy_only=False)
+        nids = t.column("nid").to_numpy(zero_copy_only=False)
+        dist = t.column("dist").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nids, dist, qids))
+        q, n, d = qids[order], nids[order], dist[order]
+        starts = np.r_[0, np.nonzero(np.diff(q))[0] + 1]
+        lens = np.diff(np.r_[starts, len(q)])
+        rank = np.arange(len(q)) - np.repeat(starts, lens)
+        keep = rank < k
+        return pa.table(
+            {
+                "qid": pa.array(q[keep], type=pa.int64()),
+                "nid": pa.array(n[keep], type=pa.int64()),
+                "dist": pa.array(d[keep], type=pa.float64()),
+                "rank": pa.array(rank[keep] + 1, type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def knn_ivfadc(
+    encoded,
+    queries_ref,
+    cent_ref,
+    lut_ref,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+):
+    """IVF-ADC approximate top-k (Jégou et al. 2011): probe ``nprobe``
+    cells, rank candidates by PQ asymmetric distance — the query path of
+    a billion-vector store, where full-precision vectors never leave
+    disk and the scan touches m int8-ish codes per candidate.  Input is
+    the :func:`ivfadc_encode` output (stored at ingest in production).
+    Recall vs exact kNN is gated in tests/test_similarity_recall.py."""
+    partials = encoded.map_batches(
+        _IvfAdcPartial,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "cent_ref": cent_ref,
+            "lut_ref": lut_ref,
+            "k": k,
+            "nprobe": nprobe,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return partials.repartition(1).map_batches(
+        _adc_merge(k), batch_format="pyarrow", batch_size=None
+    )

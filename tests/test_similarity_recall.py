@@ -312,3 +312,82 @@ def test_quantize_zero_dimension_codes_zero(ray_session):
     assert got[["vec_id", "dim_idx", "code"]].equals(
         want[["vec_id", "dim_idx", "code"]]
     )
+
+
+def test_ivfadc_matches_reference_and_beats_baseline(ray_session, clustered):
+    """IVF-ADC: the distributed plan must equal a single-process ADC
+    reference BIT FOR BIT (same probes, same codes, same left-to-right
+    LUT sums), and its recall must sit far above the random-candidate
+    baseline.  An absolute 0.9-style recall gate would test PQ's
+    resolution, not our plan: on this fixture the within-cluster
+    neighbors are tighter than even a 128-bit code can rank (measured
+    0.125 @ m4k16 ... 0.64 @ m16k256) - the documented regime where
+    production systems add exact re-ranking on the ADC shortlist."""
+    import ray
+
+    from promptner_ray.functions import similarity
+
+    ids, mat, ds = clustered
+    m, kk = 8, 64
+    cent = similarity.train_centroids_from_matrix(mat[:4096], 64, seed=42)
+    cbs = similarity.train_pq_from_matrix(mat[:4096], m=m, k=kk, seed=42)
+    sub = DIM // m
+    q = mat[:N_QUERIES]
+    lut = np.empty((N_QUERIES, m, kk), dtype=np.float64)
+    for s in range(m):
+        qs = q[:, s * sub:(s + 1) * sub]
+        diff = qs[:, None, :] - cbs[s][None, :, :]
+        lut[:, s, :] = (diff * diff).sum(axis=2)
+    cent_ref, cb_ref = ray.put(cent), ray.put(cbs)
+    qref = ray.put((ids[:N_QUERIES], q))
+    enc = similarity.ivfadc_encode(ds, cent_ref, cb_ref)
+    # the encode output carries no embedding column at all
+    assert "embedding" not in enc.schema().names
+    out = similarity.knn_ivfadc(
+        enc, qref, cent_ref, ray.put(lut), k=K, nprobe=4
+    ).to_pandas()
+
+    # single-process ADC reference: identical probes / codes / sums
+    cells = np.argmax(
+        (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ cent.T, axis=1
+    )
+    probes = np.argsort(
+        -(q / np.linalg.norm(q, axis=1, keepdims=True)) @ cent.T,
+        axis=1,
+        kind="stable",
+    )[:, :4]
+    codes = np.empty((N_VECS, m), dtype=int)
+    for s in range(m):
+        xs = mat[:, s * sub:(s + 1) * sub]
+        d = (
+            (xs * xs).sum(axis=1, keepdims=True)
+            - 2.0 * (xs @ cbs[s].T)
+            + (cbs[s] * cbs[s]).sum(axis=1)[None, :]
+        )
+        codes[:, s] = np.argmin(d, axis=1)
+    ref_rows = []
+    for qi in range(N_QUERIES):
+        cand = np.nonzero(np.isin(cells, probes[qi]) & (ids != ids[qi]))[0]
+        dist = lut[qi, 0][codes[cand, 0]].copy()
+        for s in range(1, m):
+            dist += lut[qi, s][codes[cand, s]]
+        order = np.lexsort((ids[cand], dist))[:K]
+        for r, j in enumerate(order):
+            ref_rows.append(
+                (int(ids[qi]), int(ids[cand][j]), float(dist[j]), r + 1)
+            )
+    got = sorted(map(tuple, out[["qid", "nid", "dist", "rank"]].values.tolist()))
+    assert got == sorted(ref_rows)  # bit-exact, floats included
+
+    # recall: far above the random-candidate baseline (~K/|cand|)
+    gt = _exact_topk(ids, mat)
+    got_sets = _got_topk_from_df(out)
+    rec = _recall(got_sets, gt)
+    assert rec >= 0.15, rec  # ~7x the ~0.02 random baseline
+
+
+def _got_topk_from_df(df):
+    got = {}
+    for qid, nid in zip(df["qid"], df["nid"]):
+        got.setdefault(int(qid), set()).add(int(nid))
+    return got
