@@ -1531,6 +1531,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": lambda sf: relational.events_sessions(
             _read(sf, "events")
         ),
+        # signup→purchase funnel conversion (first-anchor semantics,
+        # int64 epoch-µs arithmetic end to end)
+        "events_funnel": lambda sf: relational.events_funnel(
+            _read(sf, "events")
+        ),
+        # cohort retention triangle (first-seen-day cohorts, day offsets)
+        "events_retention": lambda sf: relational.events_retention(
+            _read(sf, "events")
+        ),
         # mergeable bottom-k quantile sketch — constant memory per key;
         # md5 ranks make the SKETCH itself oracle-checkable
         "events_quantile_sketch": _events_quantile_sketch,
@@ -3039,6 +3048,18 @@ def _bpe_pairs_sql() -> str:
     return sql_bpe_pairs()
 
 
+def _events_funnel_sql() -> str:
+    from promptner_ray.functions.relational import sql_events_funnel
+
+    return sql_events_funnel()
+
+
+def _events_retention_sql() -> str:
+    from promptner_ray.functions.relational import sql_events_retention
+
+    return sql_events_retention()
+
+
 def _blocklist_sql() -> str:
     from promptner_ray.functions.textstats import sql_blocklist
 
@@ -3959,6 +3980,8 @@ def oracle_sql() -> dict[str, str]:
         "events_quantile_sketch": _sql_quantile_sketch(),
         # grouped HLL registers recomputed bit-exactly from the same md5
         "events_user_sketch": _sql_grouped_hll(),
+        "events_funnel": _events_funnel_sql(),
+        "events_retention": _events_retention_sql(),
         "events_sessions": """
             WITH marked AS (
               SELECT user_id, ts,

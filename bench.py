@@ -132,6 +132,7 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         edge_pmi,
         k_core,
         label_propagation,
+        modularity,
         neighbor_jaccard,
         node_degrees,
         pagerank,
@@ -202,6 +203,7 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         ("kg_ktruss", k_truss),
         ("kg_paths", path_counts),
         ("kg_communities", label_propagation),
+        ("kg_modularity", modularity),
         ("kg_random_walks", random_walks),
         ("kg_scc", scc),
     ):
@@ -387,6 +389,8 @@ def _operator_suite() -> dict[str, float]:
         "doc_decontam",
         "doc_ngram_counts",
         "doc_word_counts",
+        "doc_bpe_pairs",
+        "doc_c4",
         "doc_pack",
         "doc_classifier_score",
         "doc_tfidf",
@@ -412,6 +416,7 @@ def _operator_suite() -> dict[str, float]:
         "embed_pq",
         "embed_knn_lsh",
         "embed_knn_ivf",
+        "embed_knn_ivfadc",
         "embed_cosine_pairs",
         "multimodal_features",
         "lineitem_stats",

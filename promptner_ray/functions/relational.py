@@ -840,3 +840,311 @@ def _revenue_partitioned(lineitem, orders, customer, nation_ref):
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
+
+
+# ---------------------------------------------------------------------------
+# events: funnel conversion and cohort retention (behavioral analytics)
+# ---------------------------------------------------------------------------
+
+FUNNEL_FROM = "signup"
+FUNNEL_TO = "purchase"
+FUNNEL_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days
+RETENTION_MAX_DAY = 7
+_DAY_US = 86_400 * 1_000_000
+
+
+def events_funnel(events):
+    """events → one row per CONVERTED user of the signup→purchase
+    funnel: (user_id, signup_us, purchase_us, lag_us) where signup_us is
+    the user's first signup, purchase_us the first purchase at-or-after
+    it, and the lag is within ``FUNNEL_WINDOW_US``.  All arithmetic is
+    int64 epoch-µs, so the SQL twin matches exactly.
+
+    Plan: per-block (user, min signup) combine → one user-keyed Min
+    exchange (the funnel anchor table, ≤ one row per user) → padded
+    int64 join of the anchors onto the purchase stream → at-or-after
+    filter → second user-keyed Min exchange → stateless lag filter.
+    Events stream through twice (two pruned scans); nothing is
+    broadcast and no per-user history is ever collected in one place —
+    unlike sessionization, the funnel needs only two scalars per user.
+    """
+    import pyarrow.compute as pc
+
+    from ..shuffle import hash_grouped, local_hash_join, sized_partitions
+
+    parts = sized_partitions(events.count(), None)
+
+    def min_ts_partial(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.equal(t.column("event_type"), kind))
+            out = (
+                pa.table(
+                    {
+                        "user_id": sel.column("user_id"),
+                        "us": sel.column("ts").cast(pa.int64()),
+                    }
+                )
+                .group_by(["user_id"])
+                .aggregate([("us", "min")])
+            )
+            return pa.table(
+                {
+                    "user_id": out.column("user_id"),
+                    "us": out.column("us_min"),
+                }
+            )
+
+        return fn
+
+    signup = hash_grouped(
+        events.map_batches(
+            min_ts_partial(FUNNEL_FROM), batch_format="pyarrow"
+        ),
+        ["user_id"],
+        [("us", "min")],
+        rename={"us_min": "signup_us"},
+        num_partitions=parts,
+    )
+    # purchases must stay UN-combined until the at-or-after filter: a
+    # block-level min could keep only a pre-signup purchase and drop the
+    # user's valid later one.  Project to two int64 columns only.
+    def purch_rows(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column("event_type"), FUNNEL_TO))
+        return pa.table(
+            {
+                "user_id": sel.column("user_id"),
+                "us": sel.column("ts").cast(pa.int64()),
+            }
+        )
+
+    purch = events.map_batches(purch_rows, batch_format="pyarrow")
+    joined = local_hash_join(
+        purch,
+        signup,
+        on=["user_id"],
+        left_schema=pa.schema([("user_id", pa.int64()), ("us", pa.int64())]),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("signup_us", pa.int64())]
+        ),
+        how="inner",
+        num_partitions=parts,
+    )
+
+    def after_filter(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "us" not in t.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "signup_us": pa.array([], type=pa.int64()),
+                    "us": pa.array([], type=pa.int64()),
+                }
+            )
+        kept = t.filter(
+            pc.greater_equal(t.column("us"), t.column("signup_us"))
+        )
+        # block-level combine is safe AFTER the at-or-after filter
+        out = kept.group_by(["user_id", "signup_us"]).aggregate(
+            [("us", "min")]
+        )
+        return pa.table(
+            {
+                "user_id": out.column("user_id"),
+                "signup_us": out.column("signup_us"),
+                "us": out.column("us_min"),
+            }
+        )
+
+    first_purch = hash_grouped(
+        joined.map_batches(after_filter, batch_format="pyarrow"),
+        ["user_id", "signup_us"],
+        [("us", "min")],
+        rename={"us_min": "purchase_us"},
+        num_partitions=parts,
+    )
+
+    def lag_out(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "purchase_us" not in t.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "signup_us": pa.array([], type=pa.int64()),
+                    "purchase_us": pa.array([], type=pa.int64()),
+                    "lag_us": pa.array([], type=pa.int64()),
+                }
+            )
+        lag = pc.subtract(t.column("purchase_us"), t.column("signup_us"))
+        out = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "signup_us": t.column("signup_us"),
+                "purchase_us": t.column("purchase_us"),
+                "lag_us": lag,
+            }
+        )
+        return out.filter(
+            pc.less_equal(out.column("lag_us"), FUNNEL_WINDOW_US)
+        )
+
+    return first_purch.map_batches(lag_out, batch_format="pyarrow")
+
+
+def sql_events_funnel() -> str:
+    """DuckDB twin of :func:`events_funnel`."""
+    return f"""
+        WITH s AS (
+          SELECT user_id, min(epoch_us(ts))::BIGINT AS signup_us
+          FROM events WHERE event_type = '{FUNNEL_FROM}'
+          GROUP BY user_id),
+        p AS (
+          SELECT e.user_id, s.signup_us,
+                 min(epoch_us(e.ts))::BIGINT AS purchase_us
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = '{FUNNEL_TO}'
+            AND epoch_us(e.ts) >= s.signup_us
+          GROUP BY e.user_id, s.signup_us)
+        SELECT user_id, signup_us, purchase_us,
+               (purchase_us - signup_us)::BIGINT AS lag_us
+        FROM p
+        WHERE purchase_us - signup_us <= {FUNNEL_WINDOW_US}
+    """
+
+
+def events_retention(events):
+    """events → (cohort_day, k, n_users) cohort retention triangle:
+    users cohorted by their first-seen day (any event type), counted
+    once per later activity day offset ``k`` ∈ [0, RETENTION_MAX_DAY].
+    Day arithmetic is integer (epoch-µs // day), so the twin is exact.
+
+    Plan: per-block (user, min day) combine → user-keyed Min exchange
+    (cohort anchor per user) → padded join of anchors onto the event
+    stream (user-keyed, at scale the anchor table co-partitions with
+    events rather than broadcasting) → distinct (cohort, k, user) rows
+    via one grouped exchange → per-(cohort, k) count.
+    """
+    import pyarrow.compute as pc
+
+    from ..shuffle import hash_grouped, local_hash_join, sized_partitions
+
+    parts = sized_partitions(events.count(), None)
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        days = pc.divide(
+            t.column("ts").cast(pa.int64()), pa.scalar(_DAY_US, pa.int64())
+        )
+        out = (
+            pa.table({"user_id": t.column("user_id"), "day": days})
+            .group_by(["user_id"])
+            .aggregate([("day", "min")])
+        )
+        return pa.table(
+            {
+                "user_id": out.column("user_id"),
+                "day": out.column("day_min"),
+            }
+        )
+
+    cohort = hash_grouped(
+        events.map_batches(day_partial, batch_format="pyarrow"),
+        ["user_id"],
+        [("day", "min")],
+        rename={"day_min": "cohort_day"},
+        num_partitions=parts,
+    )
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        days = pc.divide(
+            t.column("ts").cast(pa.int64()), pa.scalar(_DAY_US, pa.int64())
+        )
+        return (
+            pa.table({"user_id": t.column("user_id"), "day": days})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    joined = local_hash_join(
+        events.map_batches(day_rows, batch_format="pyarrow"),
+        cohort,
+        on=["user_id"],
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("day", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("cohort_day", pa.int64())]
+        ),
+        how="inner",
+        num_partitions=parts,
+    )
+
+    def k_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], type=pa.int64()),
+                "k": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0 or "day" not in t.column_names:
+            return empty
+        k = pc.subtract(t.column("day"), t.column("cohort_day"))
+        out = pa.table(
+            {
+                "cohort_day": t.column("cohort_day"),
+                "k": k,
+                "user_id": t.column("user_id"),
+            }
+        ).filter(pc.less_equal(k, RETENTION_MAX_DAY))
+        return out.group_by(["cohort_day", "k", "user_id"]).aggregate([])
+
+    distinct = hash_grouped(
+        joined.map_batches(k_rows, batch_format="pyarrow"),
+        ["cohort_day", "k", "user_id"],
+        [],
+        hash_cols=["user_id"],
+        num_partitions=parts,
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "cohort_day" not in t.column_names:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], type=pa.int64()),
+                    "k": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        out = t.group_by(["cohort_day", "k"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "cohort_day": out.column("cohort_day"),
+                "k": out.column("k"),
+                "n": out.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return hash_grouped(
+        distinct.map_batches(count_partial, batch_format="pyarrow"),
+        ["cohort_day", "k"],
+        [("n", "sum")],
+        rename={"n_sum": "n_users"},
+        hash_cols=["cohort_day"],
+        num_partitions=parts,
+    )
+
+
+def sql_events_retention() -> str:
+    """DuckDB twin of :func:`events_retention`."""
+    return f"""
+        WITH d AS (
+          SELECT user_id,
+                 (epoch_us(ts) // {_DAY_US})::BIGINT AS day
+          FROM events),
+        c AS (SELECT user_id, min(day)::BIGINT AS cohort_day
+              FROM d GROUP BY user_id),
+        act AS (
+          SELECT DISTINCT c.cohort_day, (d.day - c.cohort_day)::BIGINT AS k,
+                 d.user_id
+          FROM d JOIN c ON c.user_id = d.user_id
+          WHERE d.day - c.cohort_day <= {RETENTION_MAX_DAY})
+        SELECT cohort_day, k, count(*)::BIGINT AS n_users
+        FROM act GROUP BY cohort_day, k
+    """

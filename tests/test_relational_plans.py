@@ -149,3 +149,74 @@ def test_events_tumbling_matches_pandas(ray_session):
         got.window_start.astype("datetime64[us]")
         == want.window_start.astype("datetime64[us]")
     ).all()
+
+
+def _events_tbl(rows):
+    """rows: (user_id, event_type, ts_us)."""
+    return pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array(
+                [r[2] for r in rows], type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([0.0] * len(rows), type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+
+
+def test_events_funnel_pre_signup_purchase_not_lost(ray_session):
+    DAY = 86_400 * 1_000_000
+    rows = [
+        # user 1: purchase BEFORE signup, then a valid one after — the
+        # pre-signup row must not shadow the later conversion (this is
+        # the trap a block-level pre-filter min would fall into)
+        (1, "purchase", 1 * DAY),
+        (1, "signup", 2 * DAY),
+        (1, "purchase", 3 * DAY),
+        # user 2: purchase only before signup → no conversion
+        (2, "purchase", 1 * DAY),
+        (2, "signup", 5 * DAY),
+        # user 3: converts outside the 7-day window → excluded
+        (3, "signup", 1 * DAY),
+        (3, "purchase", 10 * DAY),
+        # user 4: same-microsecond signup and purchase → lag 0 converts
+        (4, "signup", 4 * DAY),
+        (4, "purchase", 4 * DAY),
+    ]
+    # one row per block to force the worst-case blocking
+    ds = ray.data.from_arrow(_events_tbl(rows)).repartition(len(rows))
+    out = (
+        relational.events_funnel(ds)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 4]
+    assert out.loc[1, "lag_us"] == DAY
+    assert out.loc[4, "lag_us"] == 0
+
+
+def test_events_retention_cohorts(ray_session):
+    DAY = 86_400 * 1_000_000
+    rows = [
+        # two users cohorted on day 0; one returns day 1, both day 2
+        (1, "click", 0),
+        (2, "click", 10),
+        (1, "click", 1 * DAY + 5),
+        (1, "click", 2 * DAY),
+        (2, "click", 2 * DAY + 7),
+        # day-9 activity falls outside RETENTION_MAX_DAY
+        (1, "click", 9 * DAY),
+        # a second cohort on day 3
+        (3, "click", 3 * DAY),
+    ]
+    ds = ray.data.from_arrow(_events_tbl(rows)).repartition(4)
+    out = relational.events_retention(ds).to_pandas()
+    d = {
+        (int(r.cohort_day), int(r.k)): int(r.n_users)
+        for r in out.itertuples()
+    }
+    assert d == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (3, 0): 1}
