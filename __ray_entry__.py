@@ -1255,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hll,
         multimodal,
         ngrams,
+        packing,
         pii,
         relational,
         sampling,
@@ -1419,6 +1420,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one BPE merge iteration's pair statistics (Sennrich et al.
         # 2016): corpus-weighted adjacent-symbol pairs over chars+</w>
         "doc_bpe_pairs": lambda sf: ngrams.bpe_pair_counts(_docs(sf)),
+        # word co-occurrence PMI within a ±2 token window — the
+        # word2vec/GloVe association statistic (SGNS ≈ shifted PMI)
+        "doc_cooc_pmi": lambda sf: ngrams.cooc_pmi(_docs(sf)),
+        # RAG retrieval-corpus chunking: overlapping 64-token windows
+        "doc_chunks": lambda sf: _docs(sf).map_batches(
+            packing.chunk_batch, batch_format="pyarrow"
+        ),
         "doc_pack": _doc_pack,
         "doc_shuffle": _doc_shuffle,
         "doc_stratified_sample": lambda sf: sampling.stratified_sample(
@@ -3048,6 +3056,18 @@ def _bpe_pairs_sql() -> str:
     return sql_bpe_pairs()
 
 
+def _cooc_pmi_sql() -> str:
+    from promptner_ray.functions.ngrams import sql_cooc_pmi
+
+    return sql_cooc_pmi()
+
+
+def _chunks_sql() -> str:
+    from promptner_ray.functions.packing import sql_chunks
+
+    return sql_chunks()
+
+
 def _events_funnel_sql() -> str:
     from promptner_ray.functions.relational import sql_events_funnel
 
@@ -3435,6 +3455,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w
         """,
         "doc_bpe_pairs": _bpe_pairs_sql(),
+        "doc_cooc_pmi": _cooc_pmi_sql(),
+        "doc_chunks": _chunks_sql(),
         # deterministic global training-shuffle order: dense zero-based
         # rank under ORDER BY md5(doc_id:seed), doc_id
         "doc_shuffle": """

@@ -349,3 +349,267 @@ def sql_bpe_pairs() -> str:
         SELECT sym_a, sym_b, sum(n)::BIGINT AS n
         FROM pairs GROUP BY sym_a, sym_b
     """
+
+
+COOC_WINDOW = 2
+COOC_MIN_COUNT = 5
+
+
+def _cooc_pair_batch(batch: pa.Table, window: int) -> pa.Table:
+    """Block combiner for word co-occurrence: every (token, token+d)
+    window pair for d = 1..window that stays inside one document,
+    canonicalized to unordered byte order, collapsed per block with one
+    group_by.  Digest keys for the two sides ride along so the
+    downstream unigram joins and the pair exchange never key on
+    strings."""
+    import numpy as np
+
+    empty = pa.table(
+        {
+            "word_a": pa.array([], type=pa.string()),
+            "word_b": pa.array([], type=pa.string()),
+            "c": pa.array([], type=pa.int64()),
+            "a_key": pa.array([], type=pa.int64()),
+            "b_key": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    tok_lists = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    if isinstance(tok_lists, pa.ChunkedArray):
+        tok_lists = tok_lists.combine_chunks()
+    flat = tok_lists.values
+    offsets = np.asarray(tok_lists.offsets).astype(np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    total = len(flat)
+    parts_a, parts_b = [], []
+    for d in range(1, window + 1):
+        if total <= d:
+            break
+        pos = np.arange(total - d)
+        valid = parent[pos] == parent[pos + d]
+        starts = pos[valid]
+        if len(starts) == 0:
+            continue
+        a = pc.take(flat, pa.array(starts, type=pa.int64()))
+        b = pc.take(flat, pa.array(starts + d, type=pa.int64()))
+        lo = pc.if_else(pc.less_equal(a, b), a, b)
+        hi = pc.if_else(pc.less_equal(a, b), b, a)
+        parts_a.append(lo)
+        parts_b.append(hi)
+    if not parts_a:
+        return empty
+    local = (
+        pa.table(
+            {
+                "word_a": pa.concat_arrays(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in parts_a]
+                ),
+                "word_b": pa.concat_arrays(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in parts_b]
+                ),
+            }
+        )
+        .group_by(["word_a", "word_b"])
+        .aggregate([([], "count_all")])
+    )
+
+    def digest(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+            "big",
+            signed=True,
+        )
+
+    wa = local.column("word_a").to_pylist()
+    wb = local.column("word_b").to_pylist()
+    return pa.table(
+        {
+            "word_a": local.column("word_a"),
+            "word_b": local.column("word_b"),
+            "c": local.column("count_all").cast(pa.int64()),
+            "a_key": pa.array([digest(w) for w in wa], type=pa.int64()),
+            "b_key": pa.array([digest(w) for w in wb], type=pa.int64()),
+        }
+    )
+
+
+def cooc_pmi(
+    docs,
+    window: int = COOC_WINDOW,
+    min_count: int = COOC_MIN_COUNT,
+    num_partitions: int | None = None,
+):
+    """documents → (word_a, word_b, n_pairs, pmi): pointwise mutual
+    information of unordered word pairs co-occurring within ``window``
+    tokens — the association statistic word-embedding pipelines
+    (word2vec SGNS ≈ shifted-PMI factorization; GloVe) and collocation
+    miners consume.
+
+        pmi = ln( (c·N·N) / (P·n_a·n_b) )
+
+    with N total tokens, P total window pairs, n_x unigram counts.
+
+    Scale shape: pair windows collapse map-side per block (the n-gram
+    combiner pattern) before ONE digest-keyed exchange; unigram counts
+    arrive via the existing word-count exchange and join onto the pair
+    table through two padded int64 joins (vocabulary-sized, never
+    broadcast); N and P are two driver scalars.  The float is one fixed
+    mul/div chain + libm ``ln`` per distinct count triple — bit-exact
+    vs the SQL twin.  ``min_count`` gates AFTER the global sum (exact),
+    bounding output the way production collocation tables do."""
+    import math
+
+    import numpy as np
+
+    from ..shuffle import hash_grouped, local_hash_join
+
+    pairs = hash_grouped(
+        docs.map_batches(
+            _cooc_pair_batch,
+            fn_kwargs={"window": window},
+            batch_format="pyarrow",
+        ),
+        ["word_a", "word_b", "a_key", "b_key"],
+        [("c", "sum")],
+        rename={"c_sum": "c"},
+        hash_cols=["a_key", "b_key"],
+        num_partitions=num_partitions,
+    )
+    vocab = ngram_counts(docs, n=1, num_partitions=num_partitions)
+
+    def keyed(col_key: str, col_n: str):
+        def fn(t: pa.Table) -> pa.Table:
+            grams = t.column("gram").to_pylist()
+            keys = [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        g.encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "big",
+                    signed=True,
+                )
+                for g in grams
+            ]
+            return pa.table(
+                {
+                    col_key: pa.array(keys, type=pa.int64()),
+                    col_n: t.column("n"),
+                }
+            )
+
+        return fn
+
+    n_tokens = int(vocab.sum("n"))
+    total_pairs = int(pairs.sum("c")) if n_tokens else 0
+    pair_schema = pa.schema(
+        [
+            ("word_a", pa.string()),
+            ("word_b", pa.string()),
+            ("a_key", pa.int64()),
+            ("b_key", pa.int64()),
+            ("c", pa.int64()),
+        ]
+    )
+    j1 = local_hash_join(
+        pairs,
+        vocab.map_batches(keyed("a_key", "n_a"), batch_format="pyarrow"),
+        on=["a_key"],
+        left_schema=pair_schema,
+        right_schema=pa.schema([("a_key", pa.int64()), ("n_a", pa.int64())]),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    j2 = local_hash_join(
+        j1,
+        vocab.map_batches(keyed("b_key", "n_b"), batch_format="pyarrow"),
+        on=["b_key"],
+        left_schema=pair_schema.append(pa.field("n_a", pa.int64())),
+        right_schema=pa.schema([("b_key", pa.int64()), ("n_b", pa.int64())]),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word_a": pa.array([], type=pa.string()),
+                "word_b": pa.array([], type=pa.string()),
+                "n_pairs": pa.array([], type=pa.int64()),
+                "pmi": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(t) == 0 or "word_a" not in t.column_names:
+            return empty
+        import pyarrow.compute as pc_
+
+        t = t.filter(pc_.greater_equal(t.column("c"), min_count))
+        if len(t) == 0:
+            return empty
+        c = t.column("c").to_pylist()
+        na = t.column("n_a").to_pylist()
+        nb = t.column("n_b").to_pylist()
+        cache: dict = {}
+        pmi = np.empty(len(c), dtype=np.float64)
+        for i, key in enumerate(zip(c, na, nb)):
+            v = cache.get(key)
+            if v is None:
+                # fixed op order mirrored by the SQL twin:
+                # ((c·N)·N) / ((P·na)·nb), then libm ln
+                v = math.log(
+                    float(key[0])
+                    * float(n_tokens)
+                    * float(n_tokens)
+                    / (
+                        float(total_pairs)
+                        * float(key[1])
+                        * float(key[2])
+                    )
+                )
+                cache[key] = v
+            pmi[i] = v
+        return pa.table(
+            {
+                "word_a": t.column("word_a"),
+                "word_b": t.column("word_b"),
+                "n_pairs": t.column("c"),
+                "pmi": pa.array(pmi, type=pa.float64()),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def sql_cooc_pmi(
+    window: int = COOC_WINDOW, min_count: int = COOC_MIN_COUNT
+) -> str:
+    """DuckDB twin of :func:`cooc_pmi` (identical windows, identical
+    float op order)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents)),
+        uni AS (SELECT w AS word, count(*)::BIGINT AS n
+                FROM toks GROUP BY w),
+        nn AS (SELECT sum(n)::BIGINT AS n FROM uni),
+        pairs AS (
+          SELECT least(t1.w, t2.w) AS word_a,
+                 greatest(t1.w, t2.w) AS word_b,
+                 count(*)::BIGINT AS c
+          FROM toks t1
+          JOIN toks t2 ON t2.doc_id = t1.doc_id
+                      AND t2.i > t1.i AND t2.i <= t1.i + {window}
+          GROUP BY 1, 2),
+        pp AS (SELECT sum(c)::BIGINT AS p FROM pairs)
+        SELECT p.word_a, p.word_b, p.c AS n_pairs,
+               ln((p.c::DOUBLE * nn.n::DOUBLE * nn.n::DOUBLE)
+                  / (pp.p::DOUBLE * ua.n::DOUBLE * ub.n::DOUBLE)) AS pmi
+        FROM pairs p
+        JOIN uni ua ON ua.word = p.word_a
+        JOIN uni ub ON ub.word = p.word_b, nn, pp
+        WHERE p.c >= {min_count}
+    """

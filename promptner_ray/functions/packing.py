@@ -127,3 +127,118 @@ def pack_layout(docs, seq_len: int = SEQ_LEN, num_partitions: int | None = None)
         lambda g: _layout_group(g, offsets, seq_len),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: overlapping fixed-token windows with stable chunk ids
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_batch(
+    batch: pa.Table,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> pa.Table:
+    """documents → (doc_id, chunk_id, n_tokens, chunk_text): overlapping
+    ``chunk_tokens``-token windows at stride ``chunk_tokens − overlap``
+    — the retrieval-corpus preparation step (chunk, embed, index).
+    Chunk identity is (doc_id, ordinal), stable under re-partitioning
+    because chunking is a pure per-row function.
+
+    Vectorized: one split, a segmented-arange token gather (chunks
+    overlap, so unlike the C4 line rewrap the windows do NOT tile the
+    token array — indices are materialized), one list-join kernel.
+    Stateless map — at 100 TB this is a pure streaming pass."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "chunk_id": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "chunk_text": pa.array([], type=pa.string()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    tok_lists = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    if isinstance(tok_lists, pa.ChunkedArray):
+        tok_lists = tok_lists.combine_chunks()
+    flat = tok_lists.values
+    offsets = np.asarray(tok_lists.offsets).astype(np.int64)
+    n = offsets[1:] - offsets[:-1]
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    # chunks per doc: 1 if n <= chunk, else ceil((n - chunk)/stride) + 1
+    nc = np.where(
+        n <= chunk_tokens,
+        1,
+        (n - chunk_tokens + stride - 1) // stride + 1,
+    ).astype(np.int64)
+    total = int(nc.sum())
+    doc_of = np.repeat(np.arange(len(n), dtype=np.int64), nc)
+    cid = np.arange(total) - np.repeat(np.cumsum(nc) - nc, nc)
+    starts = cid * stride
+    lens = np.minimum(starts + chunk_tokens, n[doc_of]) - starts
+    # segmented arange gather of the (overlapping) token windows
+    tot_tok = int(lens.sum())
+    base = offsets[:-1][doc_of] + starts
+    idx = np.arange(tot_tok) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    ) + np.repeat(base, lens)
+    gathered = pc.take(flat, pa.array(idx, type=pa.int64()))
+    if isinstance(gathered, pa.ChunkedArray):
+        gathered = gathered.combine_chunks()
+    chunk_offsets = np.append(0, np.cumsum(lens)).astype(np.int32)
+    text = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(chunk_offsets, type=pa.int32()), gathered
+        ),
+        " ",
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id[doc_of], type=pa.int64()),
+            "chunk_id": pa.array(cid, type=pa.int64()),
+            "n_tokens": pa.array(lens, type=pa.int64()),
+            "chunk_text": text,
+        }
+    )
+
+
+def sql_chunks(
+    chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    """DuckDB twin of :func:`chunk_batch` (1-based inclusive list
+    slices)."""
+    stride = chunk_tokens - overlap
+    return f"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS ts,
+                 len(string_split(text, ' '))::BIGINT AS n
+          FROM documents),
+        k AS (
+          SELECT doc_id, ts, n,
+                 CASE WHEN n <= {chunk_tokens} THEN 1
+                      ELSE (n - {chunk_tokens} + {stride} - 1)
+                             // {stride} + 1 END AS nc
+          FROM d),
+        c AS (
+          SELECT doc_id, ts, n,
+                 unnest(generate_series(0, nc - 1))::BIGINT AS chunk_id
+          FROM k)
+        SELECT doc_id, chunk_id,
+               (least(chunk_id * {stride} + {chunk_tokens}, n)
+                - chunk_id * {stride})::BIGINT AS n_tokens,
+               array_to_string(
+                 ts[chunk_id * {stride} + 1
+                    : least(chunk_id * {stride} + {chunk_tokens}, n)],
+                 ' ') AS chunk_text
+        FROM c
+    """

@@ -73,3 +73,29 @@ def test_bpe_pair_batch_counts_and_eow() -> None:
     assert d[("b", "</w>")] == 3 + 5
     # empty word contributes nothing
     assert sum(d.values()) == 6 + 3 + 8
+
+
+def test_cooc_pair_batch_windows_and_boundaries() -> None:
+    import pyarrow as pa
+
+    from promptner_ray.functions.ngrams import _cooc_pair_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            # doc1: a b c  → d=1: (a,b),(b,c); d=2: (a,c)
+            # doc2: c a    → d=1: (a,c) canonicalized
+            "text": pa.array(["a b c", "c a"]),
+        }
+    )
+    out = _cooc_pair_batch(t, window=2)
+    d = {
+        (a, b): n
+        for a, b, n in zip(
+            out.column("word_a").to_pylist(),
+            out.column("word_b").to_pylist(),
+            out.column("c").to_pylist(),
+        )
+    }
+    # no pair may cross the doc boundary (c·c would appear otherwise)
+    assert d == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 2}

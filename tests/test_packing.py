@@ -56,3 +56,32 @@ def test_pack_layout_sequence_boundaries(ray_session):
     assert got.loc[1, "seq_first"] == 1
     assert got.loc[1, "seq_last"] == 2
     assert got.loc[1, "seq_offset"] == 2
+
+
+def test_chunk_batch_overlap_and_tail() -> None:
+    import pyarrow as pa
+
+    from promptner_ray.functions.packing import chunk_batch
+
+    words = " ".join(f"w{i}" for i in range(10))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array([words, "x y"]),
+        }
+    )
+    out = chunk_batch(t, chunk_tokens=4, overlap=2).to_pydict()
+    rows = list(
+        zip(out["doc_id"], out["chunk_id"], out["n_tokens"], out["chunk_text"])
+    )
+    # doc1 (10 tokens, stride 2): starts 0,2,4,6 (ceil((10-4)/2)+1 = 4)
+    assert rows[:4] == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w2 w3 w4 w5"),
+        (1, 2, 4, "w4 w5 w6 w7"),
+        (1, 3, 4, "w6 w7 w8 w9"),
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[0][3].split()[-2:] == rows[1][3].split()[:2]
+    # short doc: one (shorter) chunk
+    assert rows[4] == (2, 0, 2, "x y")
