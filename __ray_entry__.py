@@ -1423,6 +1423,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # word co-occurrence PMI within a ±2 token window — the
         # word2vec/GloVe association statistic (SGNS ≈ shifted PMI)
         "doc_cooc_pmi": lambda sf: ngrams.cooc_pmi(_docs(sf)),
+        # full distributed BPE TRAINING loop (iterative,
+        # driver-coordinated merge list → rows-only driver check; the
+        # single-process reference equality lives in tests, and round
+        # 1's pair table is oracled via doc_bpe_pairs)
+        "doc_bpe_merges": lambda sf: ngrams.bpe_merges(_docs(sf)),
         # RAG retrieval-corpus chunking: overlapping 64-token windows
         "doc_chunks": lambda sf: _docs(sf).map_batches(
             packing.chunk_batch, batch_format="pyarrow"

@@ -391,6 +391,8 @@ def _operator_suite() -> dict[str, float]:
         "doc_word_counts",
         "doc_bpe_pairs",
         "doc_c4",
+        "doc_cooc_pmi",
+        "doc_chunks",
         "doc_pack",
         "doc_classifier_score",
         "doc_tfidf",
@@ -423,6 +425,8 @@ def _operator_suite() -> dict[str, float]:
         "customer_nation_counts",
         "revenue_by_nation",
         "events_tumbling",
+        "events_funnel",
+        "events_retention",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

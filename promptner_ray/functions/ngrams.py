@@ -613,3 +613,129 @@ def sql_cooc_pmi(
         JOIN uni ub ON ub.word = p.word_b, nn, pp
         WHERE p.c >= {min_count}
     """
+
+
+BPE_N_MERGES = 8
+
+
+def _word_symbols(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """chars + ``</w>``, with ``merges`` applied IN ORDER (each merge is
+    one left-to-right non-overlapping scan — the Sennrich et al. 2016
+    training-side replay)."""
+    syms = list(word) + [BPE_EOW]
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_merges(docs, n_merges: int = BPE_N_MERGES, num_partitions=None):
+    """documents → the first ``n_merges`` BPE merge rules
+    (step, sym_a, sym_b, n) — distributed tokenizer TRAINING (Sennrich
+    et al. 2016), not just one pair census: per round, count adjacent
+    symbol pairs weighted by word frequency, adopt the (n DESC, sym_a
+    ASC, sym_b ASC) argmax, rewrite the vocabulary, repeat.
+
+    Scale shape: the corpus collapses ONCE into the distinct-word count
+    table (the word-count exchange); every training round then touches
+    only the vocabulary — per-block pair counting with map-side combine,
+    one digest-keyed Sum whose key space is bounded by the (current)
+    symbol alphabet squared, and ONE driver-side row (the argmax rule,
+    via sort().limit(1) over the tiny pair table).  Driver state is the
+    merge list itself — exactly what a tokenizer trainer must
+    materialize.  Iterative and driver-coordinated, so there is no SQL
+    twin; correctness is pinned by a single-process reference BPE in
+    tests (and round 1's pair table is oracled via `doc_bpe_pairs`)."""
+    from ..shuffle import hash_grouped
+
+    vocab = ngram_counts(docs, n=1, num_partitions=num_partitions)
+    vocab = vocab.materialize()
+    merges: list[tuple[str, str]] = []
+    out_rows: list[tuple[int, str, str, int]] = []
+
+    def pair_partial(t: pa.Table, merges_now) -> pa.Table:
+        empty = pa.table(
+            {
+                "sym_a": pa.array([], type=pa.string()),
+                "sym_b": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "p_key": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        counts: dict[tuple[str, str], int] = {}
+        for word, n in zip(
+            t.column("gram").to_pylist(), t.column("n").to_pylist()
+        ):
+            syms = _word_symbols(word, merges_now)
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + n
+        if not counts:
+            return empty
+        ks = list(counts)
+        keys = [
+            int.from_bytes(
+                hashlib.blake2b(
+                    f"{a}\x1f{b}".encode("utf-8"), digest_size=8
+                ).digest(),
+                "big",
+                signed=True,
+            )
+            for a, b in ks
+        ]
+        return pa.table(
+            {
+                "sym_a": pa.array([a for a, _ in ks], type=pa.string()),
+                "sym_b": pa.array([b for _, b in ks], type=pa.string()),
+                "n": pa.array([counts[k] for k in ks], type=pa.int64()),
+                "p_key": pa.array(keys, type=pa.int64()),
+            }
+        )
+
+    for step in range(n_merges):
+        merges_now = list(merges)
+        pairs = hash_grouped(
+            vocab.map_batches(
+                lambda t, m=merges_now: pair_partial(t, m),
+                batch_format="pyarrow",
+            ),
+            ["sym_a", "sym_b"],
+            [("n", "sum")],
+            rename={"n_sum": "n"},
+            hash_cols=["p_key"],
+            num_partitions=num_partitions,
+        )
+        top = pairs.sort(
+            ["n", "sym_a", "sym_b"], descending=[True, False, False]
+        ).limit(1).take_all()
+        if not top:
+            break
+        rule = top[0]
+        merges.append((rule["sym_a"], rule["sym_b"]))
+        out_rows.append(
+            (step, rule["sym_a"], rule["sym_b"], int(rule["n"]))
+        )
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(
+                    [r[0] for r in out_rows], type=pa.int64()
+                ),
+                "sym_a": pa.array([r[1] for r in out_rows]),
+                "sym_b": pa.array([r[2] for r in out_rows]),
+                "n": pa.array([r[3] for r in out_rows], type=pa.int64()),
+            }
+        )
+    )

@@ -99,3 +99,72 @@ def test_cooc_pair_batch_windows_and_boundaries() -> None:
     }
     # no pair may cross the doc boundary (c·c would appear otherwise)
     assert d == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 2}
+
+
+def _reference_bpe(word_counts: dict, n_merges: int):
+    """Single-process Sennrich reference: argmax pair (count desc, pair
+    asc), apply, repeat."""
+    from promptner_ray.functions.ngrams import BPE_EOW
+
+    vocab = {
+        tuple(list(w) + [BPE_EOW]): n for w, n in word_counts.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        merges.append((a, b, n))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference(ray_session) -> None:
+    import collections
+
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.functions.ngrams import bpe_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest widest",
+        "widest widest low lower",
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(3)
+    got = bpe_merges(docs, n_merges=6).to_pandas()
+    wc = collections.Counter(
+        w for t in texts for w in t.split(" ")
+    )
+    want = _reference_bpe(dict(wc), 6)
+    assert [
+        (a, b, n)
+        for a, b, n in zip(got["sym_a"], got["sym_b"], got["n"])
+    ] == want
+    assert list(got["step"]) == list(range(len(want)))
