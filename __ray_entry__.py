@@ -679,6 +679,21 @@ def _cc_anchor_texts(sf_dir: str):
     return anchor_texts(_pages(sf_dir))
 
 
+def _cc_anchor_link(sf_dir: str):
+    """Alias→target linking dictionary: majority link target per anchor
+    text (the inverse grouping of `cc_anchor_texts`) — the dictionary
+    bootstrap entity linkers mine from the web graph."""
+    from promptner_ray.functions.urls import anchor_link
+
+    return anchor_link(_pages(sf_dir))
+
+
+def _sql_anchor_link() -> str:
+    from promptner_ray.functions.urls import sql_anchor_link
+
+    return sql_anchor_link(_CORPUS_GLOB)
+
+
 def _cc_section_graph(sf_dir: str):
     """Site-section contraction of the page link graph (host-level
     contraction on a multi-host corpus) — contracted map-side, one
@@ -1649,6 +1664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_latest_snapshot": _cc_latest_snapshot,
         # per-target anchor-text profile (alias/label signal for linking)
         "cc_anchor_texts": _cc_anchor_texts,
+        # alias→target majority dictionary (the inverse grouping)
+        "cc_anchor_link": _cc_anchor_link,
         # site-section contraction of the page graph (host-level rollup)
         "cc_section_graph": _cc_section_graph,
         # HITS hubs/authorities (same fixed-point replay discipline)
@@ -4511,6 +4528,7 @@ def oracle_sql() -> dict[str, str]:
         # per-target anchor profile: both ANCHOR_PATTERN groups zipped
         # by subscript, argmax replayed as a row_number window
         "cc_anchor_texts": _sql_anchor_texts(),
+        "cc_anchor_link": _sql_anchor_link(),
         # site-section contraction over the same href-resolution CTE
         "cc_section_graph": _sql_section_graph(),
         # HITS: the same fixed-point integer unroll idea as kg_pagerank

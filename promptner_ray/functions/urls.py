@@ -788,3 +788,149 @@ def sql_latest_snapshot(corpus_glob: str, hash64_url_expr: str) -> str:
         SELECT url, ts, snap_id FROM snaps
         QUALIFY row_number() OVER (PARTITION BY url ORDER BY ts DESC) = 1
     """
+
+
+def anchor_link(pages, num_partitions: int | None = None):
+    """pages → (anchor, top_target, top_n, n_total, n_targets): the
+    alias→entity LINKING DICTIONARY mined from the web graph — for each
+    non-empty anchor text (how pages name things), the majority link
+    target (n DESC, target_url ASC tie-break), its count, the alias's
+    total link count and distinct-target count (an ambiguity signal:
+    n_targets ≫ 1 marks polysemous aliases).  The inverse grouping of
+    :func:`anchor_texts`, and the classic dictionary bootstrap for
+    entity linkers (Spitkovsky & Chang 2012 style).
+
+    Same plan shape: block-combined (anchor, target) partials → one
+    anchor-keyed grouped Sum → one anchor-partitioned argmax/rollup
+    pass (the anchor key is wholly contained in one partition, so the
+    local pick is global)."""
+    import numpy as np
+
+    from ..shuffle import hash_grouped, hash_partitioned
+
+    def rekey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "anchor": pa.array([], type=pa.string()),
+                    "target_url": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "anc_key": pa.array([], type=pa.int64()),
+                }
+            )
+        import pyarrow.compute as pc_
+
+        kept = t.filter(pc_.not_equal(t.column("anchor"), ""))
+        return pa.table(
+            {
+                "anchor": kept.column("anchor"),
+                "target_url": kept.column("target_url"),
+                "n": kept.column("n"),
+                "anc_key": _str_key64(
+                    kept.column("anchor").combine_chunks()
+                ),
+            }
+        )
+
+    partial = (
+        pages.select_columns(["url", "html"])
+        .map_batches(anchor_rows_batch, batch_format="pyarrow")
+        .map_batches(rekey, batch_format="pyarrow")
+    )
+    counts = hash_grouped(
+        partial,
+        ["anchor", "target_url", "anc_key"],
+        [("n", "sum")],
+        rename={"n_sum": "n"},
+        hash_cols=["anc_key"],
+        num_partitions=num_partitions,
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "anchor": pa.array([], type=pa.string()),
+                    "top_target": pa.array([], type=pa.string()),
+                    "top_n": pa.array([], type=pa.int64()),
+                    "n_total": pa.array([], type=pa.int64()),
+                    "n_targets": pa.array([], type=pa.int64()),
+                }
+            )
+        anc = t.column("anchor").to_numpy(zero_copy_only=False)
+        tgt = t.column("target_url").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tgt, -n, anc))
+        sa, st, sn = anc[order], tgt[order], n[order]
+        first = np.ones(len(sa), dtype=bool)
+        first[1:] = sa[1:] != sa[:-1]
+        sums = t.group_by(["anchor"]).aggregate(
+            [("n", "sum"), ([], "count_all")]
+        )
+        top = pa.table(
+            {
+                "anchor": pa.array(sa[first], type=pa.string()),
+                "top_target": pa.array(st[first], type=pa.string()),
+                "top_n": pa.array(sn[first], type=pa.int64()),
+            }
+        )
+        merged = top.join(sums, keys=["anchor"])
+        return pa.table(
+            {
+                "anchor": merged.column("anchor"),
+                "top_target": merged.column("top_target"),
+                "top_n": merged.column("top_n"),
+                "n_total": merged.column("n_sum").cast(pa.int64()),
+                "n_targets": merged.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return hash_partitioned(
+        counts, ["anc_key"], per_part, num_partitions=num_partitions
+    )
+
+
+def sql_anchor_link(corpus_glob: str) -> str:
+    """DuckDB twin of :func:`anchor_link` (identical extraction and
+    resolution; roles of anchor and target swapped vs
+    :func:`sql_anchor_texts`)."""
+    pat_sql = ANCHOR_PATTERN.replace("'", "''")
+    return f"""
+        WITH pg AS (
+          SELECT url, decode(html) AS h
+          FROM read_parquet('{corpus_glob}')),
+        m AS (
+          SELECT url,
+                 regexp_extract_all(h, '{pat_sql}', 1) AS hrefs,
+                 regexp_extract_all(h, '{pat_sql}', 2) AS inners
+          FROM pg),
+        z AS (
+          SELECT url, unnest(hrefs) AS href,
+                 generate_subscripts(hrefs, 1) AS i, inners
+          FROM m),
+        res AS (
+          SELECT
+            CASE
+              WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://') THEN href
+              WHEN href LIKE '/%' THEN
+                regexp_extract(url, '{ORIGIN_PATTERN}') || href
+              ELSE NULL
+            END AS target_url,
+            trim(regexp_replace(inners[i], '{_TAG_SQL}', '', 'g'),
+                 ' ') AS anchor
+          FROM z),
+        counts AS (
+          SELECT anchor, target_url, count(*)::BIGINT AS n
+          FROM res WHERE target_url IS NOT NULL AND anchor != ''
+          GROUP BY anchor, target_url),
+        ranked AS (
+          SELECT anchor, target_url, n,
+                 row_number() OVER (PARTITION BY anchor
+                                    ORDER BY n DESC, target_url ASC) AS rk,
+                 sum(n) OVER (PARTITION BY anchor) AS tot,
+                 count(*) OVER (PARTITION BY anchor) AS nt
+          FROM counts)
+        SELECT anchor, target_url AS top_target, n AS top_n,
+               tot::BIGINT AS n_total, nt::BIGINT AS n_targets
+        FROM ranked WHERE rk = 1
+    """
