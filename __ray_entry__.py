@@ -756,6 +756,21 @@ def _hyperball_sql() -> str:
     return sql_hyperball(_graph_edge_prologue())
 
 
+def _kg_effective_diameter(sf_dir: str):
+    """Interpolated 90%-effective diameter from the HyperBall rounds —
+    the headline web-graph summary statistic; NF sums are 2⁻¹⁶
+    fixed-point quantized per node so the global float sum commutes."""
+    from promptner_ray.functions.hyperball import effective_diameter
+
+    return effective_diameter(_kg_edges(sf_dir))
+
+
+def _effective_diameter_sql() -> str:
+    from promptner_ray.functions.hyperball import sql_effective_diameter
+
+    return sql_effective_diameter(_graph_edge_prologue())
+
+
 def _kg_harmonic(sf_dir: str):
     """Harmonic centrality ``Σ_{u≠v} 1/d(u,v)`` truncated at 4 hops,
     estimated from the incoming-reach HyperBall rounds — the paper's
@@ -1678,6 +1693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bowtie_bsp": _kg_bowtie_bsp,
         # HyperBall h-hop ball sizes (HLL register max-merge per round)
         "kg_hyperball": _kg_hyperball,
+        # neighborhood function + interpolated 90%-effective diameter
+        "kg_effective_diameter": _kg_effective_diameter,
         "kg_hyperball_bsp": _kg_hyperball_bsp,
         # harmonic centrality from the "in"-direction HyperBall rounds
         "kg_harmonic": _kg_harmonic,
@@ -4537,6 +4554,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_assortativity": _assortativity_sql(),
         "kg_bowtie": _bowtie_sql(),
         "kg_hyperball": _hyperball_sql(),
+        "kg_effective_diameter": _effective_diameter_sql(),
         "kg_harmonic": _harmonic_sql(),
         # token-level confusion matrix: predicted BIO reconstructed in SQL
         # from mention spans, truth from the corpus gold table

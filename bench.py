@@ -390,6 +390,7 @@ def _operator_suite() -> dict[str, float]:
         "doc_ngram_counts",
         "doc_word_counts",
         "doc_bpe_pairs",
+        "doc_bpe_merges",
         "doc_c4",
         "doc_cooc_pmi",
         "doc_chunks",
@@ -427,6 +428,8 @@ def _operator_suite() -> dict[str, float]:
         "events_tumbling",
         "events_funnel",
         "events_retention",
+        "cc_anchor_link",
+        "kg_effective_diameter",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

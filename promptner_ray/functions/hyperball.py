@@ -403,3 +403,112 @@ def sql_harmonic(edge_cte: str, iters: int = 4) -> str:
         FROM f0
         {joins}
     """
+
+
+DIAM_Q = 0.9
+DIAM_FP = 65536.0  # 2^16 fixed point for the order-free global sum
+
+
+def effective_diameter(
+    edges,
+    iters: int = 4,
+    q: float = DIAM_Q,
+    num_partitions: int | None = None,
+):
+    """edges → (h, nf, d_eff): the neighborhood function NF(h) = Σ_v
+    |ball(v, h)| per round, plus the interpolated ``q``-effective
+    diameter — THE summary statistic the HyperBall line of work was
+    built to compute on web graphs ("90% of connected pairs are within
+    d_eff hops").  ``d_eff = (h−1) + (q·NF(H) − NF(h−1)) /
+    (NF(h) − NF(h−1))`` at the first round reaching ``q·NF(H)``.
+
+    The global float sum would be order-nondeterministic, so each
+    per-node estimate is quantized to 2⁻¹⁶ fixed point FIRST (a pure
+    per-node function) and the int64 partials commute — the same
+    determinism move as PageRank's fixed-point mass.  Driver state is
+    ``iters + 1`` scalars.  The SQL twin replays the quantized sums and
+    the one interpolation expression, so every column hash-matches."""
+    rounds = _round_tables(edges, iters, num_partitions)
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        est = _estimate_batch(t)
+        fp = np.floor(
+            est.column("ball_est").to_numpy(zero_copy_only=False)
+            * DIAM_FP
+        ).astype(np.int64)
+        return pa.table({"fp": pa.array(fp, type=pa.int64())})
+
+    fps = []
+    for r in rounds:
+        s = r.map_batches(fp_batch, batch_format="pyarrow").sum("fp")
+        fps.append(int(s) if s is not None else 0)
+    nf = [f / DIAM_FP for f in fps]
+    import ray.data
+
+    if not nf or nf[-1] <= 0.0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "nf": pa.array([], type=pa.float64()),
+                    "d_eff": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    target = q * nf[-1]
+    d_eff = 0.0
+    for h in range(len(nf)):
+        if nf[h] >= target:
+            if h == 0:
+                d_eff = 0.0
+            else:
+                d_eff = float(h - 1) + (target - nf[h - 1]) / (
+                    nf[h] - nf[h - 1]
+                )
+            break
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "h": pa.array(range(len(nf)), type=pa.int64()),
+                "nf": pa.array(nf, type=pa.float64()),
+                "d_eff": pa.array([d_eff] * len(nf), type=pa.float64()),
+            }
+        )
+    )
+
+
+def sql_effective_diameter(
+    edge_cte: str, iters: int = 4, q: float = DIAM_Q
+) -> str:
+    """DuckDB twin of :func:`effective_diameter`: per-round estimate
+    CTEs, the identical 2⁻¹⁶ quantized sums, and the one interpolation
+    expression."""
+    fins = ",\n        ".join(
+        f"f{h} AS MATERIALIZED (SELECT * FROM {_sql_est(f'g{h}', 'est')})"
+        for h in range(iters + 1)
+    )
+    nf_rows = "\n          UNION ALL ".join(
+        f"SELECT {h}::BIGINT AS h, "
+        f"sum(floor(est * {DIAM_FP!r}))::BIGINT AS fp FROM f{h}"
+        for h in range(iters + 1)
+    )
+    return f"""
+        WITH {_sql_round_ctes(edge_cte, iters, "out")},
+        {fins},
+        nfs AS ({nf_rows}),
+        nf2 AS (SELECT h, fp::DOUBLE / {DIAM_FP!r} AS nf FROM nfs),
+        tgt AS (SELECT {q!r} * nf AS t FROM nf2 WHERE h = {iters}),
+        cand AS (
+          SELECT n.h, n.nf, p.nf AS nf_prev
+          FROM nf2 n LEFT JOIN nf2 p ON p.h = n.h - 1, tgt
+          WHERE n.nf >= tgt.t
+          ORDER BY n.h LIMIT 1),
+        deff AS (
+          SELECT CASE WHEN c.h = 0 THEN 0.0
+                      ELSE (c.h - 1)::DOUBLE
+                           + (tgt.t - c.nf_prev) / (c.nf - c.nf_prev)
+                 END AS d_eff
+          FROM cand c, tgt)
+        SELECT n.h, n.nf, d.d_eff
+        FROM nf2 n, deff d
+    """

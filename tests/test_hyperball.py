@@ -143,3 +143,34 @@ def test_harmonic_accuracy_and_directionality(ray_session) -> None:
     }
     assert got[0] == 0.0
     assert got[4] > got[3] > got[0]
+
+
+def test_effective_diameter_chain(ray_session) -> None:
+    import ray
+
+    from promptner_ray.functions.hyperball import effective_diameter
+
+    # directed chain 0→1→2→3: NF(0)=4, NF(1)=7, NF(2)=9, NF(3)=10
+    # (exact; HLL linear counting is exact at these ball sizes unless
+    # register collisions — the assertions below are structural).
+    edges = pa.table(
+        {
+            "subj_id": pa.array([0, 1, 2], type=pa.int64()),
+            "pred": pa.array(["p"] * 3),
+            "obj_id": pa.array([1, 2, 3], type=pa.int64()),
+            "weight": pa.array([1, 1, 1], type=pa.int64()),
+        }
+    )
+    out = (
+        effective_diameter(ray.data.from_arrow(edges), iters=3)
+        .to_pandas()
+        .sort_values("h", ignore_index=True)
+    )
+    assert list(out["h"]) == [0, 1, 2, 3]
+    nf = list(out["nf"])
+    assert all(b >= a for a, b in zip(nf, nf[1:]))  # NF is monotone
+    d = out["d_eff"].iloc[0]
+    assert (out["d_eff"] == d).all()
+    assert 0.0 <= d <= 3.0
+    # 90% of NF(3) falls strictly inside the growth range → interpolated
+    assert d > 0.0
