@@ -1583,6 +1583,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": lambda sf: relational.events_retention(
             _read(sf, "events")
         ),
+        # per-type standard-score outlier flags (exact cents moments →
+        # broadcast stats → stateless scoring map)
+        "events_zscores": lambda sf: relational.events_zscores(
+            _read(sf, "events")
+        ),
         # mergeable bottom-k quantile sketch — constant memory per key;
         # md5 ranks make the SKETCH itself oracle-checkable
         "events_quantile_sketch": _events_quantile_sketch,
@@ -1669,6 +1674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities_bsp": _kg_communities_bsp,
         # Newman modularity of the LPA partition (quality gate)
         "kg_modularity": _kg_modularity,
+        # greedy coloring by deterministic Luby-MIS rounds
+        "kg_coloring": _kg_coloring,
         # incremental-crawl wave merge must equal the batch edge table
         "kg_edges_incremental": _kg_edges_incremental,
         # oracle: full-outer join of the two wave-replay edge CTEs
@@ -2314,6 +2321,59 @@ def _lp_cte(max_iters: int = 10) -> str:
             GROUP BY c.it, c.dst
           ) WHERE it < {max_iters}
         )"""
+
+
+def _kg_coloring(sf_dir: str):
+    """Greedy distributed coloring by iterated deterministic Luby MIS
+    rounds — the conflict-free-scheduling primitive (e.g. batching
+    entity merges so no two adjacent entities merge in one wave)."""
+    from promptner_ray.functions.graphops import mis_coloring
+
+    return mis_coloring(_kg_edges_raw(sf_dir))
+
+
+def _mis_coloring_sql(max_rounds: int | None = None) -> str:
+    """SQL twin of :func:`graphops.mis_coloring`: a recursive CTE where
+    a node survives a round iff some live neighbor's (md5 prio, id)
+    beats it; color = the last round survived (winners stop appearing;
+    the shared ``max_rounds`` cap rule makes the engines identical even
+    if rounds run out)."""
+    from promptner_ray.functions.graphops import MIS_MAX_ROUNDS
+
+    cap = MIS_MAX_ROUNDS if max_rounds is None else max_rounds
+    return f"""
+        WITH RECURSIVE tr AS (SELECT subj, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        edg AS (
+          SELECT DISTINCT {_sql_hash64(_sql_norm('subj'))} AS subj_id,
+                 {_sql_hash64(_sql_norm('obj'))} AS obj_id
+          FROM tr),
+        und AS (
+          SELECT DISTINCT least(subj_id, obj_id) AS a,
+                 greatest(subj_id, obj_id) AS b
+          FROM edg WHERE subj_id != obj_id),
+        adj AS (SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b, a FROM und),
+        np AS (SELECT DISTINCT src AS node FROM adj),
+        pr AS (SELECT node, {_sql_hash64('node::VARCHAR')} AS prio
+               FROM np),
+        live(it, node, prio) AS (
+          SELECT 0, node, prio FROM pr
+          UNION ALL
+          SELECT it + 1, node, prio FROM (
+            SELECT l.it, l.node, l.prio,
+                   max(CASE WHEN m.prio < l.prio
+                            OR (m.prio = l.prio AND m.node < l.node)
+                       THEN 1 ELSE 0 END) AS beaten
+            FROM live l
+            JOIN adj a ON a.src = l.node
+            JOIN live m ON m.it = l.it AND m.node = a.dst
+            GROUP BY l.it, l.node, l.prio
+          ) WHERE beaten = 1 AND it < {cap}
+        )
+        SELECT node AS entity_id, max(it)::BIGINT AS color
+        FROM live GROUP BY node
+    """
 
 
 def _labelprop_sql(max_iters: int = 10) -> str:
@@ -3117,6 +3177,12 @@ def _events_retention_sql() -> str:
     from promptner_ray.functions.relational import sql_events_retention
 
     return sql_events_retention()
+
+
+def _events_zscores_sql() -> str:
+    from promptner_ray.functions.relational import sql_events_zscores
+
+    return sql_events_zscores()
 
 
 def _blocklist_sql() -> str:
@@ -4043,6 +4109,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_sketch": _sql_grouped_hll(),
         "events_funnel": _events_funnel_sql(),
         "events_retention": _events_retention_sql(),
+        "events_zscores": _events_zscores_sql(),
         "events_sessions": """
             WITH marked AS (
               SELECT user_id, ts,
@@ -4443,6 +4510,7 @@ def oracle_sql() -> dict[str, str]:
         # synchronous label prop: deterministic voting unrolls exactly
         "kg_communities": _labelprop_sql(),
         "kg_modularity": _modularity_sql(),
+        "kg_coloring": _mis_coloring_sql(),
         "kg_triangles": f"""
             WITH tr AS (SELECT subj, pred, obj
                         FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),

@@ -3247,3 +3247,305 @@ def modularity(
         )
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+MIS_MAX_ROUNDS = 30
+
+
+def _mis_prio(nodes: list[int]) -> list[int]:
+    """Deterministic per-node priority: first 8 md5 bytes of the decimal
+    id, big-endian SIGNED — the `_sql_hash64` idiom, so the SQL twin
+    recomputes it bit for bit."""
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.md5(str(v).encode("utf-8")).digest()[:8],
+            "big",
+            signed=True,
+        )
+        for v in nodes
+    ]
+
+
+def mis_coloring(
+    edges_ds,
+    max_rounds: int = MIS_MAX_ROUNDS,
+    num_partitions: int | None = None,
+):
+    """Greedy distributed graph coloring by iterated deterministic
+    Luby-style independent sets — (entity_id, color): each round, every
+    live node whose (md5 priority, id) beats ALL live neighbors joins
+    that round's independent set and takes the round index as its color;
+    winners leave the graph and the residual graph repeats.  Within a
+    round the winners are pairwise non-adjacent (two neighbors cannot
+    both be local minima), so the coloring is proper — the classic
+    scheduling/symmetry-breaking primitive (conflict-free parallel
+    entity-merge batches, edge-update waves).
+
+    Deterministic at any parallelism: priorities are pure md5 functions
+    of the node id and ties break on the id itself, so the SQL twin
+    replays every round exactly.  Per round: one (dst-keyed) neighbor-
+    minimum exchange + one padded left-outer join + two membership
+    filters; driver state is one live-count scalar.  Nodes still live
+    after ``max_rounds`` (not expected before ~30 on any real degree
+    distribution) take ``max_rounds`` as their color — the same rule the
+    SQL replay applies, so the engines cannot diverge.
+    """
+    import numpy as np
+
+    from ..shuffle import hash_grouped, hash_partitioned, local_hash_join
+
+    und, _deg, num_partitions = _und_and_degrees(edges_ds, num_partitions)
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table({"node": pa.array([], type=pa.int64())})
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("a").combine_chunks(),
+                        t.column("b").combine_chunks(),
+                    ]
+                )
+            }
+        ).group_by(["node"]).aggregate([])
+
+    def with_prio(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "node" not in t.column_names:
+            return pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "prio": pa.array([], type=pa.int64()),
+                }
+            )
+        nodes = t.column("node").to_pylist()
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "prio": pa.array(_mis_prio(nodes), type=pa.int64()),
+            }
+        )
+
+    live = (
+        hash_grouped(
+            und.map_batches(to_nodes, batch_format="pyarrow"),
+            ["node"],
+            [],
+            num_partitions=num_partitions,
+        )
+        .map_batches(with_prio, batch_format="pyarrow")
+        .materialize()
+    )
+    adj = und.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t.column("a").combine_chunks(),
+                        t.column("b").combine_chunks(),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t.column("b").combine_chunks(),
+                        t.column("a").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+        if len(t) and "a" in t.column_names
+        else pa.table(
+            {
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    colored: list = []
+    live_schema = pa.schema([("node", pa.int64()), ("prio", pa.int64())])
+    rnd = 0
+    while rnd < max_rounds:
+        n_live = live.count()
+        if n_live == 0:
+            break
+        # messages: each live edge ships the SOURCE's (prio, id) to dst
+        msgs = local_hash_join(
+            adj,
+            live.map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": t.column("node"),
+                        "src_prio": t.column("prio"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["src"],
+            left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            right_schema=pa.schema(
+                [("src", pa.int64()), ("src_prio", pa.int64())]
+            ),
+            how="inner",
+            num_partitions=num_partitions,
+        )
+
+        def nb_min(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "dst" not in t.column_names:
+                return pa.table(
+                    {
+                        "node": pa.array([], type=pa.int64()),
+                        "nb_prio": pa.array([], type=pa.int64()),
+                        "nb_node": pa.array([], type=pa.int64()),
+                    }
+                )
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            p = t.column("src_prio").to_numpy(zero_copy_only=False)
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            order = np.lexsort((s, p, dst))
+            d2, p2, s2 = dst[order], p[order], s[order]
+            first = np.ones(len(d2), dtype=bool)
+            first[1:] = d2[1:] != d2[:-1]
+            return pa.table(
+                {
+                    "node": pa.array(d2[first], type=pa.int64()),
+                    "nb_prio": pa.array(p2[first], type=pa.int64()),
+                    "nb_node": pa.array(s2[first], type=pa.int64()),
+                }
+            )
+
+        nbmin = hash_partitioned(
+            msgs, ["dst"], nb_min, num_partitions=num_partitions
+        )
+        judged = local_hash_join(
+            live,
+            nbmin,
+            on=["node"],
+            left_schema=live_schema,
+            right_schema=pa.schema(
+                [
+                    ("node", pa.int64()),
+                    ("nb_prio", pa.int64()),
+                    ("nb_node", pa.int64()),
+                ]
+            ),
+            how="left_outer",
+            num_partitions=num_partitions,
+        )
+
+        def split(win: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                if len(t) == 0 or "node" not in t.column_names:
+                    return pa.table(
+                        {
+                            "node": pa.array([], type=pa.int64()),
+                            "prio": pa.array([], type=pa.int64()),
+                        }
+                    )
+                import pyarrow.compute as pc_
+
+                # nulls (isolated nodes) must stay INT-exact: mask via
+                # Arrow is_null, fill, THEN convert — never float NaN
+                isolated = (
+                    pc_.is_null(t.column("nb_prio"))
+                    .combine_chunks()
+                    .to_numpy(zero_copy_only=False)
+                )
+                nbp = (
+                    t.column("nb_prio")
+                    .combine_chunks()
+                    .fill_null(0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                nbn = (
+                    t.column("nb_node")
+                    .combine_chunks()
+                    .fill_null(0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                p = t.column("prio").to_numpy(zero_copy_only=False)
+                n = t.column("node").to_numpy(zero_copy_only=False)
+                beats = (
+                    isolated
+                    | (p < nbp)
+                    | ((p == nbp) & (n < nbn))
+                )
+                keep = beats if win else ~beats
+                return pa.table(
+                    {
+                        "node": pa.array(n[keep], type=pa.int64()),
+                        "prio": pa.array(p[keep], type=pa.int64()),
+                    }
+                )
+
+            return fn
+
+        winners = judged.map_batches(
+            split(True), batch_format="pyarrow"
+        ).materialize()
+        colored.append((rnd, winners))
+        live = judged.map_batches(
+            split(False), batch_format="pyarrow"
+        ).materialize()
+        # residual adjacency: both endpoints must still be live
+        adj = local_hash_join(
+            local_hash_join(
+                adj,
+                live.select_columns(["node"]).map_batches(
+                    lambda t: pa.table({"src": t.column("node")}),
+                    batch_format="pyarrow",
+                ),
+                on=["src"],
+                left_schema=pa.schema(
+                    [("src", pa.int64()), ("dst", pa.int64())]
+                ),
+                right_schema=pa.schema([("src", pa.int64())]),
+                how="semi",
+                num_partitions=num_partitions,
+            ),
+            live.select_columns(["node"]).map_batches(
+                lambda t: pa.table({"dst": t.column("node")}),
+                batch_format="pyarrow",
+            ),
+            on=["dst"],
+            left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            right_schema=pa.schema([("dst", pa.int64())]),
+            how="semi",
+            num_partitions=num_partitions,
+        ).materialize()
+        rnd += 1
+
+    colored.append((max_rounds, live))  # cap rule shared with the twin
+    import ray.data
+
+    outs = []
+    for color, ds in colored:
+        outs.append(
+            ds.map_batches(
+                lambda t, c=color: pa.table(
+                    {
+                        "entity_id": t.column("node"),
+                        "color": pa.array(
+                            [c] * len(t), type=pa.int64()
+                        ),
+                    }
+                )
+                if len(t) and "node" in t.column_names
+                else pa.table(
+                    {
+                        "entity_id": pa.array([], type=pa.int64()),
+                        "color": pa.array([], type=pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.union(o)
+    return result

@@ -1148,3 +1148,135 @@ def sql_events_retention() -> str:
         SELECT cohort_day, k, count(*)::BIGINT AS n_users
         FROM act GROUP BY cohort_day, k
     """
+
+
+ZSCORE_OUTLIER = 2.0
+
+
+def events_zscores(events):
+    """events → (event_id, event_type, z, is_outlier): per-type
+    standard-score outlier detection over the ``value`` column — the
+    data-quality pass that flags anomalous purchases/errors before a
+    metric rollup trusts them.
+
+    Exactness: values carry 2 decimals, so ``round(value·100)`` recovers
+    exact integer cents on both engines; per-type moments (n, Σc, Σc²)
+    are commutative int64 sums; mean/variance/σ/z are then ONE fixed
+    float expression of those integers (σ via libm sqrt = DuckDB sqrt)
+    — the float columns hash-match the oracle.
+
+    Plan: per-block moment combine → one tiny grouped Sum (≤ one row
+    per event type) → the constant-size stats table broadcast via
+    ``ray.put`` → stateless scoring map over the stream.  The classic
+    small-side-broadcast shape: the corpus is never re-shuffled."""
+    import math
+
+    import ray
+
+    from ..shuffle import hash_grouped
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        tb = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                "c": pa.array(cents, type=pa.int64()),
+                "c2": pa.array(cents * cents, type=pa.int64()),
+            }
+        )
+        out = tb.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("c", "sum"), ("c2", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": out.column("event_type"),
+                "n": out.column("one_sum"),
+                "c": out.column("c_sum"),
+                "c2": out.column("c2_sum"),
+            }
+        )
+
+    stats = hash_grouped(
+        events.map_batches(moment_partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("n", "sum"), ("c", "sum"), ("c2", "sum")],
+        rename={"n_sum": "n", "c_sum": "c", "c2_sum": "c2"},
+        hash_cols=[],
+        num_partitions=1,
+    ).take_all()  # ≤ one row per event type: constant-size driver state
+    lut = {}
+    for r in stats:
+        n, c, c2 = int(r["n"]), int(r["c"]), int(r["c2"])
+        mean = float(c) / float(n)
+        var = float(c2) / float(n) - mean * mean
+        lut[r["event_type"]] = (mean, math.sqrt(var) if var > 0 else 0.0)
+    lut_ref = ray.put(lut)
+
+    class Scorer:
+        def __init__(self, ref) -> None:
+            self.lut = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            cents = np.rint(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            types = t.column("event_type").to_pylist()
+            z = np.empty(len(t), dtype=np.float64)
+            for i, (ty, c) in enumerate(zip(types, cents)):
+                mean, std = self.lut[ty]
+                z[i] = (float(c) - mean) / std if std > 0.0 else 0.0
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "event_type": t.column("event_type"),
+                    "z": pa.array(z, type=pa.float64()),
+                    "is_outlier": pa.array(
+                        np.abs(z) > ZSCORE_OUTLIER, type=pa.bool_()
+                    ),
+                }
+            )
+
+    return events.select_columns(
+        ["event_id", "event_type", "value"]
+    ).map_batches(
+        Scorer, fn_constructor_kwargs={"ref": lut_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+def sql_events_zscores() -> str:
+    """DuckDB twin of :func:`events_zscores` (identical integer moments
+    and float op order)."""
+    return f"""
+        WITH c AS (
+          SELECT event_id, event_type,
+                 round(value * 100)::BIGINT AS cents
+          FROM events),
+        m AS (
+          SELECT event_type, count(*)::BIGINT AS n,
+                 sum(cents)::BIGINT AS sc,
+                 sum(cents * cents)::BIGINT AS sc2
+          FROM c GROUP BY event_type),
+        s AS (
+          SELECT event_type,
+                 sc::DOUBLE / n::DOUBLE AS mean,
+                 CASE WHEN (sc2::DOUBLE / n::DOUBLE
+                            - (sc::DOUBLE / n::DOUBLE)
+                              * (sc::DOUBLE / n::DOUBLE)) > 0
+                      THEN sqrt(sc2::DOUBLE / n::DOUBLE
+                                - (sc::DOUBLE / n::DOUBLE)
+                                  * (sc::DOUBLE / n::DOUBLE))
+                      ELSE 0.0 END AS std
+          FROM m)
+        SELECT c.event_id, c.event_type,
+               CASE WHEN s.std > 0.0
+                    THEN (c.cents::DOUBLE - s.mean) / s.std
+                    ELSE 0.0 END AS z,
+               (abs(CASE WHEN s.std > 0.0
+                         THEN (c.cents::DOUBLE - s.mean) / s.std
+                         ELSE 0.0 END) > {ZSCORE_OUTLIER!r}) AS is_outlier
+        FROM c JOIN s ON s.event_type = c.event_type
+    """

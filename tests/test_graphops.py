@@ -883,3 +883,43 @@ def test_modularity_single_community_is_zero(ray_session) -> None:
     out = modularity(ray.data.from_arrow(_edge_table(edges))).to_pandas()
     assert len(out) == 1
     assert float(out["q_contrib"].iloc[0]) == 0.0
+
+
+def test_mis_coloring_proper_and_deterministic(ray_session) -> None:
+    from promptner_ray.functions.graphops import mis_coloring
+
+    rng = np.random.default_rng(11)
+    n = 40
+    edges = set()
+    while len(edges) < 80:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    rows = [(a, b, 1) for a, b in sorted(edges)]
+    ds = ray.data.from_arrow(_edge_table(rows))
+    out = mis_coloring(ds).to_pandas()
+    color = dict(zip(out["entity_id"], out["color"]))
+    # every endpoint colored exactly once
+    nodes = {x for e in edges for x in e}
+    assert set(color) == nodes and len(out) == len(nodes)
+    # proper: no edge joins two same-colored nodes
+    assert all(color[a] != color[b] for a, b in edges)
+    # round-0 winners are exactly the local priority minima
+    from promptner_ray.functions.graphops import _mis_prio
+
+    prio = dict(zip(sorted(nodes), _mis_prio(sorted(nodes))))
+    nbrs: dict = {v: set() for v in nodes}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    minima = {
+        v
+        for v in nodes
+        if all(
+            (prio[v], v) < (prio[u], u) for u in nbrs[v]
+        )
+    }
+    assert {v for v, c in color.items() if c == 0} == minima
+    # deterministic under different partitioning
+    out2 = mis_coloring(ds.repartition(7)).to_pandas()
+    assert dict(zip(out2["entity_id"], out2["color"])) == color
