@@ -1676,6 +1676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_modularity": _kg_modularity,
         # greedy coloring by deterministic Luby-MIS rounds
         "kg_coloring": _kg_coloring,
+        # k-source Brandes betweenness, fixed-point dependency sums
+        "kg_betweenness": _kg_betweenness,
         # incremental-crawl wave merge must equal the batch edge table
         "kg_edges_incremental": _kg_edges_incremental,
         # oracle: full-outer join of the two wave-replay edge CTEs
@@ -2321,6 +2323,87 @@ def _lp_cte(max_iters: int = 10) -> str:
             GROUP BY c.it, c.dst
           ) WHERE it < {max_iters}
         )"""
+
+
+def _kg_betweenness(sf_dir: str):
+    """Approximate betweenness by k-source Brandes from the top-k hubs,
+    with the dependency recursion in exact 2⁻²⁰ fixed-point integers —
+    commutative sums, bit-identical at any parallelism."""
+    from promptner_ray.functions.graphops import BC_SOURCES, betweenness
+
+    edges = _kg_edges_raw(sf_dir).materialize()
+    return betweenness(edges, sources=_top_hubs(edges, BC_SOURCES))
+
+
+def _betweenness_sql(max_depth: int | None = None) -> str:
+    """SQL twin of ``_kg_betweenness``: seeds = ORDER BY w_out DESC,
+    entity_id LIMIT k; forward levels unrolled with NOT-EXISTS
+    visited-set pruning; backward levels unrolled with the identical
+    integer ``(σv·(SCALE+δw)) // σw`` accumulation."""
+    from promptner_ray.functions.graphops import (
+        BC_MAX_DEPTH,
+        BC_SCALE,
+        BC_SOURCES,
+    )
+
+    depth = BC_MAX_DEPTH if max_depth is None else max_depth
+    fwd = []
+    for k in range(1, depth + 1):
+        fwd.append(
+            f"""f{k} AS MATERIALIZED (
+          SELECT s, node, sum(sigma)::BIGINT AS sigma FROM (
+            SELECT f.s, e.obj_id AS node, f.sigma
+            FROM f{k - 1} f JOIN e2 e ON e.subj_id = f.node) m
+          WHERE NOT EXISTS (SELECT 1 FROM v{k - 1} v
+                            WHERE v.s = m.s AND v.node = m.node)
+          GROUP BY s, node),
+        v{k} AS MATERIALIZED (SELECT * FROM v{k - 1}
+                 UNION ALL SELECT s, node FROM f{k})"""
+        )
+    bwd = [
+        f"d{depth} AS (SELECT s, node, sigma, 0::BIGINT AS delta "
+        f"FROM f{depth})"
+    ]
+    for k in range(depth - 1, 0, -1):
+        bwd.append(
+            f"""d{k} AS MATERIALIZED (
+          SELECT v.s, v.node, v.sigma,
+                 coalesce((SELECT sum((v.sigma * ({BC_SCALE} + w.delta))
+                                      // w.sigma)
+                           FROM e2 e JOIN d{k + 1} w
+                             ON w.s = v.s AND w.node = e.obj_id
+                           WHERE e.subj_id = v.node), 0)::BIGINT AS delta
+          FROM f{k} v)"""
+        )
+    union = "\n          UNION ALL ".join(
+        f"SELECT node, delta FROM d{k}" for k in range(1, depth + 1)
+    )
+    return f"""
+        WITH tr AS (SELECT subj, pred, obj
+                    FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),
+        edg AS MATERIALIZED (
+          SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+                 {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+                 count(*)::BIGINT AS weight
+          FROM tr GROUP BY 1, 2, 3),
+        ends AS (SELECT subj_id AS entity_id, weight AS w_out FROM edg
+                 UNION ALL SELECT obj_id, 0 FROM edg),
+        nodes AS (SELECT entity_id, sum(w_out)::BIGINT AS w_out
+                  FROM ends GROUP BY entity_id),
+        seeds AS (SELECT entity_id FROM nodes
+                  ORDER BY w_out DESC, entity_id ASC
+                  LIMIT {BC_SOURCES}),
+        e2 AS MATERIALIZED (SELECT DISTINCT subj_id, obj_id FROM edg),
+        f0 AS (SELECT entity_id AS s, entity_id AS node,
+                      1::BIGINT AS sigma FROM seeds),
+        v0 AS (SELECT s, node FROM f0),
+        {",".join(fwd)},
+        {",".join(bwd)}
+        SELECT node AS entity_id, sum(delta)::BIGINT AS bc_fp,
+               (sum(delta)::BIGINT)::DOUBLE / {float(BC_SCALE)!r} AS bc
+        FROM ({union})
+        GROUP BY node
+    """
 
 
 def _kg_coloring(sf_dir: str):
@@ -4511,6 +4594,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _labelprop_sql(),
         "kg_modularity": _modularity_sql(),
         "kg_coloring": _mis_coloring_sql(),
+        "kg_betweenness": _betweenness_sql(),
         "kg_triangles": f"""
             WITH tr AS (SELECT subj, pred, obj
                         FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')),

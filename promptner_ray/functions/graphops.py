@@ -3549,3 +3549,388 @@ def mis_coloring(
     for o in outs[1:]:
         result = result.union(o)
     return result
+
+
+BC_SOURCES = 4
+BC_MAX_DEPTH = 6
+BC_SCALE = 1 << 20
+
+
+def betweenness(
+    edges_ds,
+    sources: list[int],
+    max_depth: int = BC_MAX_DEPTH,
+    num_partitions: int | None = None,
+):
+    """Approximate betweenness centrality by k-source Brandes (Brandes
+    2001; sampled-source approximation à la Brandes–Pich 2007) —
+    (entity_id, bc_fp, bc): forward multi-source BFS accumulating exact
+    shortest-path counts σ, then the backward dependency recursion
+    ``δ(v) = Σ_{w∈succ(v)} σ(v)/σ(w) · (1 + δ(w))`` accumulated in
+    2⁻²⁰ FIXED-POINT INTEGERS — ``(σv · (SCALE + δw_fp)) // σw`` — so
+    every sum is commutative and the result is bit-identical at any
+    parallelism (the PageRank fixed-point-mass discipline applied to
+    the one classic centrality whose textbook form is float-ordered).
+
+    All ``sources`` advance in lockstep as (src, node)-keyed tables —
+    the batched multi-source plan, not a per-source loop: per BFS level
+    one padded join of the static edge list against the frontier, one
+    (src, node)-keyed σ Sum, one composite-key left-outer anti against
+    the visited set; the backward pass replays the levels in reverse
+    with one successor join + one fixed-point Sum each.  Driver state
+    is one scalar per level.  σ and δ products run in arbitrary-
+    precision Python ints inside the combiner and are asserted to fit
+    int64 on emission — overflow is loud, never silent wraparound.
+    """
+    import ray
+    import ray.data
+
+    from ..shuffle import hash_grouped, local_hash_join
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("subj_id").cast(pa.int64()),
+                "dst": t.column("obj_id").cast(pa.int64()),
+            }
+        )
+
+    edg = hash_grouped(
+        edges_ds.map_batches(to_pairs, batch_format="pyarrow"),
+        ["src", "dst"],
+        [],
+        num_partitions=num_partitions,
+    ).materialize()
+    num_partitions = _iter_partitions(edg.count(), num_partitions)
+
+    lvl_schema = pa.schema(
+        [("s", pa.int64()), ("node", pa.int64()), ("sigma", pa.int64())]
+    )
+    f0 = ray.data.from_arrow(
+        pa.table(
+            {
+                "s": pa.array(sources, type=pa.int64()),
+                "node": pa.array(sources, type=pa.int64()),
+                "sigma": pa.array([1] * len(sources), type=pa.int64()),
+            }
+        )
+    ).materialize()
+    levels = [f0]
+    vis = f0.map_batches(
+        lambda t: pa.table(
+            {
+                "s": t.column("s"),
+                "node": t.column("node"),
+                "seen": pa.array([1] * len(t), type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    vis_schema = pa.schema(
+        [("s", pa.int64()), ("node", pa.int64()), ("seen", pa.int64())]
+    )
+
+    for _d in range(1, max_depth + 1):
+        msgs = local_hash_join(
+            edg.map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("src"), "dst": t.column("dst")}
+                ),
+                batch_format="pyarrow",
+            ),
+            levels[-1],
+            on=["node"],
+            left_schema=pa.schema(
+                [("node", pa.int64()), ("dst", pa.int64())]
+            ),
+            right_schema=lvl_schema,
+            how="inner",
+            num_partitions=num_partitions,
+        )
+
+        def fwd_partial(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "dst" not in t.column_names:
+                return lvl_schema.empty_table()
+            out = (
+                pa.table(
+                    {
+                        "s": t.column("s"),
+                        "node": t.column("dst"),
+                        "sigma": t.column("sigma"),
+                    }
+                )
+                .group_by(["s", "node"])
+                .aggregate([("sigma", "sum")])
+            )
+            return pa.table(
+                {
+                    "s": out.column("s"),
+                    "node": out.column("node"),
+                    "sigma": out.column("sigma_sum"),
+                }
+            )
+
+        cand = hash_grouped(
+            msgs.map_batches(fwd_partial, batch_format="pyarrow"),
+            ["s", "node"],
+            [("sigma", "sum")],
+            rename={"sigma_sum": "sigma"},
+            hash_cols=["node"],
+            num_partitions=num_partitions,
+        )
+        judged = local_hash_join(
+            cand,
+            vis,
+            on=["s", "node"],
+            left_schema=lvl_schema,
+            right_schema=vis_schema,
+            how="left_outer",
+            num_partitions=num_partitions,
+        )
+
+        def unseen_only(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if len(t) == 0 or "node" not in t.column_names:
+                return lvl_schema.empty_table()
+            kept = t.filter(pc.is_null(t.column("seen")))
+            return pa.table(
+                {
+                    "s": kept.column("s"),
+                    "node": kept.column("node"),
+                    "sigma": kept.column("sigma"),
+                }
+            )
+
+        new = judged.map_batches(
+            unseen_only, batch_format="pyarrow"
+        ).materialize()
+        if new.count() == 0:
+            break
+        levels.append(new)
+        vis = vis.union(
+            new.map_batches(
+                lambda t: pa.table(
+                    {
+                        "s": t.column("s"),
+                        "node": t.column("node"),
+                        "seen": pa.array([1] * len(t), type=pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+
+    # backward dependency accumulation, deepest level first (δ_fp = 0)
+    dl_schema = pa.schema(
+        [
+            ("s", pa.int64()),
+            ("node", pa.int64()),
+            ("sigma", pa.int64()),
+            ("delta", pa.int64()),
+        ]
+    )
+    deltas: list = [None] * len(levels)
+    deltas[-1] = levels[-1].map_batches(
+        lambda t: pa.table(
+            {
+                "s": t.column("s"),
+                "node": t.column("node"),
+                "sigma": t.column("sigma"),
+                "delta": pa.array([0] * len(t), type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for d in range(len(levels) - 2, -1, -1):
+        succ = local_hash_join(
+            edg.map_batches(
+                lambda t: pa.table(
+                    {"node_v": t.column("src"), "node": t.column("dst")}
+                ),
+                batch_format="pyarrow",
+            ),
+            deltas[d + 1],
+            on=["node"],
+            left_schema=pa.schema(
+                [("node_v", pa.int64()), ("node", pa.int64())]
+            ),
+            right_schema=dl_schema,
+            how="inner",
+            num_partitions=num_partitions,
+        )
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "s": pa.array([], type=pa.int64()),
+                    "node": pa.array([], type=pa.int64()),
+                    "fp": pa.array([], type=pa.int64()),
+                }
+            )
+            if len(t) == 0 or "node_v" not in t.column_names:
+                return empty
+            # exact Python-int partials (assortativity discipline):
+            # contributions need σv joined on — emit per-successor rows
+            # keyed for the v-level join, combining per (s, v, σw, δw)
+            out = (
+                pa.table(
+                    {
+                        "s": t.column("s"),
+                        "node": t.column("node_v"),
+                        "sw": t.column("sigma"),
+                        "dw": t.column("delta"),
+                    }
+                )
+                .group_by(["s", "node", "sw", "dw"])
+                .aggregate([([], "count_all")])
+            )
+            return pa.table(
+                {
+                    "s": out.column("s"),
+                    "node": out.column("node"),
+                    "sw": out.column("sw"),
+                    "dw": out.column("dw"),
+                    "m": out.column("count_all").cast(pa.int64()),
+                }
+            )
+
+        joined = local_hash_join(
+            succ.map_batches(contrib_partial, batch_format="pyarrow"),
+            levels[d],
+            on=["s", "node"],
+            left_schema=pa.schema(
+                [
+                    ("s", pa.int64()),
+                    ("node", pa.int64()),
+                    ("sw", pa.int64()),
+                    ("dw", pa.int64()),
+                    ("m", pa.int64()),
+                ]
+            ),
+            right_schema=lvl_schema,
+            how="inner",
+            num_partitions=num_partitions,
+        )
+
+        def fp_partial(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "s": pa.array([], type=pa.int64()),
+                    "node": pa.array([], type=pa.int64()),
+                    "fp": pa.array([], type=pa.int64()),
+                }
+            )
+            if len(t) == 0 or "node" not in t.column_names:
+                return empty
+            acc: dict = {}
+            for s, node, sw, dw, m, sv in zip(
+                t.column("s").to_pylist(),
+                t.column("node").to_pylist(),
+                t.column("sw").to_pylist(),
+                t.column("dw").to_pylist(),
+                t.column("m").to_pylist(),
+                t.column("sigma").to_pylist(),
+            ):
+                c = m * ((sv * (BC_SCALE + dw)) // sw)
+                k = (s, node)
+                acc[k] = acc.get(k, 0) + c
+            for v in acc.values():
+                assert -(1 << 63) <= v < (1 << 63), "δ fixed-point overflow"
+            ks = list(acc)
+            return pa.table(
+                {
+                    "s": pa.array([k[0] for k in ks], type=pa.int64()),
+                    "node": pa.array([k[1] for k in ks], type=pa.int64()),
+                    "fp": pa.array(
+                        [acc[k] for k in ks], type=pa.int64()
+                    ),
+                }
+            )
+
+        dsum = hash_grouped(
+            joined.map_batches(fp_partial, batch_format="pyarrow"),
+            ["s", "node"],
+            [("fp", "sum")],
+            rename={"fp_sum": "fp"},
+            hash_cols=["node"],
+            num_partitions=num_partitions,
+        )
+        merged = local_hash_join(
+            levels[d],
+            dsum,
+            on=["s", "node"],
+            left_schema=lvl_schema,
+            right_schema=pa.schema(
+                [("s", pa.int64()), ("node", pa.int64()), ("fp", pa.int64())]
+            ),
+            how="left_outer",
+            num_partitions=num_partitions,
+        )
+        deltas[d] = merged.map_batches(
+            lambda t: pa.table(
+                {
+                    "s": t.column("s"),
+                    "node": t.column("node"),
+                    "sigma": t.column("sigma"),
+                    "delta": t.column("fp").combine_chunks().fill_null(0),
+                }
+            )
+            if len(t) and "node" in t.column_names
+            else dl_schema.empty_table(),
+            batch_format="pyarrow",
+        ).materialize()
+
+    # totals over levels ≥ 1 (level 0 is the source itself)
+    parts = None
+    for d in range(1, len(levels)):
+        piece = deltas[d].map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "fp": t.column("delta")}
+            ),
+            batch_format="pyarrow",
+        )
+        parts = piece if parts is None else parts.union(piece)
+    if parts is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array([], type=pa.int64()),
+                    "bc_fp": pa.array([], type=pa.int64()),
+                    "bc": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    total = hash_grouped(
+        parts,
+        ["node"],
+        [("fp", "sum")],
+        rename={"fp_sum": "bc_fp"},
+        num_partitions=num_partitions,
+    )
+
+    def out_batch(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if len(t) == 0 or "node" not in t.column_names:
+            return pa.table(
+                {
+                    "entity_id": pa.array([], type=pa.int64()),
+                    "bc_fp": pa.array([], type=pa.int64()),
+                    "bc": pa.array([], type=pa.float64()),
+                }
+            )
+        fp = t.column("bc_fp").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "entity_id": t.column("node"),
+                "bc_fp": t.column("bc_fp"),
+                # power-of-two divisor: the double conversion is exact
+                "bc": pa.array(
+                    fp.astype(np.float64) / float(BC_SCALE),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return total.map_batches(out_batch, batch_format="pyarrow")

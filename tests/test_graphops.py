@@ -923,3 +923,35 @@ def test_mis_coloring_proper_and_deterministic(ray_session) -> None:
     # deterministic under different partitioning
     out2 = mis_coloring(ds.repartition(7)).to_pandas()
     assert dict(zip(out2["entity_id"], out2["color"])) == color
+
+
+def test_betweenness_diamond_exact(ray_session) -> None:
+    from promptner_ray.functions.graphops import BC_SCALE, betweenness
+
+    # diamond 1→2, 1→3, 2→4, 3→4: from source 1, σ(4)=2 and the two
+    # middles each carry δ = (1/2)·(1+0) → bc exactly 0.5; the sink
+    # carries 0.  Fixed-point: SCALE // 2.
+    edges = [(1, 2, 1), (1, 3, 1), (2, 4, 1), (3, 4, 1)]
+    ds = ray.data.from_arrow(_edge_table(edges))
+    out = (
+        betweenness(ds, sources=[1])
+        .to_pandas()
+        .set_index("entity_id")
+        .sort_index()
+    )
+    assert list(out.index) == [2, 3, 4]
+    assert out.loc[2, "bc_fp"] == BC_SCALE // 2
+    assert out.loc[3, "bc_fp"] == BC_SCALE // 2
+    assert out.loc[4, "bc_fp"] == 0
+    assert out.loc[2, "bc"] == 0.5
+    # chain through the middles: source 1 AND source 2 accumulate on 4's
+    # predecessors; partition count must not change a single bit
+    out2 = betweenness(
+        ds.repartition(5), sources=[1, 2]
+    ).to_pandas().set_index("entity_id").sort_index()
+    out3 = betweenness(
+        ds, sources=[1, 2]
+    ).to_pandas().set_index("entity_id").sort_index()
+    assert out2.equals(out3)
+    # source 2's path 2→4 adds nothing to the middles (4 is its level 1)
+    assert out2.loc[2, "bc_fp"] == BC_SCALE // 2
