@@ -132,6 +132,7 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         edge_pmi,
         k_core,
         label_propagation,
+        mis_coloring,
         modularity,
         neighbor_jaccard,
         node_degrees,
@@ -204,6 +205,7 @@ def _graph_bench(corpus_root: pathlib.Path) -> dict[str, float]:
         ("kg_paths", path_counts),
         ("kg_communities", label_propagation),
         ("kg_modularity", modularity),
+        ("kg_coloring", mis_coloring),
         ("kg_random_walks", random_walks),
         ("kg_scc", scc),
     ):
@@ -428,8 +430,10 @@ def _operator_suite() -> dict[str, float]:
         "events_tumbling",
         "events_funnel",
         "events_retention",
+        "events_zscores",
         "cc_anchor_link",
         "kg_effective_diameter",
+        "kg_betweenness",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
