@@ -3250,6 +3250,8 @@ def modularity(
 
 
 MIS_MAX_ROUNDS = 30
+MIS_LOCAL_NODES = 100_000   # tail-local finish gate (nodes)
+MIS_LOCAL_EDGES = 2_000_000  # tail-local finish gate (live edges)
 
 
 def _mis_prio(nodes: list[int]) -> list[int]:
@@ -3272,6 +3274,8 @@ def mis_coloring(
     edges_ds,
     max_rounds: int = MIS_MAX_ROUNDS,
     num_partitions: int | None = None,
+    local_nodes: int = MIS_LOCAL_NODES,
+    local_edges: int = MIS_LOCAL_EDGES,
 ):
     """Greedy distributed graph coloring by iterated deterministic
     Luby-style independent sets — (entity_id, color): each round, every
@@ -3368,10 +3372,96 @@ def mis_coloring(
     colored: list = []
     live_schema = pa.schema([("node", pa.int64()), ("prio", pa.int64())])
     rnd = 0
+    local_done = False
     while rnd < max_rounds:
         n_live = live.count()
         if n_live == 0:
             break
+        if n_live <= local_nodes:
+            # tail-local finish: MIS coloring on clique-ish structure
+            # colors O(1) nodes per round, so the tail costs many
+            # near-empty exchange rounds — once the live set (and its
+            # edge set) is bounded, replay the IDENTICAL rule driver
+            # side in one pass.  Bit-for-bit the same colors (same
+            # priorities, same tie-break, same cap), so the SQL twin
+            # is untouched; at web scale the distributed rounds have
+            # already colored the bulk before this branch fires.
+            live_edges = local_hash_join(
+                local_hash_join(
+                    adj,
+                    live.map_batches(
+                        lambda t: pa.table({"src": t.column("node")}),
+                        batch_format="pyarrow",
+                    ),
+                    on=["src"],
+                    left_schema=pa.schema(
+                        [("src", pa.int64()), ("dst", pa.int64())]
+                    ),
+                    right_schema=pa.schema([("src", pa.int64())]),
+                    how="semi",
+                    num_partitions=num_partitions,
+                ),
+                live.map_batches(
+                    lambda t: pa.table({"dst": t.column("node")}),
+                    batch_format="pyarrow",
+                ),
+                on=["dst"],
+                left_schema=pa.schema(
+                    [("src", pa.int64()), ("dst", pa.int64())]
+                ),
+                right_schema=pa.schema([("dst", pa.int64())]),
+                how="semi",
+                num_partitions=num_partitions,
+            )
+            if live_edges.count() <= local_edges:
+                rows = live.take_all()
+                eds = live_edges.take_all()
+                prio_of = {r["node"]: r["prio"] for r in rows}
+                nbrs: dict = {v: [] for v in prio_of}
+                for e in eds:
+                    a, b = e["src"], e["dst"]
+                    if a in prio_of and b in prio_of:
+                        nbrs[a].append(b)
+                live_set = set(prio_of)
+                local_rows: list = []
+                r = rnd
+                while live_set and r < max_rounds:
+                    winners = [
+                        v
+                        for v in live_set
+                        if all(
+                            (prio_of[v], v) < (prio_of[u], u)
+                            for u in nbrs[v]
+                            if u in live_set
+                        )
+                    ]
+                    local_rows.extend((v, r) for v in winners)
+                    live_set -= set(winners)
+                    r += 1
+                local_rows.extend((v, max_rounds) for v in live_set)
+                import ray.data as _rd
+
+                colored.append(
+                    (
+                        None,
+                        _rd.from_arrow(
+                            pa.table(
+                                {
+                                    "node": pa.array(
+                                        [x[0] for x in local_rows],
+                                        type=pa.int64(),
+                                    ),
+                                    "color": pa.array(
+                                        [x[1] for x in local_rows],
+                                        type=pa.int64(),
+                                    ),
+                                }
+                            )
+                        ),
+                    )
+                )
+                local_done = True
+                break
         # messages: each live edge ships the SOURCE's (prio, id) to dst
         msgs = local_hash_join(
             adj,
@@ -3492,39 +3582,39 @@ def mis_coloring(
         live = judged.map_batches(
             split(False), batch_format="pyarrow"
         ).materialize()
-        # residual adjacency: both endpoints must still be live
-        adj = local_hash_join(
-            local_hash_join(
-                adj,
-                live.select_columns(["node"]).map_batches(
-                    lambda t: pa.table({"src": t.column("node")}),
-                    batch_format="pyarrow",
-                ),
-                on=["src"],
-                left_schema=pa.schema(
-                    [("src", pa.int64()), ("dst", pa.int64())]
-                ),
-                right_schema=pa.schema([("src", pa.int64())]),
-                how="semi",
-                num_partitions=num_partitions,
-            ),
-            live.select_columns(["node"]).map_batches(
-                lambda t: pa.table({"dst": t.column("node")}),
-                batch_format="pyarrow",
-            ),
-            on=["dst"],
-            left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
-            right_schema=pa.schema([("dst", pa.int64())]),
-            how="semi",
-            num_partitions=num_partitions,
-        ).materialize()
+        # adj stays STATIC: dead sources ship no messages (the msgs
+        # join keys on live) and dead receivers are ignored (judged
+        # starts FROM live) — no residual rebuild exchanges
         rnd += 1
 
-    colored.append((max_rounds, live))  # cap rule shared with the twin
+    if not local_done:
+        colored.append((max_rounds, live))  # cap rule shared w/ twin
     import ray.data
+
+    empty_out = pa.table(
+        {
+            "entity_id": pa.array([], type=pa.int64()),
+            "color": pa.array([], type=pa.int64()),
+        }
+    )
 
     outs = []
     for color, ds in colored:
+        if color is None:  # tail-local rows already carry their color
+            outs.append(
+                ds.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "entity_id": t.column("node"),
+                            "color": t.column("color"),
+                        }
+                    )
+                    if len(t) and "node" in t.column_names
+                    else empty_out,
+                    batch_format="pyarrow",
+                )
+            )
+            continue
         outs.append(
             ds.map_batches(
                 lambda t, c=color: pa.table(
@@ -3536,12 +3626,7 @@ def mis_coloring(
                     }
                 )
                 if len(t) and "node" in t.column_names
-                else pa.table(
-                    {
-                        "entity_id": pa.array([], type=pa.int64()),
-                        "color": pa.array([], type=pa.int64()),
-                    }
-                ),
+                else empty_out,
                 batch_format="pyarrow",
             )
         )

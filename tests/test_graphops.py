@@ -923,6 +923,10 @@ def test_mis_coloring_proper_and_deterministic(ray_session) -> None:
     # deterministic under different partitioning
     out2 = mis_coloring(ds.repartition(7)).to_pandas()
     assert dict(zip(out2["entity_id"], out2["color"])) == color
+    # the DISTRIBUTED rounds (tail-local gate forced off) produce the
+    # exact same colors — the two execution paths share one rule
+    out3 = mis_coloring(ds, local_nodes=0).to_pandas()
+    assert dict(zip(out3["entity_id"], out3["color"])) == color
 
 
 def test_betweenness_diamond_exact(ray_session) -> None:
