@@ -37,6 +37,7 @@ import numpy as np
 import pyarrow as pa
 
 P_HB = 4  # 16 registers/node: the HyperBall paper's in-core low end
+HB_LOCAL_EDGES = 100_000  # tail-local rounds gate (distinct edges)
 M_HB = 1 << P_HB
 _W_HB = 64 - P_HB  # 60-bit rank suffix
 _REST_MASK_HB = (1 << _W_HB) - 1
@@ -170,7 +171,72 @@ def _round_tables(
         [],
         num_partitions=num_partitions,
     ).materialize()
-    num_partitions = _iter_partitions(pairs.count(), num_partitions)
+    n_pairs = pairs.count()
+    if n_pairs <= HB_LOCAL_EDGES:
+        # tail-local rounds: on a toy/residual graph the iters×(join +
+        # 16-column grouped Max) exchange chain is pure latency — run
+        # the IDENTICAL recurrence driver-side (same _init_registers
+        # kernel, same element-wise max; max is max, so the register
+        # tables are bit-identical).  The web-scale graphs stay on the
+        # distributed rounds (gate = distinct-edge count).
+        import ray.data as _rd
+
+        ptbl = pa.concat_tables(
+            list(
+                pairs.iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+        ).combine_chunks() if n_pairs else pa.table(
+            {
+                "entity_id": pa.array([], type=pa.int64()),
+                "subj": pa.array([], type=pa.int64()),
+            }
+        )
+        recv = ptbl.column("entity_id").to_numpy(zero_copy_only=False)
+        dest = ptbl.column("subj").to_numpy(zero_copy_only=False)
+        node_ids = np.unique(np.concatenate([recv, dest])) if len(
+            recv
+        ) else np.array([], dtype=np.int64)
+        regs0 = _init_registers(
+            pa.table({"entity_id": pa.array(node_ids, type=pa.int64())})
+        )
+        rmat = np.stack(
+            [
+                regs0.column(c).to_numpy(zero_copy_only=False)
+                for c in REG_COLS
+            ],
+            axis=1,
+        ).astype(np.int64) if len(node_ids) else np.zeros(
+            (0, M_HB), dtype=np.int64
+        )
+        ridx = np.searchsorted(node_ids, recv)
+        didx = np.searchsorted(node_ids, dest)
+
+        def as_ds(mat: np.ndarray):
+            return _rd.from_arrow(
+                pa.table(
+                    {
+                        "entity_id": pa.array(
+                            node_ids, type=pa.int64()
+                        ),
+                        **{
+                            c: pa.array(mat[:, j], type=pa.int64())
+                            for j, c in enumerate(REG_COLS)
+                        },
+                    }
+                )
+            )
+
+        local_rounds = [as_ds(rmat)]
+        for _ in range(iters):
+            nxt = rmat.copy()
+            if len(ridx):
+                np.maximum.at(nxt, didx, rmat[ridx])
+            rmat = nxt
+            local_rounds.append(as_ds(rmat))
+        return local_rounds
+    num_partitions = _iter_partitions(n_pairs, num_partitions)
 
     def to_nodes(t: pa.Table) -> pa.Table:
         import pyarrow as _pa
@@ -430,18 +496,40 @@ def effective_diameter(
     the one interpolation expression, so every column hash-matches."""
     rounds = _round_tables(edges, iters, num_partitions)
 
-    def fp_batch(t: pa.Table) -> pa.Table:
-        est = _estimate_batch(t)
-        fp = np.floor(
-            est.column("ball_est").to_numpy(zero_copy_only=False)
-            * DIAM_FP
-        ).astype(np.int64)
-        return pa.table({"fp": pa.array(fp, type=pa.int64())})
+    def fp_batch(h: int):
+        def fn(t: pa.Table) -> pa.Table:
+            est = _estimate_batch(t)
+            fp = np.floor(
+                est.column("ball_est").to_numpy(zero_copy_only=False)
+                * DIAM_FP
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "h": pa.array([h] * len(fp), type=pa.int64()),
+                    "fp": pa.array(fp, type=pa.int64()),
+                }
+            )
 
-    fps = []
-    for r in rounds:
-        s = r.map_batches(fp_batch, batch_format="pyarrow").sum("fp")
-        fps.append(int(s) if s is not None else 0)
+        return fn
+
+    # ONE job for all rounds: tag, union, single tiny grouped sum —
+    # iters+1 separate .sum() jobs would pay driver latency each
+    from ..shuffle import hash_grouped
+
+    tagged = None
+    for h, r in enumerate(rounds):
+        piece = r.map_batches(fp_batch(h), batch_format="pyarrow")
+        tagged = piece if tagged is None else tagged.union(piece)
+    fps = [0] * len(rounds)
+    if tagged is not None:
+        for row in hash_grouped(
+            tagged,
+            ["h"],
+            [("fp", "sum")],
+            rename={"fp_sum": "fp"},
+            num_partitions=1,
+        ).take_all():
+            fps[int(row["h"])] = int(row["fp"])
     nf = [f / DIAM_FP for f in fps]
     import ray.data
 

@@ -467,6 +467,8 @@ def cooc_pmi(
 
     from ..shuffle import hash_grouped, local_hash_join
 
+    # materialized: each table feeds BOTH a driver-scalar sum and a
+    # join — without the pin the full corpus explode would execute twice
     pairs = hash_grouped(
         docs.map_batches(
             _cooc_pair_batch,
@@ -478,8 +480,10 @@ def cooc_pmi(
         rename={"c_sum": "c"},
         hash_cols=["a_key", "b_key"],
         num_partitions=num_partitions,
-    )
-    vocab = ngram_counts(docs, n=1, num_partitions=num_partitions)
+    ).materialize()
+    vocab = ngram_counts(
+        docs, n=1, num_partitions=num_partitions
+    ).materialize()
 
     def keyed(col_key: str, col_n: str):
         def fn(t: pa.Table) -> pa.Table:
