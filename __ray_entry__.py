@@ -679,6 +679,36 @@ def _cc_anchor_texts(sf_dir: str):
     return anchor_texts(_pages(sf_dir))
 
 
+def _cc_canonical_urls(sf_dir: str):
+    """Crawl-frontier URL canonicalization (lowercased origin, fragment
+    and tracking-param strip) over a disclosed deterministic URL-noise
+    injection — the synthetic corpus's URLs are clean, so the noise
+    gives the pass real work (the nav-banner idiom)."""
+    from promptner_ray.functions.urls import canonical_urls
+
+    return canonical_urls(_pages(sf_dir))
+
+
+def _cc_url_dedup(sf_dir: str):
+    """Keep one page per canonical URL form (smallest raw url) — exact
+    frontier dedup through the shared first_occurrence machinery."""
+    from promptner_ray.functions.urls import url_dedup
+
+    return url_dedup(_pages(sf_dir))
+
+
+def _sql_canonical_urls() -> str:
+    from promptner_ray.functions.urls import sql_canonical_urls
+
+    return sql_canonical_urls(_CORPUS_GLOB, _sql_hash64)
+
+
+def _sql_url_dedup() -> str:
+    from promptner_ray.functions.urls import sql_url_dedup
+
+    return sql_url_dedup(_CORPUS_GLOB, _sql_hash64)
+
+
 def _cc_anchor_link(sf_dir: str):
     """Alias→target linking dictionary: majority link target per anchor
     text (the inverse grouping of `cc_anchor_texts`) — the dictionary
@@ -1690,6 +1720,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_anchor_texts": _cc_anchor_texts,
         # alias→target majority dictionary (the inverse grouping)
         "cc_anchor_link": _cc_anchor_link,
+        # crawl-frontier URL canonicalization + canonical-form dedup
+        "cc_canonical_urls": _cc_canonical_urls,
+        "cc_url_dedup": _cc_url_dedup,
         # site-section contraction of the page graph (host-level rollup)
         "cc_section_graph": _cc_section_graph,
         # HITS hubs/authorities (same fixed-point replay discipline)
@@ -4698,6 +4731,8 @@ def oracle_sql() -> dict[str, str]:
         # by subscript, argmax replayed as a row_number window
         "cc_anchor_texts": _sql_anchor_texts(),
         "cc_anchor_link": _sql_anchor_link(),
+        "cc_canonical_urls": _sql_canonical_urls(),
+        "cc_url_dedup": _sql_url_dedup(),
         # site-section contraction over the same href-resolution CTE
         "cc_section_graph": _sql_section_graph(),
         # HITS: the same fixed-point integer unroll idea as kg_pagerank

@@ -432,6 +432,7 @@ def _operator_suite() -> dict[str, float]:
         "events_retention",
         "events_zscores",
         "cc_anchor_link",
+        "cc_url_dedup",
         "kg_effective_diameter",
         "kg_betweenness",
     ]

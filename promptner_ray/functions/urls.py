@@ -934,3 +934,173 @@ def sql_anchor_link(corpus_glob: str) -> str:
                tot::BIGINT AS n_total, nt::BIGINT AS n_targets
         FROM ranked WHERE rk = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical-form dedup (crawl-frontier primitive)
+# ---------------------------------------------------------------------------
+
+URL_TRACKING_RE = r"(utm_[a-z]+|fbclid)=[^&#]*&?"
+URL_TRAIL_RE = r"[?&]+$"
+_URL_MASK = (1 << 63) - 1
+
+
+def inject_url_noise_batch(batch: pa.Table) -> pa.Table:
+    """Plant deterministic URL noise — a disclosed test/benchmark device
+    (the nav-banner / PII / typo idiom): the synthetic corpus's URLs are
+    already clean and unique, so canonicalization would be a no-op.
+    Per url with ``h = md5-hash64(url) & 2⁶³−1``:
+
+    - ``h % 3 == 0`` → append ``?utm_source=feed&utm_medium=rss``
+    - ``h % 5 == 0`` → append ``#section-2``
+    - ``h % 7 == 0`` → UPPERCASE the scheme+host
+
+    (several can stack; application order is host-case → params →
+    fragment, replayed verbatim by the SQL twin).  Duplicate canonical
+    forms are created by also emitting the noisy variant of every
+    ``h % 3 == 0`` page under a ``&utm_term=dup``-suffixed url — giving the
+    dedup pass real work."""
+    from ..kernels.cleaning import surface_hash64
+
+    urls = batch.column("url").to_pylist()
+    out = []
+    extra_rows = []
+    for i, u in enumerate(urls):
+        h = surface_hash64(u) & _URL_MASK
+        v = u
+        if h % 7 == 0:
+            j = v.find("://")
+            k = v.find("/", j + 3)
+            origin = v if k < 0 else v[:k]
+            rest = "" if k < 0 else v[k:]
+            v = origin.upper() + rest
+        if h % 3 == 0:
+            v = v + "?utm_source=feed&utm_medium=rss"
+        if h % 5 == 0:
+            v = v + "#section-2"
+        out.append(v)
+        if h % 3 == 0:
+            extra_rows.append((i, v + "&utm_term=dup"))
+    cols = {name: batch.column(name) for name in batch.column_names}
+    cols["url"] = pa.array(out, type=pa.string())
+    base = pa.table(cols)
+    if not extra_rows:
+        return base
+    idx = pa.array([r[0] for r in extra_rows], type=pa.int64())
+    dup = batch.take(idx)
+    dcols = {name: dup.column(name) for name in dup.column_names}
+    dcols["url"] = pa.array([r[1] for r in extra_rows], type=pa.string())
+    return pa.concat_tables([base, pa.table(dcols)])
+
+
+def canonicalize_urls_batch(batch: pa.Table) -> pa.Table:
+    """pages → (url, canonical_url, changed): the crawl-frontier
+    canonicalization pass — lowercase scheme+host, strip the fragment,
+    drop tracking parameters (``utm_*``, ``fbclid``) and dangling
+    ``?``/``&``.  Every step is a string expression both engines run
+    verbatim (RE2 on both sides: Arrow ``replace_substring_regex`` and
+    DuckDB ``regexp_replace`` share the regex engine)."""
+    import pyarrow.compute as pc_
+
+    urls = batch.column("url").combine_chunks()
+    lowered = []
+    for u in urls.to_pylist():
+        j = u.find("://")
+        k = u.find("/", j + 3)
+        origin = u if k < 0 else u[:k]
+        rest = "" if k < 0 else u[k:]
+        lowered.append(origin.lower() + rest)
+    v = pa.array(lowered, type=pa.string())
+    v = pc_.replace_substring_regex(v, pattern="#.*$", replacement="")
+    v = pc_.replace_substring_regex(
+        v, pattern=URL_TRACKING_RE, replacement=""
+    )
+    v = pc_.replace_substring_regex(
+        v, pattern=URL_TRAIL_RE, replacement=""
+    )
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    return pa.table(
+        {
+            "url": urls,
+            "canonical_url": v,
+            "changed": pc_.not_equal(urls, v),
+        }
+    )
+
+
+def canonical_urls(pages):
+    """Stateless streaming canonicalization over the (noise-injected)
+    pages table."""
+    return pages.select_columns(["url"]).map_batches(
+        inject_url_noise_batch, batch_format="pyarrow"
+    ).map_batches(canonicalize_urls_batch, batch_format="pyarrow")
+
+
+def url_dedup(pages, num_partitions: int | None = None):
+    """Keep ONE page per canonical URL form (smallest raw url wins) —
+    exact crawl-frontier dedup over the canonicalized key, reusing the
+    shared :func:`..functions.dedup.first_occurrence` machinery (digest
+    exchange + per-partition sort, collision-safe)."""
+    from .dedup import first_occurrence
+
+    canon = canonical_urls(pages)
+    kept = first_occurrence(
+        canon, "canonical_url", ["url"], num_partitions=num_partitions
+    )
+    return kept.select_columns(["url", "canonical_url"])
+
+
+def _sql_url_noise(url_expr: str, hash64_sql: str) -> str:
+    """The injection replayed as one SQL expression chain."""
+    h = f"({hash64_sql} & {_URL_MASK})"
+    cased = f"""(CASE WHEN {h} % 7 = 0
+        THEN upper(regexp_extract({url_expr}, '^[^:]+://[^/]*'))
+             || substr({url_expr},
+                       length(regexp_extract({url_expr},
+                                             '^[^:]+://[^/]*')) + 1)
+        ELSE {url_expr} END)"""
+    with_params = f"""({cased} || CASE WHEN {h} % 3 = 0
+        THEN '?utm_source=feed&utm_medium=rss' ELSE '' END)"""
+    return f"""({with_params} || CASE WHEN {h} % 5 = 0
+        THEN '#section-2' ELSE '' END)"""
+
+
+def _sql_canonicalize(u: str) -> str:
+    low = (
+        f"(lower(regexp_extract({u}, '^[^:]+://[^/]*'))"
+        f" || substr({u}, length(regexp_extract({u}, '^[^:]+://[^/]*')) + 1))"
+    )
+    nofrag = f"regexp_replace({low}, '#.*$', '')"
+    notrack = f"regexp_replace({nofrag}, '{URL_TRACKING_RE}', '', 'g')"
+    return f"regexp_replace({notrack}, '{URL_TRAIL_RE}', '')"
+
+
+def sql_canonical_urls(corpus_glob: str, hash64_sql_fn) -> str:
+    """DuckDB twin of :func:`canonical_urls` (injection + rules)."""
+    noisy = _sql_url_noise("p.url", hash64_sql_fn("p.url"))
+    return f"""
+        WITH pg AS (
+          SELECT {noisy} AS url
+          FROM read_parquet('{corpus_glob}') p
+          UNION ALL
+          SELECT {noisy} || '&utm_term=dup'
+          FROM read_parquet('{corpus_glob}') p
+          WHERE ({hash64_sql_fn('p.url')} & {_URL_MASK}) % 3 = 0)
+        SELECT url, {_sql_canonicalize('url')} AS canonical_url,
+               (url != {_sql_canonicalize('url')}) AS changed
+        FROM pg
+    """
+
+
+def sql_url_dedup(corpus_glob: str, hash64_sql_fn) -> str:
+    """DuckDB twin of :func:`url_dedup` (row_number keep-first)."""
+    inner = sql_canonical_urls(corpus_glob, hash64_sql_fn)
+    return f"""
+        SELECT url, canonical_url FROM (
+          SELECT url, canonical_url,
+                 row_number() OVER (PARTITION BY canonical_url
+                                    ORDER BY url ASC) AS rk
+          FROM ({inner}))
+        WHERE rk = 1
+    """

@@ -365,3 +365,62 @@ def test_section_graph_contracts_counts(ray_session) -> None:
     assert got[("b", "t")] == 2
     assert got[("a", "z")] == 1
     assert sum(got.values()) == 5
+
+
+def test_canonicalize_urls_rules() -> None:
+    import pyarrow as pa
+
+    from promptner_ray.functions.urls import canonicalize_urls_batch
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "HTTPS://SYNTH.TEST/a?utm_source=x&keep=1#frag",
+                    "https://synth.test/b?utm_medium=y",
+                    "https://synth.test/c?keep=1&fbclid=zz",
+                    "https://synth.test/plain",
+                ]
+            )
+        }
+    )
+    out = canonicalize_urls_batch(t).to_pydict()
+    assert out["canonical_url"] == [
+        "https://synth.test/a?keep=1",
+        "https://synth.test/b",
+        "https://synth.test/c?keep=1",
+        "https://synth.test/plain",
+    ]
+    assert out["changed"] == [True, True, True, False]
+
+
+def test_url_noise_injection_creates_canonical_dups(ray_session) -> None:
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.functions.urls import canonical_urls, url_dedup
+
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    [f"https://synth.test/p/doc{i:04d}" for i in range(60)]
+                )
+            }
+        )
+    )
+    canon = canonical_urls(pages).to_pandas()
+    # the h%3 pages emit a second noisy variant → more rows than pages
+    assert len(canon) > 60
+    # every injected variant canonicalizes back to its clean url
+    assert set(canon["canonical_url"]) == {
+        f"https://synth.test/p/doc{i:04d}" for i in range(60)
+    }
+    kept = url_dedup(pages).to_pandas()
+    assert len(kept) == 60
+    assert sorted(kept["canonical_url"]) == sorted(
+        set(canon["canonical_url"])
+    )
+    # keep-first: the kept raw url is the smallest for its canonical
+    m = canon.groupby("canonical_url")["url"].min()
+    assert all(m[c] == u for u, c in zip(kept["url"], kept["canonical_url"]))
