@@ -1163,7 +1163,12 @@ def _ivfadc_sql(centroids_path: str) -> str:
     dim = 64
     sub = dim // PQ_M
     cb = f"/tmp/promptner_pq/{_ORACLE_SF_NAME}/codebooks.parquet"
-    lutp = f"/tmp/promptner_adc/{_ORACLE_SF_NAME}/lut.parquet"
+    from promptner_ray.functions.similarity import adc_export_name
+
+    lutp = (
+        f"/tmp/promptner_adc/{_ORACLE_SF_NAME}/"
+        f"{adc_export_name(KNN_QUERIES)}"
+    )
     codes = ",\n          ".join(
         f"""(SELECT c.code FROM read_parquet('{cb}') c
              WHERE c.sub = {s}

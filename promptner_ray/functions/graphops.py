@@ -3663,9 +3663,15 @@ def betweenness(
     (src, node)-keyed σ Sum, one composite-key left-outer anti against
     the visited set; the backward pass replays the levels in reverse
     with one successor join + one fixed-point Sum each.  Driver state
-    is one scalar per level.  σ and δ products run in arbitrary-
-    precision Python ints inside the combiner and are asserted to fit
-    int64 on emission — overflow is loud, never silent wraparound.
+    is one scalar per level.  Overflow discipline: δ products run in
+    arbitrary-precision Python ints inside the per-batch combiner and
+    raise if a partial leaves int64; every CROSS-PARTITION σ/δ/bc
+    reduction runs through ``hash_grouped(..., checked=True)``, which
+    widens the sum to decimal128 and safe-casts back — so a group total
+    outside int64 raises ``ArrowInvalid`` instead of wrapping (Arrow's
+    plain int64 sum kernel wraps silently).  At web scale σ grows
+    exponentially with depth × degree; when this trips, lower
+    ``max_depth`` or rescale ``BC_SCALE``.
     """
     import ray
     import ray.data
@@ -3736,12 +3742,14 @@ def betweenness(
         def fwd_partial(t: pa.Table) -> pa.Table:
             if len(t) == 0 or "dst" not in t.column_names:
                 return lvl_schema.empty_table()
+            # decimal128 partial sum + safe int64 downcast: a per-batch σ
+            # partial that leaves int64 raises instead of wrapping
             out = (
                 pa.table(
                     {
                         "s": t.column("s"),
                         "node": t.column("dst"),
-                        "sigma": t.column("sigma"),
+                        "sigma": t.column("sigma").cast(pa.decimal128(38, 0)),
                     }
                 )
                 .group_by(["s", "node"])
@@ -3751,7 +3759,7 @@ def betweenness(
                 {
                     "s": out.column("s"),
                     "node": out.column("node"),
-                    "sigma": out.column("sigma_sum"),
+                    "sigma": out.column("sigma_sum").cast(pa.int64()),
                 }
             )
 
@@ -3762,6 +3770,7 @@ def betweenness(
             rename={"sigma_sum": "sigma"},
             hash_cols=["node"],
             num_partitions=num_partitions,
+            checked=True,
         )
         judged = local_hash_join(
             cand,
@@ -3921,7 +3930,12 @@ def betweenness(
                 k = (s, node)
                 acc[k] = acc.get(k, 0) + c
             for v in acc.values():
-                assert -(1 << 63) <= v < (1 << 63), "δ fixed-point overflow"
+                # explicit raise (not assert — asserts vanish under -O)
+                if not (-(1 << 63) <= v < (1 << 63)):
+                    raise OverflowError(
+                        "betweenness δ fixed-point partial exceeds int64; "
+                        "lower max_depth or BC_SCALE"
+                    )
             ks = list(acc)
             return pa.table(
                 {
@@ -3940,6 +3954,7 @@ def betweenness(
             rename={"fp_sum": "fp"},
             hash_cols=["node"],
             num_partitions=num_partitions,
+            checked=True,
         )
         merged = local_hash_join(
             levels[d],
@@ -3992,6 +4007,7 @@ def betweenness(
         [("fp", "sum")],
         rename={"fp_sum": "bc_fp"},
         num_partitions=num_partitions,
+        checked=True,
     )
 
     def out_batch(t: pa.Table) -> pa.Table:

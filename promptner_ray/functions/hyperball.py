@@ -575,9 +575,12 @@ def sql_effective_diameter(
         f"f{h} AS MATERIALIZED (SELECT * FROM {_sql_est(f'g{h}', 'est')})"
         for h in range(iters + 1)
     )
+    # cast each floor to BIGINT BEFORE the sum (mirroring the engine's
+    # quantize-then-sum int64 reduce): summing DOUBLEs first loses
+    # integer exactness once the partial sum passes 2^53
     nf_rows = "\n          UNION ALL ".join(
         f"SELECT {h}::BIGINT AS h, "
-        f"sum(floor(est * {DIAM_FP!r}))::BIGINT AS fp FROM f{h}"
+        f"sum(floor(est * {DIAM_FP!r})::BIGINT)::BIGINT AS fp FROM f{h}"
         for h in range(iters + 1)
     )
     return f"""

@@ -457,7 +457,10 @@ def cooc_pmi(
     combiner pattern) before ONE digest-keyed exchange; unigram counts
     arrive via the existing word-count exchange and join onto the pair
     table through two padded int64 joins (vocabulary-sized, never
-    broadcast); N and P are two driver scalars.  The float is one fixed
+    broadcast) — each join carries the vocabulary word and rechecks it
+    against word_a/word_b post-join, so an 8-byte digest collision
+    cannot attach the wrong unigram count (collision-safe like
+    ``dedup.first_occurrence``); N and P are two driver scalars.  The float is one fixed
     mul/div chain + libm ``ln`` per distinct count triple — bit-exact
     vs the SQL twin.  ``min_count`` gates AFTER the global sum (exact),
     bounding output the way production collocation tables do."""
@@ -485,7 +488,7 @@ def cooc_pmi(
         docs, n=1, num_partitions=num_partitions
     ).materialize()
 
-    def keyed(col_key: str, col_n: str):
+    def keyed(col_key: str, col_n: str, col_gram: str):
         def fn(t: pa.Table) -> pa.Table:
             grams = t.column("gram").to_pylist()
             keys = [
@@ -502,8 +505,26 @@ def cooc_pmi(
                 {
                     col_key: pa.array(keys, type=pa.int64()),
                     col_n: t.column("n"),
+                    # the word itself rides along so the join can recheck
+                    # equality — a digest collision must not attach a
+                    # colliding word's count (value-regroup discipline,
+                    # same as dedup.first_occurrence)
+                    col_gram: t.column("gram"),
                 }
             )
+
+        return fn
+
+    def recheck(word_col: str, gram_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            if len(t) == 0 or word_col not in t.column_names:
+                return t
+            kept = t.filter(
+                pc_.equal(t.column(word_col), t.column(gram_col))
+            )
+            return kept.drop_columns([gram_col])
 
         return fn
 
@@ -520,22 +541,38 @@ def cooc_pmi(
     )
     j1 = local_hash_join(
         pairs,
-        vocab.map_batches(keyed("a_key", "n_a"), batch_format="pyarrow"),
+        vocab.map_batches(
+            keyed("a_key", "n_a", "gram_a"), batch_format="pyarrow"
+        ),
         on=["a_key"],
         left_schema=pair_schema,
-        right_schema=pa.schema([("a_key", pa.int64()), ("n_a", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                ("a_key", pa.int64()),
+                ("n_a", pa.int64()),
+                ("gram_a", pa.string()),
+            ]
+        ),
         how="inner",
         num_partitions=num_partitions,
-    )
+    ).map_batches(recheck("word_a", "gram_a"), batch_format="pyarrow")
     j2 = local_hash_join(
         j1,
-        vocab.map_batches(keyed("b_key", "n_b"), batch_format="pyarrow"),
+        vocab.map_batches(
+            keyed("b_key", "n_b", "gram_b"), batch_format="pyarrow"
+        ),
         on=["b_key"],
         left_schema=pair_schema.append(pa.field("n_a", pa.int64())),
-        right_schema=pa.schema([("b_key", pa.int64()), ("n_b", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                ("b_key", pa.int64()),
+                ("n_b", pa.int64()),
+                ("gram_b", pa.string()),
+            ]
+        ),
         how="inner",
         num_partitions=num_partitions,
-    )
+    ).map_batches(recheck("word_b", "gram_b"), batch_format="pyarrow")
 
     def score(t: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -1051,6 +1051,19 @@ ADC_EXPORT_ROOT = "/tmp/promptner_adc"
 _ADC_CACHE: dict = {}
 
 
+def adc_export_name(n_queries: int) -> str:
+    """Filename of the exported ADC LUT.  Carries ``n_queries`` so a
+    later call with a different query count writes its OWN file instead
+    of overwriting the one an earlier caller's SQL twin still reads
+    (the in-process cache is keyed by (sf_dir, n_queries); the export
+    must discriminate the same way).  The directory is keyed by the sf
+    dir's basename — deliberately NOT a full-path digest, because the
+    oracle harness rewrites the sf token (``sf0.01`` → ``sf0.001``)
+    inside SQL path strings; two same-named sf dirs in different parents
+    would still collide, an accepted residual in this sandbox."""
+    return f"lut_q{n_queries}.parquet"
+
+
 def ensure_adc_export(
     sf_dir: str, n_queries: int = 10
 ) -> tuple[str, np.ndarray]:
@@ -1069,7 +1082,7 @@ def ensure_adc_export(
     key = (sf_dir, n_queries)
     hit = _ADC_CACHE.get(key)
     out_dir = pathlib.Path(ADC_EXPORT_ROOT) / pathlib.Path(sf_dir).name
-    out = out_dir / "lut.parquet"
+    out = out_dir / adc_export_name(n_queries)
     if hit is not None and out.exists():
         return str(out), hit
     qids, qmat = load_query_matrix(sf_dir, n_queries)
@@ -1093,7 +1106,7 @@ def ensure_adc_export(
         }
     )
     out_dir.mkdir(parents=True, exist_ok=True)
-    tmp = out_dir / "lut.parquet.tmp"
+    tmp = out_dir / (adc_export_name(n_queries) + ".tmp")
     pq_.write_table(tbl, tmp)
     tmp.rename(out)
     _ADC_CACHE[key] = lut

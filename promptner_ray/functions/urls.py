@@ -940,7 +940,16 @@ def sql_anchor_link(corpus_glob: str) -> str:
 # URL canonicalization + canonical-form dedup (crawl-frontier primitive)
 # ---------------------------------------------------------------------------
 
-URL_TRACKING_RE = r"(utm_[a-z]+|fbclid)=[^&#]*&?"
+# Two anchored passes (both RE2, shared verbatim by Arrow and DuckDB):
+# the parameter NAME is anchored at its separator, so a legitimate
+# parameter that merely contains the substring (?xutm_source=1,
+# ?myfbclid=2) is left intact — an unanchored (utm_...|fbclid)= would
+# strip its tail and leave a dangling '?x'.  Pass 1 drops non-first
+# trackers with their leading '&'; pass 2 drops a first-position
+# tracker (and the '&' promoting the next param); URL_TRAIL_RE then
+# sweeps any dangling '?'/'&'.
+URL_TRACKING_MID_RE = r"&(utm_[a-z]+|fbclid)=[^&#]*"
+URL_TRACKING_FIRST_RE = r"\?(utm_[a-z]+|fbclid)=[^&#]*&?"
 URL_TRAIL_RE = r"[?&]+$"
 _URL_MASK = (1 << 63) - 1
 
@@ -1013,7 +1022,10 @@ def canonicalize_urls_batch(batch: pa.Table) -> pa.Table:
     v = pa.array(lowered, type=pa.string())
     v = pc_.replace_substring_regex(v, pattern="#.*$", replacement="")
     v = pc_.replace_substring_regex(
-        v, pattern=URL_TRACKING_RE, replacement=""
+        v, pattern=URL_TRACKING_MID_RE, replacement=""
+    )
+    v = pc_.replace_substring_regex(
+        v, pattern=URL_TRACKING_FIRST_RE, replacement="?"
     )
     v = pc_.replace_substring_regex(
         v, pattern=URL_TRAIL_RE, replacement=""
@@ -1072,8 +1084,11 @@ def _sql_canonicalize(u: str) -> str:
         f" || substr({u}, length(regexp_extract({u}, '^[^:]+://[^/]*')) + 1))"
     )
     nofrag = f"regexp_replace({low}, '#.*$', '')"
-    notrack = f"regexp_replace({nofrag}, '{URL_TRACKING_RE}', '', 'g')"
-    return f"regexp_replace({notrack}, '{URL_TRAIL_RE}', '')"
+    nomid = f"regexp_replace({nofrag}, '{URL_TRACKING_MID_RE}', '', 'g')"
+    nofirst = (
+        f"regexp_replace({nomid}, '{URL_TRACKING_FIRST_RE}', '?', 'g')"
+    )
+    return f"regexp_replace({nofirst}, '{URL_TRAIL_RE}', '')"
 
 
 def sql_canonical_urls(corpus_glob: str, hash64_sql_fn) -> str:

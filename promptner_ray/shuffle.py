@@ -215,6 +215,7 @@ def hash_grouped(
     rename: dict[str, str] | None = None,
     hash_cols: list[str] | None = None,
     num_partitions: int | None = None,
+    checked: bool = False,
 ):
     """Group ``ds`` by ``keys`` applying Arrow aggregate specs ``aggs``.
 
@@ -224,10 +225,30 @@ def hash_grouped(
     ``hash_cols`` (default: ``keys``) are the numeric columns mixed into
     the partition id — they must be a function of the group key (a
     subset, or a precomputed int64 digest of a string key).
+
+    ``checked=True`` makes int64 ``sum`` aggregates OVERFLOW-LOUD: the
+    summed column is widened to ``decimal128(38, 0)`` before the group
+    aggregate (Arrow's int64 sum kernel wraps silently) and the result
+    safe-cast back to int64, which raises ``ArrowInvalid`` the moment a
+    group total leaves the int64 range instead of wrapping.  Used by the
+    fixed-point graph reductions (betweenness σ/δ) whose counts can grow
+    exponentially with depth × degree.
     """
     rename = rename or {}
+    checked_cols = (
+        {col for col, fn in aggs if fn == "sum" and isinstance(col, str)}
+        if checked
+        else set()
+    )
 
     def combine(group: pa.Table) -> pa.Table:
+        for c in checked_cols:
+            if pa.types.is_integer(group.schema.field(c).type):
+                group = group.set_column(
+                    group.column_names.index(c),
+                    c,
+                    group.column(c).cast(pa.decimal128(38, 0)),
+                )
         out = group.group_by(keys).aggregate(aggs)
         cols = {k: out.column(k) for k in keys}
         for col, fn in aggs:
@@ -236,6 +257,9 @@ def hash_grouped(
             target = rename.get(arrow_name, arrow_name)
             arr = out.column(arrow_name)
             if fn in ("count", "count_all"):
+                arr = arr.cast(pa.int64())
+            elif col in checked_cols and pa.types.is_decimal(arr.type):
+                # safe cast: ArrowInvalid on any group sum outside int64
                 arr = arr.cast(pa.int64())
             cols[target] = arr
         return pa.table(cols)
