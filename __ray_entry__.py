@@ -864,6 +864,53 @@ def _kg_export(sf_dir: str) -> str:
     return str(ensure_kg_export(sf_dir))
 
 
+REF_TRIPLES_ROOT = "/tmp/promptner_ref_triples"
+
+
+def ensure_ref_triples_export(sf_dir: str) -> str:
+    """Export the single-process oracle's triple MULTISET counts —
+    (url, sent_id, subj, pred, obj, n_ref) — as plain parquet, so the
+    ``kg_eval`` SQL twin can replay the P/R/F1 arithmetic against the
+    SQL-rederived predicted triples.  Deterministic (seed-42 replay of
+    the same corpus the engine reads); same export discipline as the
+    centroid/LUT exports: one canonical table both engines consume."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    name = pathlib.Path(sf_dir).name
+    out_dir = pathlib.Path(REF_TRIPLES_ROOT) / name
+    out = out_dir / "triples.parquet"
+    if out.exists():
+        return str(out)
+    from collections import Counter
+
+    from promptner_ray.pipelines.oracle import oracle_run
+
+    n_docs = _CORPUS_DOCS.get(name, _DEFAULT_DOCS)
+    ref = oracle_run(n_docs, seed=42, sf_dir=sf_dir)
+    counts = Counter(tuple(t) for t in ref["triples"])
+    keys = list(counts)
+    tbl = pa.table(
+        {
+            "url": pa.array([k[0] for k in keys], type=pa.string()),
+            "sent_id": pa.array([k[1] for k in keys], type=pa.int32()),
+            "subj": pa.array([k[2] for k in keys], type=pa.string()),
+            "pred": pa.array([k[3] for k in keys], type=pa.string()),
+            "obj": pa.array([k[4] for k in keys], type=pa.string()),
+            "n_ref": pa.array(
+                [counts[k] for k in keys], type=pa.int64()
+            ),
+        }
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tmp = out_dir / "triples.parquet.tmp"
+    pq_.write_table(tbl, tmp)
+    tmp.rename(out)
+    return str(out)
+
+
 def _kg_eval(sf_dir: str):
     """Triple P/R of the Ray pipeline vs the single-process oracle —
     computed DISTRIBUTED (multiset P/R, same arithmetic as
@@ -884,6 +931,11 @@ def _kg_eval(sf_dir: str):
     from promptner_ray.kernels.cleaning import surface_hash64
     from promptner_ray.pipelines.oracle import oracle_run
     from promptner_ray.shuffle import hash_grouped, local_hash_join
+
+    # the SQL twin replays P/R/F1 over this export + the SQL-rederived
+    # predicted triples; exporting here (cached) guarantees it exists
+    # whichever side the comparison harness runs first
+    ensure_ref_triples_export(sf_dir)
 
     sep = "\x1f"
 
@@ -1488,10 +1540,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # word co-occurrence PMI within a ±2 token window — the
         # word2vec/GloVe association statistic (SGNS ≈ shifted PMI)
         "doc_cooc_pmi": lambda sf: ngrams.cooc_pmi(_docs(sf)),
-        # full distributed BPE TRAINING loop (iterative,
-        # driver-coordinated merge list → rows-only driver check; the
-        # single-process reference equality lives in tests, and round
-        # 1's pair table is oracled via doc_bpe_pairs)
+        # full distributed BPE TRAINING loop — the merge-rule table is
+        # hash-checked against an unrolled recursive-CTE SQL replay of
+        # all 8 training rounds (sql_bpe_merges); the single-process
+        # reference equality ALSO lives in tests, and round 1's pair
+        # table is separately oracled via doc_bpe_pairs
         "doc_bpe_merges": lambda sf: ngrams.bpe_merges(_docs(sf)),
         # RAG retrieval-corpus chunking: overlapping 64-token windows
         "doc_chunks": lambda sf: _docs(sf).map_batches(
@@ -1758,8 +1811,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same ranks on the BSP actor-pool plan (graphbsp.py): the
         # iterative-analytics scale path, checked by the same oracle
         "kg_pagerank_bsp": _kg_pagerank_bsp,
-        # rows-only: scalar metric summaries whose gate is the in-repo
-        # single-process oracle (tests/test_pipeline_e2e.py)
+        # P/R/F1 vs the single-process oracle — hash-checked against a
+        # SQL replay (predicted side re-derived by the kg_triples SQL,
+        # reference side from the deterministic ref-triples export)
         "kg_eval": _kg_eval,
         "kg_eval_f1": _kg_eval_f1,
         "kg_typed_mentions": _kg_typed_mentions,
@@ -3276,6 +3330,12 @@ def _bpe_pairs_sql() -> str:
     return sql_bpe_pairs()
 
 
+def _bpe_merges_sql() -> str:
+    from promptner_ray.functions.ngrams import BPE_N_MERGES, sql_bpe_merges
+
+    return sql_bpe_merges(BPE_N_MERGES)
+
+
 def _cooc_pmi_sql() -> str:
     from promptner_ray.functions.ngrams import sql_cooc_pmi
 
@@ -3427,6 +3487,7 @@ def oracle_sql() -> dict[str, str]:
 
     ensure_centroid_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     ensure_plane_export(f"/root/testdata/{_ORACLE_SF_NAME}")
+    ensure_ref_triples_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     ensure_pq_export(f"/root/testdata/{_ORACLE_SF_NAME}")
     from promptner_ray.functions.similarity import ensure_adc_export
 
@@ -3681,6 +3742,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w
         """,
         "doc_bpe_pairs": _bpe_pairs_sql(),
+        # the full training loop, unrolled: 8 × (pair census →
+        # (n DESC, a, b) argmax → recursive-CTE greedy merge rewrite)
+        "doc_bpe_merges": _bpe_merges_sql(),
         "doc_cooc_pmi": _cooc_pmi_sql(),
         "doc_chunks": _chunks_sql(),
         # deterministic global training-shuffle order: dense zero-based
@@ -4793,6 +4857,41 @@ def oracle_sql() -> dict[str, str]:
     # counterparts (integer min / vote folds commute — pinned by
     # tests/test_graphbsp.py), so one oracle covers both plans, the same
     # pattern as kg_pagerank_bsp / kg_reachability_bsp above.
+    # kg_eval: the P/R/F1 arithmetic replayed in SQL — predicted side =
+    # the kg_triples SQL replay (full independent re-derivation from the
+    # detected export), reference side = the exported single-process
+    # oracle counts; multiset tp = Σ min(n_pred, n_ref); identical
+    # left-to-right float expressions (2·p·r/(p+r)).
+    _refp = f"{REF_TRIPLES_ROOT}/{_ORACLE_SF_NAME}/triples.parquet"
+    out["kg_eval"] = f"""
+        WITH predt AS MATERIALIZED ({out["kg_triples"]}),
+        pc AS (
+          SELECT url, sent_id, subj, pred, obj,
+                 count(*)::BIGINT AS n_pred
+          FROM predt GROUP BY url, sent_id, subj, pred, obj),
+        rc AS (SELECT url, sent_id, subj, pred, obj, n_ref
+               FROM read_parquet('{_refp}')),
+        tpv AS (
+          SELECT COALESCE(sum(least(p.n_pred, r.n_ref)), 0)::BIGINT AS tp
+          FROM pc p JOIN rc r
+            ON p.url = r.url AND p.sent_id = r.sent_id
+           AND p.subj = r.subj AND p.pred = r.pred AND p.obj = r.obj),
+        tot AS (
+          SELECT (SELECT COALESCE(sum(n_pred), 0)::BIGINT FROM pc) AS np,
+                 (SELECT COALESCE(sum(n_ref), 0)::BIGINT FROM rc) AS nr),
+        pr AS (
+          SELECT CASE WHEN tot.np > 0
+                      THEN tpv.tp::DOUBLE / tot.np ELSE 0.0 END AS p,
+                 CASE WHEN tot.nr > 0
+                      THEN tpv.tp::DOUBLE / tot.nr ELSE 0.0 END AS r,
+                 tot.np AS np
+          FROM tpv, tot)
+        SELECT p AS precision, r AS recall,
+               CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                    ELSE 0.0 END AS f1,
+               np AS n_triples
+        FROM pr
+    """
     out["dedup_components_bsp"] = out["dedup_components"]
     out["kg_communities_bsp"] = out["kg_communities"]
     out["kg_random_walks_bsp"] = out["kg_random_walks"]

@@ -1784,12 +1784,16 @@ class _HyperBallShard:
     and the edges with ``h(obj) == part`` — the ball recurrence
     ``ball(v) ∪= ball(u)`` for every edge (v, u) reads the LOCAL sketch
     at the edge's object end and messages the subject end, i.e. exactly
-    :class:`_HITSShard`'s reverse direction, with a 16-wide int64
-    register payload and element-wise max as the combiner."""
+    :class:`_HITSShard`'s reverse direction, with an m-wide int64
+    register payload (m = 2^p, the HyperBall precision knob — the
+    message format parameterizes with it) and element-wise max as the
+    combiner."""
 
-    def __init__(self, part: int, n_parts: int):
+    def __init__(self, part: int, n_parts: int, p_hb: int = 4):
         self.part = part
         self.n_parts = n_parts
+        self.p_hb = p_hb
+        self.m_hb = 1 << p_hb
 
     def load(self, node_refs, edge_refs) -> int:
         import ray
@@ -1808,7 +1812,8 @@ class _HyperBallShard:
         else:
             self.ids = np.empty(0, dtype=np.int64)
         init = _init_registers(
-            pa.table({"entity_id": pa.array(self.ids, type=pa.int64())})
+            pa.table({"entity_id": pa.array(self.ids, type=pa.int64())}),
+            p=self.p_hb,
         )
         self.init_regs = np.stack(
             [
@@ -1817,7 +1822,7 @@ class _HyperBallShard:
             ],
             axis=1,
         ).astype(np.int64) if len(self.ids) else np.empty(
-            (0, 16), dtype=np.int64
+            (0, self.m_hb), dtype=np.int64
         )
         self.regs = self.init_regs.copy()
 
@@ -1897,7 +1902,10 @@ class _HyperBallShard:
         n_edges = len(self.dst_idx)
         if not len(self.starts):
             return [
-                (np.empty(0, dtype=np.int64), np.empty((0, 16), np.int64))
+                (
+                    np.empty(0, dtype=np.int64),
+                    np.empty((0, self.m_hb), np.int64),
+                )
                 for _ in range(self.n_parts)
             ]
         lengths = np.diff(np.r_[self.starts, n_edges])
@@ -1914,7 +1922,7 @@ class _HyperBallShard:
                 self.regs[self.dst_idx[edge_sel]], sub_starts, axis=0
             )
             if len(act_lengths)
-            else np.empty((0, 16), dtype=np.int64)
+            else np.empty((0, self.m_hb), dtype=np.int64)
         )
         run_idx = np.flatnonzero(run_active).astype(np.int64)
         jb = self.jbounds
@@ -1981,7 +1989,7 @@ class _HyperBallShard:
         self.e_prev = e
 
     def result(self) -> pa.Table:
-        from .hyperball import REG_COLS, _estimate_batch
+        from .hyperball import _estimate_batch, reg_cols
 
         if self.harmonic:
             return pa.table(
@@ -1995,32 +2003,47 @@ class _HyperBallShard:
                 "entity_id": pa.array(self.ids, type=pa.int64()),
                 **{
                     c: pa.array(self.regs[:, j])
-                    for j, c in enumerate(REG_COLS)
+                    for j, c in enumerate(reg_cols(self.p_hb))
                 },
             }
         )
         return _estimate_batch(regs_tbl)
 
 
-def hyperball_bsp(edges, iters: int = 4, num_partitions: int | None = None):
+def hyperball_bsp(
+    edges,
+    iters: int = 4,
+    num_partitions: int | None = None,
+    p: int = 4,
+):
     """edges(subj_id, obj_id, …) → (entity_id, ball_est): bit-identical
-    to :func:`hyperball.hyperball` (element-wise register max commutes;
-    the estimate expression is literally shared), computed on a BSP
-    actor pool — the scale path: per round one scatter/gather wave of
-    combined 16-wide register messages over static shards (systolic:
-    only counters that changed last round travel, and the loop exits at
-    the fixed point), against the dataflow plan's per-round join +
-    16-column grouped-Max exchanges."""
-    return _hyperball_bsp_impl(edges, iters, num_partitions, "out", False)
+    to :func:`hyperball.hyperball` at the same precision ``p``
+    (element-wise register max commutes; the estimate expression is
+    literally shared), computed on a BSP actor pool — the scale path:
+    per round one scatter/gather wave of combined m-wide register
+    messages (m = 2^p) over static shards (systolic: only counters that
+    changed last round travel, and the loop exits at the fixed point),
+    against the dataflow plan's per-round join + m-column grouped-Max
+    exchanges."""
+    return _hyperball_bsp_impl(
+        edges, iters, num_partitions, "out", False, p_hb=p
+    )
 
 
-def harmonic_bsp(edges, iters: int = 4, num_partitions: int | None = None):
+def harmonic_bsp(
+    edges,
+    iters: int = 4,
+    num_partitions: int | None = None,
+    p: int = 4,
+):
     """edges(subj_id, obj_id, …) → (entity_id, harmonic): bit-identical
     to :func:`hyperball.harmonic_centrality` — the "in"-direction
     systolic rounds with the per-round ball-growth term folded into a
     per-shard accumulator (same fixed float op order), so the dataflow
     twin's end-of-run estimate-join chain disappears entirely."""
-    return _hyperball_bsp_impl(edges, iters, num_partitions, "in", True)
+    return _hyperball_bsp_impl(
+        edges, iters, num_partitions, "in", True, p_hb=p
+    )
 
 
 def _hyperball_bsp_impl(
@@ -2029,6 +2052,7 @@ def _hyperball_bsp_impl(
     num_partitions: int | None,
     direction: str,
     harmonic: bool,
+    p_hb: int = 4,
 ):
     import ray
 
@@ -2081,7 +2105,7 @@ def _hyperball_bsp_impl(
         0.01, min(1.0, int((total_cpus - 1) * 100 / n_parts) / 100)
     )
     Shard = ray.remote(num_cpus=cpus_per_actor)(_HyperBallShard)
-    actors = [Shard.remote(p, n_parts) for p in range(n_parts)]
+    actors = [Shard.remote(p, n_parts, p_hb) for p in range(n_parts)]
     try:
         ray.get(
             [

@@ -4,9 +4,13 @@ Centralities with HyperBall") — the standard web-graph tool behind
 "what is the effective diameter / how big is each page's h-hop ball"
 at billions of nodes, where exact per-node reachability is hopeless.
 
-Each node carries one tiny HyperLogLog sketch (here p = 4 → 16
-registers, the paper's low end; the per-node state is what must fit in
-memory at web scale, and accuracy is a disclosed ±~26% standard error).
+Each node carries one tiny HyperLogLog sketch.  The precision ``p`` is
+a first-class knob on every entry point (engine, BSP twin, SQL twin):
+the default p = 4 → 16 registers is the paper's in-core low end
+(±~26% standard error = 1.04/√m); a 100 TB web graph wants p = 6-8
+(±13% / ±6.5%) — per-node state and per-round message width grow as
+m = 2^p.  Accuracy is gated at p = 4 AND p ≥ 6 in
+tests/test_hyperball.py.
 ``ball(v, h) = {v} ∪ ⋃_{(v,u)∈E} ball(u, h−1)``, and because an HLL
 union is an element-wise register max, one iteration is exactly a
 grouped-Max exchange over the register vectors — the same shape as one
@@ -36,72 +40,112 @@ import math
 import numpy as np
 import pyarrow as pa
 
-P_HB = 4  # 16 registers/node: the HyperBall paper's in-core low end
+P_HB = 4  # default: 16 registers/node, the paper's in-core low end
 HB_LOCAL_EDGES = 100_000  # tail-local rounds gate (distinct edges)
 M_HB = 1 << P_HB
 _W_HB = 64 - P_HB  # 60-bit rank suffix
 _REST_MASK_HB = (1 << _W_HB) - 1
 REG_COLS = [f"r{j}" for j in range(M_HB)]
-#: α·m² for p=4 (Flajolet constant 0.673), precomputed ONCE and inlined
-#: into the SQL twin so both engines divide by the identical literal
-ALPHA_M2 = 0.673 * M_HB * M_HB
-#: linear-counting lookup: V zero registers → m·ln(m/V); index 0 unused
-_LIN_EST = np.array(
-    [0.0] + [float(M_HB) * math.log(float(M_HB) / v) for v in range(1, M_HB + 1)]
-)
+
+#: Flajolet bias constants: the three exact small-m values from the
+#: HLL paper, the asymptotic 0.7213/(1 + 1.079/m) above
+_ALPHA_SMALL = {4: 0.673, 5: 0.697, 6: 0.709}
 
 
-def _reg_schema() -> pa.Schema:
+def _alpha_m2(m: int) -> float:
+    """α·m² for ``m = 2^p`` registers — inlined as ONE float literal
+    into the SQL twin so both engines divide by the identical value."""
+    p = m.bit_length() - 1
+    a = _ALPHA_SMALL.get(p, 0.7213 / (1.0 + 1.079 / m))
+    return a * m * m
+
+
+#: α·m² for the default p=4 (backward-compatible module constant)
+ALPHA_M2 = _alpha_m2(M_HB)
+
+_LIN_CACHE: dict = {}
+
+
+def _lin_est_table(m: int) -> np.ndarray:
+    """linear-counting lookup: V zero registers → m·ln(m/V); index 0
+    unused."""
+    t = _LIN_CACHE.get(m)
+    if t is None:
+        t = np.array(
+            [0.0]
+            + [float(m) * math.log(float(m) / v) for v in range(1, m + 1)]
+        )
+        _LIN_CACHE[m] = t
+    return t
+
+
+def reg_cols(p: int = P_HB) -> list[str]:
+    """Register column names for precision ``p`` (m = 2^p columns).
+
+    ``p`` is a first-class knob: 16 registers (p=4) is the paper's
+    in-core low end at ±~26% standard error (1.04/√m); a 100 TB web
+    graph wants p=6-8 (±13% / ±6.5%) — per-node state grows linearly
+    with m, per-round exchange volume with m·(|E|+|V|)."""
+    return [f"r{j}" for j in range(1 << p)]
+
+
+def _reg_schema(p: int = P_HB) -> pa.Schema:
     return pa.schema(
-        [("entity_id", pa.int64())] + [(c, pa.int64()) for c in REG_COLS]
+        [("entity_id", pa.int64())]
+        + [(c, pa.int64()) for c in reg_cols(p)]
     )
 
 
-def _empty_regs() -> pa.Table:
+def _empty_regs(p: int = P_HB) -> pa.Table:
     return pa.table(
         {
             "entity_id": pa.array([], type=pa.int64()),
-            **{c: pa.array([], type=pa.int64()) for c in REG_COLS},
+            **{c: pa.array([], type=pa.int64()) for c in reg_cols(p)},
         }
     )
 
 
-def _init_registers(t: pa.Table) -> pa.Table:
-    """(entity_id) → entity_id + 16 register columns: the h = 0 sketch
+def _init_registers(t: pa.Table, p: int = P_HB) -> pa.Table:
+    """(entity_id) → entity_id + 2^p register columns: the h = 0 sketch
     holds exactly the node's own hash (ball(v, 0) = {v})."""
     if t.num_rows == 0 or "entity_id" not in t.column_names:
-        return _empty_regs()
+        return _empty_regs(p)
+    w = 64 - p
+    rest_mask = (1 << w) - 1
     ids = t.column("entity_id").to_numpy(zero_copy_only=False).astype(
         np.int64
     )
-    regs = np.zeros((len(ids), M_HB), dtype=np.int64)
+    regs = np.zeros((len(ids), 1 << p), dtype=np.int64)
     for i, v in enumerate(ids):
         hv = int.from_bytes(
             hashlib.md5(str(int(v)).encode("utf-8")).digest()[:8], "big"
         )
-        rest = hv & _REST_MASK_HB
-        regs[i, hv >> _W_HB] = _W_HB - rest.bit_length() + 1
+        rest = hv & rest_mask
+        regs[i, hv >> w] = w - rest.bit_length() + 1
     cols = {"entity_id": pa.array(ids)}
-    for j, name in enumerate(REG_COLS):
+    for j, name in enumerate(reg_cols(p)):
         cols[name] = pa.array(regs[:, j])
     return pa.table(cols)
 
 
 def _estimate_np(ranks: np.ndarray) -> np.ndarray:
-    """(n × 16) rank matrix → bias-corrected HLL estimates, every float
-    op in an order the SQL twin replays."""
+    """(n × m) rank matrix → bias-corrected HLL estimates, every float
+    op in an order the SQL twin replays.  ``m`` (and hence p) is read
+    off the matrix width, so the BSP shards need no extra plumbing."""
+    m = ranks.shape[1]
     pw = np.power(2.0, -ranks.astype(np.float64))  # exact powers of two
     acc = pw[:, 0].copy()
-    for j in range(1, M_HB):  # fixed left-to-right order, as in the SQL
+    for j in range(1, m):  # fixed left-to-right order, as in the SQL
         acc = acc + pw[:, j]
-    raw = ALPHA_M2 / acc
+    raw = _alpha_m2(m) / acc
     zeros = (ranks == 0).sum(axis=1)
-    lin = _LIN_EST[zeros]
-    return np.where((raw <= 2.5 * M_HB) & (zeros > 0), lin, raw)
+    lin = _lin_est_table(m)[zeros]
+    return np.where((raw <= 2.5 * m) & (zeros > 0), lin, raw)
 
 
 def _estimate_batch(t: pa.Table) -> pa.Table:
-    """(entity_id, r0..r15) → (entity_id, ball_est)."""
+    """(entity_id, r0..r{m-1}) → (entity_id, ball_est); m inferred from
+    the column count."""
     if t.num_rows == 0 or "r0" not in t.column_names:
         return pa.table(
             {
@@ -109,10 +153,11 @@ def _estimate_batch(t: pa.Table) -> pa.Table:
                 "ball_est": pa.array([], type=pa.float64()),
             }
         )
+    cols = [c for c in t.column_names if c != "entity_id"]
     ranks = np.stack(
         [
             t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
-            for c in REG_COLS
+            for c in cols
         ],
         axis=1,
     )
@@ -124,19 +169,28 @@ def _estimate_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def hyperball(edges, iters: int = 4, num_partitions: int | None = None):
+def hyperball(
+    edges,
+    iters: int = 4,
+    num_partitions: int | None = None,
+    p: int = P_HB,
+):
     """edges(subj_id, obj_id, …) → (entity_id, ball_est): estimated
     number of distinct nodes within ``iters`` directed hops of each
     node (the node itself included).  See the module docstring for the
     algorithm, determinism and scale arguments.
 
+    ``p`` sets the per-node register count (m = 2^p; standard error
+    1.04/√m): p=4 is the in-core low end, p=6-8 the web-scale setting —
+    accuracy gated at both in tests/test_hyperball.py.
+
     Plan per round: one ``local_hash_join`` landing each node's sketch
-    on its in-edges, then one 16-column grouped Max folding neighbor
+    on its in-edges, then one m-column grouped Max folding neighbor
     sketches into the node's own — both exchanges sized to the data.
     """
-    return _round_tables(edges, iters, num_partitions)[-1].map_batches(
-        _estimate_batch, batch_format="pyarrow"
-    )
+    return _round_tables(edges, iters, num_partitions, p=p)[
+        -1
+    ].map_batches(_estimate_batch, batch_format="pyarrow")
 
 
 def _round_tables(
@@ -144,6 +198,7 @@ def _round_tables(
     iters: int,
     num_partitions: int | None,
     direction: str = "out",
+    p: int = P_HB,
 ):
     """The shared HyperBall loop: list of the per-round register
     Datasets ``[h=0, …, h=iters]``.  ``direction="out"`` grows balls
@@ -199,16 +254,17 @@ def _round_tables(
             recv
         ) else np.array([], dtype=np.int64)
         regs0 = _init_registers(
-            pa.table({"entity_id": pa.array(node_ids, type=pa.int64())})
+            pa.table({"entity_id": pa.array(node_ids, type=pa.int64())}),
+            p=p,
         )
         rmat = np.stack(
             [
                 regs0.column(c).to_numpy(zero_copy_only=False)
-                for c in REG_COLS
+                for c in reg_cols(p)
             ],
             axis=1,
         ).astype(np.int64) if len(node_ids) else np.zeros(
-            (0, M_HB), dtype=np.int64
+            (0, 1 << p), dtype=np.int64
         )
         ridx = np.searchsorted(node_ids, recv)
         didx = np.searchsorted(node_ids, dest)
@@ -222,7 +278,7 @@ def _round_tables(
                         ),
                         **{
                             c: pa.array(mat[:, j], type=pa.int64())
-                            for j, c in enumerate(REG_COLS)
+                            for j, c in enumerate(reg_cols(p))
                         },
                     }
                 )
@@ -256,20 +312,23 @@ def _round_tables(
         num_partitions=num_partitions,
     )
     regs = nodes.map_batches(
-        _init_registers, batch_format="pyarrow"
+        _init_registers,
+        fn_kwargs={"p": p},
+        batch_format="pyarrow",
     ).materialize()
 
-    reg_schema = _reg_schema()
-    aggs = [(c, "max") for c in REG_COLS]
-    rename = {f"{c}_max": c for c in REG_COLS}
+    cols_p = reg_cols(p)
+    reg_schema = _reg_schema(p)
+    aggs = [(c, "max") for c in cols_p]
+    rename = {f"{c}_max": c for c in cols_p}
 
     def to_subj(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "subj" not in t.column_names:
-            return _empty_regs()
+            return _empty_regs(p)
         return pa.table(
             {
                 "entity_id": t.column("subj"),
-                **{c: t.column(c) for c in REG_COLS},
+                **{c: t.column(c) for c in cols_p},
             }
         )
 
@@ -297,7 +356,10 @@ def _round_tables(
 
 
 def harmonic_centrality(
-    edges, iters: int = 4, num_partitions: int | None = None
+    edges,
+    iters: int = 4,
+    num_partitions: int | None = None,
+    p: int = P_HB,
 ):
     """edges(subj_id, obj_id, …) → (entity_id, harmonic): estimated
     harmonic centrality ``H(v) = Σ_{u≠v} 1/d(u, v)`` truncated at
@@ -315,7 +377,9 @@ def harmonic_centrality(
     """
     from ..shuffle import local_hash_join
 
-    rounds = _round_tables(edges, iters, num_partitions, direction="in")
+    rounds = _round_tables(
+        edges, iters, num_partitions, direction="in", p=p
+    )
     ests = [
         r.map_batches(_estimate_batch, batch_format="pyarrow")
         for r in rounds
@@ -372,20 +436,27 @@ def harmonic_centrality(
     return joined.map_batches(accumulate, batch_format="pyarrow")
 
 
-def _sql_round_ctes(edge_cte: str, iters: int, direction: str) -> str:
+def _sql_round_ctes(
+    edge_cte: str, iters: int, direction: str, p: int = P_HB
+) -> str:
     """The shared WITH-clause body: register init + ``iters`` unrolled
-    max-merge rounds (``g0`` … ``g{iters}``) in the given direction."""
-    reg_list = ", ".join(REG_COLS)
+    max-merge rounds (``g0`` … ``g{iters}``) in the given direction —
+    parameterized by the same precision ``p`` as the engine (m = 2^p
+    register columns, w = 64−p rank split)."""
+    m = 1 << p
+    w = 64 - p
+    rest_mask = (1 << w) - 1
+    reg_list = ", ".join(reg_cols(p))
     init_cases = ", ".join(
         f"CASE WHEN reg = {j} THEN rnk ELSE 0 END AS r{j}"
-        for j in range(M_HB)
+        for j in range(m)
     )
     read_col, emit_col = (
         ("obj_id", "subj_id") if direction == "out" else ("subj_id", "obj_id")
     )
     rounds = []
     for h in range(1, iters + 1):
-        maxes = ", ".join(f"max(r{j})::BIGINT AS r{j}" for j in range(M_HB))
+        maxes = ", ".join(f"max(r{j})::BIGINT AS r{j}" for j in range(m))
         rounds.append(
             f"""g{h} AS MATERIALIZED (
           SELECT entity_id, {maxes} FROM (
@@ -407,55 +478,58 @@ def _sql_round_ctes(edge_cte: str, iters: int, direction: str) -> str:
                    ::UBIGINT AS h
           FROM nodes),
         sr AS (
-          SELECT entity_id, (h >> {_W_HB})::BIGINT AS reg,
-                 (h & {_REST_MASK_HB}::UBIGINT) AS rest
+          SELECT entity_id, (h >> {w})::BIGINT AS reg,
+                 (h & {rest_mask}::UBIGINT) AS rest
           FROM hv),
         g0 AS MATERIALIZED (
           SELECT entity_id, {init_cases} FROM (
             SELECT entity_id, reg,
-                   CASE WHEN rest = 0 THEN {_W_HB + 1}
-                        ELSE {_W_HB + 1} - length(bin(rest)) END AS rnk
+                   CASE WHEN rest = 0 THEN {w + 1}
+                        ELSE {w + 1} - length(bin(rest)) END AS rnk
             FROM sr)),
         {rounds_sql}"""
 
 
-def _sql_est(src: str, out_col: str) -> str:
+def _sql_est(src: str, out_col: str, p: int = P_HB) -> str:
     """One round table → the estimate expression (the engine's float op
-    sequence, term for term)."""
-    pw_sum = " + ".join(f"pow(2.0, -r{j})" for j in range(M_HB))
+    sequence, term for term, at precision ``p``)."""
+    m = 1 << p
+    pw_sum = " + ".join(f"pow(2.0, -r{j})" for j in range(m))
     v_sum = " + ".join(
-        f"CASE WHEN r{j} = 0 THEN 1 ELSE 0 END" for j in range(M_HB)
+        f"CASE WHEN r{j} = 0 THEN 1 ELSE 0 END" for j in range(m)
     )
     return f"""(
           SELECT entity_id,
-                 CASE WHEN raw <= {2.5 * M_HB!r} AND v > 0
-                      THEN {float(M_HB)!r} * ln({float(M_HB)!r} / v)
+                 CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / v)
                       ELSE raw END AS {out_col}
           FROM (SELECT entity_id,
-                       {ALPHA_M2!r} / ({pw_sum}) AS raw,
+                       {_alpha_m2(m)!r} / ({pw_sum}) AS raw,
                        ({v_sum}) AS v
                 FROM {src}))"""
 
 
-def sql_hyperball(edge_cte: str, iters: int = 4) -> str:
+def sql_hyperball(edge_cte: str, iters: int = 4, p: int = P_HB) -> str:
     """DuckDB twin of :func:`hyperball`.  ``edge_cte`` must define a
     CTE named ``e2`` with DISTINCT (subj_id, obj_id) int64 columns (the
     caller's hashed edge derivation); this appends the register
     initialization and ``iters`` unrolled max-merge rounds, replaying
-    the engine's estimate expression term for term."""
+    the engine's estimate expression term for term at the same
+    precision ``p``."""
     return f"""
-        WITH {_sql_round_ctes(edge_cte, iters, "out")}
+        WITH {_sql_round_ctes(edge_cte, iters, "out", p=p)}
         SELECT entity_id, ball_est
-        FROM {_sql_est(f"g{iters}", "ball_est")} fin
+        FROM {_sql_est(f"g{iters}", "ball_est", p=p)} fin
     """
 
 
-def sql_harmonic(edge_cte: str, iters: int = 4) -> str:
+def sql_harmonic(edge_cte: str, iters: int = 4, p: int = P_HB) -> str:
     """DuckDB twin of :func:`harmonic_centrality` — the "in"-direction
     rounds, one estimate CTE per round, and the identical fixed-order
     accumulation expression."""
     fins = ",\n        ".join(
-        f"f{h} AS MATERIALIZED (SELECT * FROM {_sql_est(f'g{h}', f'e{h}')})"
+        f"f{h} AS MATERIALIZED "
+        f"(SELECT * FROM {_sql_est(f'g{h}', f'e{h}', p=p)})"
         for h in range(iters + 1)
     )
     joins = "\n        ".join(
@@ -463,7 +537,7 @@ def sql_harmonic(edge_cte: str, iters: int = 4) -> str:
     )
     acc = " + ".join(f"(e{h} - e{h - 1}) / {float(h)!r}" for h in range(1, iters + 1))
     return f"""
-        WITH {_sql_round_ctes(edge_cte, iters, "in")},
+        WITH {_sql_round_ctes(edge_cte, iters, "in", p=p)},
         {fins}
         SELECT entity_id, {acc} AS harmonic
         FROM f0
@@ -480,6 +554,7 @@ def effective_diameter(
     iters: int = 4,
     q: float = DIAM_Q,
     num_partitions: int | None = None,
+    p: int = P_HB,
 ):
     """edges → (h, nf, d_eff): the neighborhood function NF(h) = Σ_v
     |ball(v, h)| per round, plus the interpolated ``q``-effective
@@ -494,7 +569,7 @@ def effective_diameter(
     determinism move as PageRank's fixed-point mass.  Driver state is
     ``iters + 1`` scalars.  The SQL twin replays the quantized sums and
     the one interpolation expression, so every column hash-matches."""
-    rounds = _round_tables(edges, iters, num_partitions)
+    rounds = _round_tables(edges, iters, num_partitions, p=p)
 
     def fp_batch(h: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -566,13 +641,14 @@ def effective_diameter(
 
 
 def sql_effective_diameter(
-    edge_cte: str, iters: int = 4, q: float = DIAM_Q
+    edge_cte: str, iters: int = 4, q: float = DIAM_Q, p: int = P_HB
 ) -> str:
     """DuckDB twin of :func:`effective_diameter`: per-round estimate
     CTEs, the identical 2⁻¹⁶ quantized sums, and the one interpolation
     expression."""
     fins = ",\n        ".join(
-        f"f{h} AS MATERIALIZED (SELECT * FROM {_sql_est(f'g{h}', 'est')})"
+        f"f{h} AS MATERIALIZED "
+        f"(SELECT * FROM {_sql_est(f'g{h}', 'est', p=p)})"
         for h in range(iters + 1)
     )
     # cast each floor to BIGINT BEFORE the sum (mirroring the engine's
@@ -584,7 +660,7 @@ def sql_effective_diameter(
         for h in range(iters + 1)
     )
     return f"""
-        WITH {_sql_round_ctes(edge_cte, iters, "out")},
+        WITH {_sql_round_ctes(edge_cte, iters, "out", p=p)},
         {fins},
         nfs AS ({nf_rows}),
         nf2 AS (SELECT h, fp::DOUBLE / {DIAM_FP!r} AS nf FROM nfs),

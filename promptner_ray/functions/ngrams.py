@@ -351,6 +351,68 @@ def sql_bpe_pairs() -> str:
     """
 
 
+def sql_bpe_merges(n_merges: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_merges` — the full training loop
+    UNROLLED: per round r, pair counts over the current symbol tables
+    (``p{r}``), the identical (n DESC, sym_a ASC, sym_b ASC) argmax
+    (``r{r}``), and the left-to-right non-overlapping merge rewrite as a
+    RECURSIVE CTE that walks each word's symbol list exactly like
+    ``_word_symbols`` (``scan{r}`` — one state row per word per scan
+    position, accumulator list carried in the recursion).  A plain
+    string ``replace()`` replay is NOT equivalent: the separator shared
+    by consecutive matches makes replace skip the greedy scan's second
+    merge in runs like ``a a a a`` — hence the positional recursion.
+    Empty words (consecutive-space artifacts) are excluded: their symbol
+    sequence is the bare end-of-word marker, contributing zero pairs in
+    every round on both sides."""
+    parts = [
+        """wc AS (
+          SELECT w AS word, count(*)::BIGINT AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE w != '' GROUP BY w)""",
+        f"""s0 AS MATERIALIZED (
+          SELECT word, n,
+                 list_append(string_split(word, ''), '{BPE_EOW}') AS syms
+          FROM wc)""",
+    ]
+    for r in range(n_merges):
+        parts.append(f"""p{r} AS MATERIALIZED (
+          SELECT syms[i] AS sym_a, syms[i + 1] AS sym_b,
+                 sum(n)::BIGINT AS n
+          FROM (SELECT syms, n,
+                       unnest(generate_series(1, len(syms) - 1)) AS i
+                FROM s{r})
+          GROUP BY 1, 2)""")
+        parts.append(f"""r{r} AS MATERIALIZED (
+          SELECT sym_a AS a, sym_b AS b, n FROM p{r}
+          ORDER BY n DESC, sym_a ASC, sym_b ASC LIMIT 1)""")
+        if r + 1 < n_merges:
+            parts.append(f"""scan{r} AS (
+          SELECT word, n, syms, 1 AS i, []::VARCHAR[] AS acc FROM s{r}
+          UNION ALL
+          SELECT sc.word, sc.n, sc.syms,
+                 CASE WHEN sc.i < len(sc.syms) AND sc.syms[sc.i] = r.a
+                           AND sc.syms[sc.i + 1] = r.b
+                      THEN sc.i + 2 ELSE sc.i + 1 END,
+                 CASE WHEN sc.i < len(sc.syms) AND sc.syms[sc.i] = r.a
+                           AND sc.syms[sc.i + 1] = r.b
+                      THEN list_append(sc.acc, r.a || r.b)
+                      ELSE list_append(sc.acc, sc.syms[sc.i]) END
+          FROM scan{r} sc, r{r} r WHERE sc.i <= len(sc.syms))""")
+            parts.append(f"""s{r + 1} AS MATERIALIZED (
+          SELECT word, n, acc AS syms FROM scan{r}
+          WHERE i > len(syms))""")
+    out = "\n          UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS step, a AS sym_a, b AS sym_b, n FROM r{r}"
+        for r in range(n_merges)
+    )
+    return (
+        "\n        WITH RECURSIVE " + ",\n        ".join(parts)
+        + f"\n        {out}\n    "
+    )
+
+
 COOC_WINDOW = 2
 COOC_MIN_COUNT = 5
 

@@ -174,3 +174,137 @@ def test_effective_diameter_chain(ray_session) -> None:
     assert 0.0 <= d <= 3.0
     # 90% of NF(3) falls strictly inside the growth range → interpolated
     assert d > 0.0
+
+
+def _exact_balls(pairs, iters: int):
+    adj: dict[int, set] = {}
+    nodes = set()
+    for s, t in pairs:
+        adj.setdefault(s, set()).add(t)
+        nodes.add(s)
+        nodes.add(t)
+
+    def ball(v: int) -> int:
+        cur = {v}
+        for _ in range(iters):
+            cur = cur | {w for u in cur for w in adj.get(u, ())}
+        return len(cur)
+
+    return {v: ball(v) for v in nodes}
+
+
+def test_hyperball_accuracy_gate_at_p6_and_p8(ray_session) -> None:
+    """The precision knob's contract: standard error 1.04/√m.  Gate the
+    mean relative error at p=6 (m=64, ±13%) and p=8 (m=256, ±6.5%)
+    INSIDE those envelopes on a 150-node random digraph, and require
+    each step up in p to shrink the error (the whole point of the
+    knob).  Everything is hash-deterministic — no flakiness."""
+    from promptner_ray.functions.hyperball import hyperball
+
+    rng = np.random.default_rng(7)
+    pairs = sorted(
+        {(int(s), int(t)) for s, t in rng.integers(0, 150, size=(700, 2))}
+    )
+    exact = _exact_balls(pairs, 3)
+    tbl = _edges(pairs)
+    errs = {}
+    for p in (4, 6, 8):
+        got = (
+            hyperball(ray.data.from_arrow(tbl), iters=3, p=p)
+            .to_pandas()
+            .set_index("entity_id")["ball_est"]
+        )
+        rel = [
+            abs(got[v] - exact[v]) / exact[v] for v in exact if exact[v] > 0
+        ]
+        errs[p] = float(np.mean(rel))
+    assert errs[6] < 0.13, errs
+    assert errs[8] < 0.065, errs
+    assert errs[8] < errs[6] < errs[4], errs
+
+
+def test_hyperball_p6_matches_duckdb_bit_exact(ray_session) -> None:
+    """The SQL twin parameterizes with p: engine and DuckDB replay the
+    identical register split, max rounds, and estimate expression at
+    p=6, bit for bit (DOUBLE column included)."""
+    rng = np.random.default_rng(11)
+    pairs = sorted(
+        {(int(s), int(t)) for s, t in rng.integers(0, 80, size=(300, 2))}
+    )
+    tbl = _edges(pairs)
+    got = (
+        hyperball(ray.data.from_arrow(tbl), iters=3, p=6)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("edges_in", tbl)
+    want = (
+        con.execute(
+            sql_hyperball(
+                "e2 AS (SELECT subj_id, obj_id FROM edges_in)",
+                iters=3,
+                p=6,
+            )
+            + " ORDER BY entity_id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_hyperball_bsp_p6_matches_dataflow(ray_session) -> None:
+    """The BSP message format parameterizes with p: at p=6 the systolic
+    plan must be bit-identical to the dataflow twin (register max
+    commutes at any width)."""
+    from promptner_ray.functions.graphbsp import hyperball_bsp
+
+    rng = np.random.default_rng(13)
+    pairs = sorted(
+        {(int(s), int(t)) for s, t in rng.integers(0, 70, size=(260, 2))}
+    )
+    tbl = _edges(pairs)
+    want = (
+        hyperball(ray.data.from_arrow(tbl), iters=3, p=6)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        hyperball_bsp(ray.data.from_arrow(tbl), iters=3, p=6)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    assert want.equals(got)
+
+
+def test_hyperball_p6_distributed_rounds_match_local(
+    ray_session, monkeypatch
+) -> None:
+    """The tail-local gate hides the distributed rounds at test scale;
+    force them (gate → 0) and require bit-equality with the local path
+    at p=6 — the same both-paths discipline as the p=4 suite."""
+    import promptner_ray.functions.hyperball as hb
+
+    rng = np.random.default_rng(17)
+    pairs = sorted(
+        {(int(s), int(t)) for s, t in rng.integers(0, 60, size=(200, 2))}
+    )
+    tbl = _edges(pairs)
+    local = (
+        hb.hyperball(ray.data.from_arrow(tbl), iters=3, p=6)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(hb, "HB_LOCAL_EDGES", 0)
+    dist = (
+        hb.hyperball(ray.data.from_arrow(tbl), iters=3, p=6)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    assert local.equals(dist)
