@@ -864,6 +864,13 @@ def _kg_export(sf_dir: str) -> str:
     return str(ensure_kg_export(sf_dir))
 
 
+def _kg_release(sf_dir: str):
+    """Annotated node table of the composed release pipeline."""
+    from promptner_ray.pipelines.release import release_graph
+
+    return release_graph(_pages(sf_dir), _kg_cfg())["nodes"]
+
+
 REF_TRIPLES_ROOT = "/tmp/promptner_ref_triples"
 
 
@@ -1815,48 +1822,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL replay (predicted side re-derived by the kg_triples SQL,
         # reference side from the deterministic ref-triples export)
         "kg_eval": _kg_eval,
+        # the COMPOSED web-scale release pipeline: crawl dedup → extract
+        # → quality gates → content dedup → detect → schema filter →
+        # graph → PageRank+harmonic annotations, one streaming chain
+        # (pipelines/release.py; rows-only — every stage is individually
+        # oracled, the composition is pinned by tests/test_release.py)
+        "kg_release": _kg_release,
         "kg_eval_f1": _kg_eval_f1,
         "kg_typed_mentions": _kg_typed_mentions,
     }
     # The driver's correctness gate compares exactly the FIRST 50 entries of
-    # this dict against their DuckDB oracles at sf0.01.  Rounds 1-3 declared
-    # the doc_*/dedup_* block first, so the kg_*/events_*/embed_*/cc_* tail
-    # never earned a driver row (VERDICT r3 item #1).  Declare the 50 most
-    # important never-driver-green queries first; everything else (all green
-    # in prior CORRECTNESS_r*.json and mirrored by tests/test_oracle_parity)
-    # follows in the original order.  The 6 BSP twins and rows-only kg_eval
-    # are deferred: each BSP plan is bit-identical to its dataflow twin and
-    # shares its oracle in the in-repo parity suite.
+    # this dict against their DuckDB oracles at sf0.01.  Round-5 rotation
+    # (VERDICT r4 item #1): the 48 queries that have NEVER had a driver
+    # CORRECTNESS row — all round-4 additions that landed after the r4
+    # reorder, plus the deliberately-deferred BSP/_part plan twins — now
+    # occupy the window, plus the two new round-5 rows (kg_eval, newly
+    # SQL-oracled, and kg_release, the composed pipeline).  Everything
+    # displaced is green in CORRECTNESS_r0{1..4}.json and mirrored every
+    # session by tests/test_oracle_parity.py.
     first = [
-        # KG pipeline stages (failed in r01 pre-implementation, never re-run)
-        "kg_docs_text", "kg_sentences", "kg_mentions", "kg_triples",
-        "kg_links", "kg_nodes", "kg_edges", "kg_top_edges",
-        "kg_typed_mentions", "kg_eval_f1", "kg_sentence_dedup",
-        "kg_confusion", "kg_f1_counts",
-        # KG graph analytics (never had a driver row)
-        "kg_degrees", "kg_edge_times", "kg_edges_asof", "kg_pmi",
-        "kg_triangles", "kg_node_jaccard", "kg_adamic_adar",
-        "kg_entity_merge", "kg_clustering", "kg_kcore", "kg_reachability",
-        "kg_random_walks", "kg_walk_pairs", "kg_alias_pairs",
-        "kg_alias_clusters", "kg_communities", "kg_edges_incremental",
-        "kg_edge_diff", "kg_pagerank", "kg_ppr",
-        # web-graph connectors
-        "cc_outlinks", "cc_latest_snapshot",
-        # relational / events tail (never had a driver row).
-        # events_tumbling displaced events_asof_orders_part here (r4): the
-        # tumbling plan was REWRITTEN onto shuffle.hash_grouped this round
-        # (VERDICT r3 item #3) so a fresh driver row re-verifies the new
-        # plan, while the _part twin shares its oracle with the r01-green
-        # broadcast plan.  kg_hits (new operator, no prior row under any
-        # plan) likewise displaced events_range_orders_part.
-        "revenue_by_nation", "events_hopping", "events_tumbling",
-        "events_range_orders", "kg_hits", "events_topk",
-        "events_quantiles", "events_quantile_sketch", "events_user_sketch",
-        # ANN / embedding tail (failed r1/r2 pre-oracle, or never run)
-        "embed_semdedup", "embed_quantize", "embed_knn_lsh",
-        "embed_knn_ivf", "embed_cosine_pairs_ivf",
-        # multimodal keeper (never had a driver row)
-        "multimodal_dedup",
+        # round-4 doc_* additions (incl. doc_bpe_merges, rows-only until
+        # this round — now hash-checked against the unrolled SQL replay)
+        "doc_gopher", "doc_c4", "doc_ccnet_buckets",
+        "doc_boilerplate_spans", "doc_strip_boilerplate",
+        "doc_bpe_pairs", "doc_bpe_merges", "doc_cooc_pmi", "doc_chunks",
+        # PQ / IVF-ADC compressed-index path
+        "embed_pq", "embed_knn_ivfadc",
+        # events tail + plan twins
+        "events_asof_orders_part", "events_range_orders_part",
+        "events_funnel", "events_retention", "events_zscores",
+        # KG schema / ontology / temporal / sampling ops
+        "kg_entity_times", "kg_pred_cooc", "kg_schema",
+        "kg_schema_filter", "kg_paths", "kg_negative_samples",
+        # graph structure suite (r4 additions, incl. the ADVICE-hardened
+        # betweenness and the p-parameterized HyperBall family)
+        "kg_ktruss", "kg_scc", "kg_modularity", "kg_coloring",
+        "kg_betweenness", "kg_reciprocity", "kg_assortativity",
+        "kg_bowtie", "kg_hyperball", "kg_harmonic",
+        "kg_effective_diameter",
+        # BSP plan twins (bit-identical to the dataflow twins, shared
+        # oracles — first driver rows for the BSP execution path)
+        "kg_bowtie_bsp", "kg_hyperball_bsp", "kg_harmonic_bsp",
+        "kg_hits_bsp", "kg_ppr_bsp", "kg_pagerank_bsp", "kg_kcore_bsp",
+        "kg_reachability_bsp", "kg_random_walks_bsp",
+        "kg_communities_bsp",
+        # web-graph ops (incl. the ADVICE-anchored URL canonicalization)
+        "cc_anchor_texts", "cc_anchor_link", "cc_canonical_urls",
+        "cc_url_dedup", "cc_section_graph",
+        # round-5 additions: kg_eval newly SQL-oracled; kg_release is the
+        # composed release pipeline (rows-only, stages individually
+        # oracled, composition pinned by tests/test_release.py)
+        "kg_eval", "kg_release",
     ]
     assert len(first) == 50 and all(k in q for k in first), (
         len(first), [k for k in first if k not in q])

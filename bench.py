@@ -381,6 +381,24 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     return out
 
 
+def _release_bench(corpus_root: pathlib.Path) -> float:
+    """The composed release pipeline (crawl dedup → extract → quality
+    gates → content dedup → detect → schema filter → graph → PageRank +
+    harmonic annotations) over the FULL bench corpus, end to end in one
+    streaming chain (pipelines/release.py)."""
+    from promptner_ray.pipelines.release import release_graph
+    from promptner_ray.sources.corpus import read_pages
+
+    pages = read_pages(
+        corpus_root, columns=["url", "warc_ts", "html", "lang"]
+    )
+    t0 = time.monotonic()
+    out = release_graph(pages)
+    out["nodes"].count()
+    out["edges"].count()
+    return time.monotonic() - t0
+
+
 def _operator_suite() -> dict[str, float]:
     import __ray_entry__ as entrymod
 
@@ -458,6 +476,7 @@ def run_bench(headline_only: bool = False) -> dict:
         queries.update(_web_page_ops(corpus_root))
         web_graph = _web_graph_analytics(corpus_root)
         queries.update(web_graph.pop("queries"))
+        queries["kg_release"] = round(_release_bench(corpus_root), 3)
         queries.update(_operator_suite())
     return {
         "metric": "kg_html_to_triples_sec",

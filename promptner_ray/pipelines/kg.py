@@ -619,13 +619,25 @@ def run_extraction(
     out_dir: str | pathlib.Path,
     cfg: KGConfig | None = None,
     max_waves: int | None = None,
+    pages_transform=None,
+    docs_transform=None,
 ) -> dict:
     """Waved, resumable extraction: pages → mentions/ + triples/ (+manifests).
 
     Each wave covers ``cfg.wave_size`` uncommitted partitions in ONE streaming
     Dataset job; manifests commit per partition after the wave's parquet is on
     disk.  ``max_waves`` bounds the run (used by the kill/resume test).
-    """
+
+    ``pages_transform`` / ``docs_transform`` are optional Dataset→Dataset
+    hooks applied to the raw pages / the extracted docs of each wave —
+    the seam the release pipeline (:mod:`.release`) uses to fuse crawl
+    dedup and quality gates into the extraction stream.  NOTE their
+    scope is PER WAVE: a dedup transform sees one wave's partitions, so
+    cross-wave duplicates survive here (the corpus partitioner buckets
+    by url hash, so same-url snapshots co-locate; canonical-FORM
+    collisions across buckets do not).  The single-job
+    ``release.release_graph`` runs the same dedup as one global
+    exchange."""
     cfg = cfg or KGConfig()
     if cfg.target_max_block_size_mb:
         from ray.data.context import DataContext
@@ -684,7 +696,12 @@ def run_extraction(
                 summary["parts_committed"] += 1
             summary["waves"] += 1
             continue
-        det = detected(sentences(docs_text(pages, cfg), cfg), cfg).map_batches(
+        if pages_transform is not None:
+            pages = pages_transform(pages)
+        docs = docs_text(pages, cfg)
+        if docs_transform is not None:
+            docs = docs_transform(docs)
+        det = detected(sentences(docs, cfg), cfg).map_batches(
             add_part_batch, batch_format="pyarrow"
         )
         # One pass over the wave: sentence-level rows are written, then the
