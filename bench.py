@@ -82,7 +82,9 @@ def _ensure_bench_corpus(n_docs: int | None = None) -> pathlib.Path:
     )
 
 
-def _headline(corpus_root: pathlib.Path, passes: int = 2) -> dict:
+def _headline(
+    corpus_root: pathlib.Path, passes: int = 2, n_docs: int | None = None
+) -> dict:
     """HTML→triples end-to-end over the pages corpus (in-memory stream).
 
     Steady-state measurement, no best-of selection: an untimed warmup pass
@@ -116,7 +118,7 @@ def _headline(corpus_root: pathlib.Path, passes: int = 2) -> dict:
     return {
         "sec": wall,
         "passes_sec": [round(w, 3) for w in walls],
-        "docs": BENCH_DOCS,
+        "docs": n_docs or BENCH_DOCS,
         "triples": n_triples,
         "triples_per_sec": n_triples / wall if wall else 0.0,
     }
@@ -729,13 +731,81 @@ def run_graph_scaling(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
     }
 
 
+def run_probe(mult: int = 4) -> dict:
+    """Scale-ceiling probe (VERDICT r4 item #6): the headline pipeline
+    over a ``mult``×-replicated corpus at full CPU count, with object
+    store spill counters and the parquet file census (the
+    thousands-of-tiny-files driver-metadata trap BASELINE.md names)
+    reported alongside the walls."""
+    import ray
+
+    _init_ray(NUM_CPUS)
+    n_docs = BENCH_DOCS * mult
+    corpus_root = _ensure_bench_corpus(n_docs)
+    n_files = sum(1 for _ in (corpus_root / "pages").rglob("*.parquet"))
+    bytes_total = sum(
+        f.stat().st_size for f in (corpus_root / "pages").rglob("*.parquet")
+    )
+    head = _headline(corpus_root, n_docs=n_docs)
+    spill_lines: list[str] = []
+    try:  # needs grpc, absent in this sandbox
+        from ray._private.internal_api import memory_summary
+
+        mem = memory_summary(stats_only=True)
+        spill_lines = [
+            ln.strip()
+            for ln in mem.splitlines()
+            if "pill" in ln or "Plasma" in ln or "restored" in ln.lower()
+        ]
+    except Exception:
+        # fallback: scrape the raylet's spill reports from the session
+        # logs (the "Spilled N MiB, M objects" progress lines)
+        session = pathlib.Path("/tmp/ray/session_latest/logs")
+        for logf in ("raylet.out", "raylet.err"):
+            f = session / logf
+            if not f.is_file():
+                continue
+            hits = [
+                ln.strip()
+                for ln in f.read_text(errors="replace").splitlines()
+                if "Spilled" in ln or "restored" in ln.lower()
+            ]
+            spill_lines.extend(hits[-3:])
+        if not spill_lines:
+            spill_lines = ["no spill lines in raylet logs (no spilling)"]
+    return {
+        "metric": "kg_html_to_triples_sec_4x_probe",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "mult": mult,
+        "docs": n_docs,
+        "triples": head["triples"],
+        "triples_per_sec": round(head["triples_per_sec"], 2),
+        "headline_passes_sec": head["passes_sec"],
+        "corpus_files": n_files,
+        "corpus_gib": round(bytes_total / 2**30, 2),
+        "object_store_report": spill_lines,
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--graph-scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--web-pagerank-only", action="store_true")
+    ap.add_argument("--probe", action="store_true")
+    ap.add_argument("--probe-mult", type=int, default=4)
     args = ap.parse_args()
+    if args.probe:
+        out = run_probe(args.probe_mult)
+        print(json.dumps(out))
+        import ray
+
+        ray.shutdown()
+        return
     if args.scaling:
         out = run_scaling()
     elif args.graph_scaling:
