@@ -1825,8 +1825,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the COMPOSED web-scale release pipeline: crawl dedup → extract
         # → quality gates → content dedup → detect → schema filter →
         # graph → PageRank+harmonic annotations, one streaming chain
-        # (pipelines/release.py; rows-only — every stage is individually
-        # oracled, the composition is pinned by tests/test_release.py)
+        # (pipelines/release.py) — hash-checked END TO END against a
+        # single WITH-chain SQL re-derivation of the whole composition
+        # (_release_sql), floats bit-exact; e2e-pinned by
+        # tests/test_release.py besides
         "kg_release": _kg_release,
         "kg_eval_f1": _kg_eval_f1,
         "kg_typed_mentions": _kg_typed_mentions,
@@ -1870,8 +1872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_anchor_texts", "cc_anchor_link", "cc_canonical_urls",
         "cc_url_dedup", "cc_section_graph",
         # round-5 additions: kg_eval newly SQL-oracled; kg_release is the
-        # composed release pipeline (rows-only, stages individually
-        # oracled, composition pinned by tests/test_release.py)
+        # composed release pipeline, hash-checked end to end against the
+        # one-WITH-chain SQL re-derivation (_release_sql)
         "kg_eval", "kg_release",
     ]
     assert len(first) == 50 and all(k in q for k in first), (
@@ -2055,6 +2057,207 @@ def _pagerank_sql(iters: int = 8, damping: float = 0.85) -> str:
         + ",\n    ".join(parts)
         + f"""
     SELECT entity_id, fp / {float(PR_SCALE)} AS rank FROM r{iters}"""
+    )
+
+
+def _release_sql(pr_iters: int = 4, hb_iters: int = 4) -> str:
+    """SQL twin of the COMPOSED release pipeline (`pipelines/release.py::
+    release_graph`) — every stage re-derived independently in one WITH
+    chain: crawl dedup (canonicalize + keep-newest-per-canonical-form),
+    Gopher + C4 page gates over the extracted text (byte-identical to
+    the corpus text column, the pinned invariant), exact content dedup,
+    the links/canonicalization chain and the schema-filtered edge table
+    RESTRICTED to surviving urls (detection is per-sentence, so the
+    gated corpus's detection output equals the full-corpus export
+    restricted to surviving pages), then the int64 fixed-point PageRank
+    unroll (``pr_iters`` rounds) and the HyperBall harmonic twin
+    (p = 4, ``hb_iters`` rounds) joined onto the node table with
+    fill-0.0 — the engine's exact float expressions throughout."""
+    from promptner_ray.functions.graphops import PR_SCALE
+    from promptner_ray.functions.hyperball import sql_harmonic
+    from promptner_ray.functions.textstats import (
+        C4_MIN_KEPT_LINES,
+        C4_MIN_LINE_WORDS,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP_KINDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+    from promptner_ray.functions.urls import _sql_canonicalize
+
+    stops = " + ".join(
+        f"list_contains(string_split(text, ' '), '{w}')::INT"
+        for w in GOPHER_STOPWORDS
+    )
+    norm_m = _sql_norm("mention")
+    dnum = round(0.85 * 1000)
+    parts = [
+        f"""pg AS MATERIALIZED (
+      SELECT url, warc_ts, lang, text
+      FROM read_parquet('{_CORPUS_GLOB}'))""",
+        # crawl dedup: newest capture per canonical URL form, url ASC tie
+        f"""cd AS MATERIALIZED (
+      SELECT url FROM (
+        SELECT url, row_number() OVER (
+            PARTITION BY {_sql_canonicalize('url')}
+            ORDER BY epoch_us(warc_ts) DESC, url ASC) AS rk
+        FROM pg) WHERE rk = 1)""",
+        # Gopher page gate (sql_gopher's proven expressions, url-keyed)
+        f"""gop AS (
+      SELECT url FROM (
+        SELECT url,
+          len(string_split(text, ' '))::BIGINT AS n_words,
+          length(text)::BIGINT AS n_chars,
+          ((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+          )::BIGINT AS n_sym,
+          len(list_filter(string_split(text, ' '),
+              w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha,
+          ({stops})::BIGINT AS stop_kinds
+        FROM pg JOIN cd USING (url))
+      WHERE n_words >= {GOPHER_MIN_WORDS}
+        AND n_words <= {GOPHER_MAX_WORDS}
+        AND (n_chars - (n_words - 1))::DOUBLE
+              / greatest(n_words, 1)::DOUBLE >= {GOPHER_MIN_MEAN_LEN}
+        AND (n_chars - (n_words - 1))::DOUBLE
+              / greatest(n_words, 1)::DOUBLE <= {GOPHER_MAX_MEAN_LEN}
+        AND n_sym::DOUBLE / greatest(n_words, 1)::DOUBLE
+              <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND n_alpha::DOUBLE / greatest(n_words, 1)::DOUBLE
+              >= {GOPHER_MIN_ALPHA_FRAC}
+        AND stop_kinds >= {GOPHER_MIN_STOP_KINDS})""",
+        # C4 page gate over the RAW page lines (no injection here — the
+        # corpus pages are multi-line sentence text)
+        f"""c4l AS (
+      SELECT url, line,
+        (length(line) - length(replace(line, ' ', '')) + 1
+        )::BIGINT AS lw,
+        (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+         OR line LIKE '%"') AS term,
+        regexp_matches(lower(line), '(^| )javascript( |$)') AS js,
+        (position('lorem ipsum' IN lower(line)) > 0) AS lorem,
+        (position('{{' IN line) > 0) AS brace
+      FROM (SELECT pg.url, unnest(string_split(pg.text, chr(10))) AS line
+            FROM pg JOIN cd USING (url)))""",
+        f"""c4k AS (
+      SELECT url FROM c4l GROUP BY url
+      HAVING coalesce(sum(CASE WHEN term AND lw >= {C4_MIN_LINE_WORDS}
+                                AND NOT js THEN 1 END), 0)
+               >= {C4_MIN_KEPT_LINES}
+         AND NOT bool_or(lorem) AND NOT bool_or(brace))""",
+        # exact content dedup over the gated pages (smallest url wins)
+        """surv AS MATERIALIZED (
+      SELECT url FROM (
+        SELECT pg.url,
+               row_number() OVER (PARTITION BY pg.text
+                                  ORDER BY pg.url ASC) AS rk
+        FROM pg JOIN cd USING (url) JOIN gop USING (url)
+                JOIN c4k USING (url))
+      WHERE rk = 1)""",
+        # links/canonicalization chain over the gated mentions
+        f"""mn AS (SELECT {norm_m} AS surface_norm, mention, mtype
+      FROM read_parquet('{_EXPORT}/mentions/part=*/*.parquet')
+      WHERE url IN (SELECT url FROM surv) AND {norm_m} != '')""",
+        """tot AS (SELECT surface_norm, count(*)::BIGINT AS n_mentions
+      FROM mn GROUP BY 1)""",
+        """canon AS (
+      SELECT surface_norm, mention AS canonical FROM (
+        SELECT surface_norm, mention,
+               row_number() OVER (PARTITION BY surface_norm
+                                  ORDER BY count(*) DESC, mention ASC)
+                 AS rn
+        FROM mn GROUP BY surface_norm, mention) WHERE rn = 1)""",
+        """ety AS (
+      SELECT surface_norm, mtype AS etype FROM (
+        SELECT surface_norm, mtype,
+               row_number() OVER (PARTITION BY surface_norm
+                                  ORDER BY count(*) DESC, mtype ASC)
+                 AS rn
+        FROM mn GROUP BY surface_norm, mtype) WHERE rn = 1)""",
+        f"""lnk AS MATERIALIZED (
+      SELECT {_sql_hash64('t.surface_norm')} AS entity_id,
+             c.canonical, e.etype, t.n_mentions
+      FROM tot t JOIN canon c USING (surface_norm)
+                 JOIN ety e USING (surface_norm))""",
+        # schema filter over the gated triples
+        f"""trf AS MATERIALIZED (
+      SELECT url, sent_id, subj, pred, obj, subj_type, obj_type
+      FROM read_parquet('{_EXPORT}/triples/part=*/*.parquet')
+      WHERE url IN (SELECT url FROM surv))""",
+        """pat AS (SELECT subj_type, pred, obj_type,
+             count(*)::BIGINT AS n
+      FROM trf GROUP BY 1, 2, 3)""",
+        """ptot AS (SELECT pred, sum(n)::BIGINT AS t FROM pat
+      GROUP BY pred)""",
+        f"""trk AS (
+      SELECT trf.subj, trf.pred, trf.obj FROM trf
+      JOIN pat USING (subj_type, pred, obj_type)
+      JOIN ptot USING (pred)
+      WHERE pat.n * {_SCHEMA_KEEP_DEN()} >= ptot.t)""",
+        f"""edg AS MATERIALIZED (
+      SELECT {_sql_hash64(_sql_norm('subj'))} AS subj_id, pred,
+             {_sql_hash64(_sql_norm('obj'))} AS obj_id,
+             count(*)::BIGINT AS weight
+      FROM trk GROUP BY 1, 2, 3)""",
+        # PageRank fixed-point unroll over the release edge table
+        """pends AS (SELECT subj_id AS entity_id, weight AS w_out FROM edg
+      UNION ALL SELECT obj_id, 0 FROM edg)""",
+        """pnodes AS MATERIALIZED (
+      SELECT entity_id, sum(w_out)::BIGINT AS w_out
+      FROM pends GROUP BY entity_id)""",
+        """pnn AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM pnodes)""",
+        f"""pr0 AS MATERIALIZED (
+      SELECT entity_id, {PR_SCALE} // (SELECT c FROM pnn) AS fp, w_out
+      FROM pnodes)""",
+    ]
+    for i in range(pr_iters):
+        parts.append(
+            f"""pd{i} AS MATERIALIZED (
+      SELECT coalesce(sum(fp), 0)::BIGINT AS m
+      FROM pr{i} WHERE w_out = 0)"""
+        )
+        parts.append(
+            f"""pc{i} AS MATERIALIZED (
+      SELECT e.obj_id AS entity_id,
+             sum((r.fp * e.weight) // r.w_out)::BIGINT AS s
+      FROM edg e JOIN pr{i} r ON r.entity_id = e.subj_id
+      GROUP BY 1)"""
+        )
+        parts.append(
+            f"""pr{i + 1} AS MATERIALIZED (
+      SELECT nd.entity_id,
+          (({1000 - dnum} * {PR_SCALE})
+             // (1000 * (SELECT c FROM pnn)))
+        + ({dnum} * (coalesce(c.s, 0)
+             + (SELECT m FROM pd{i}) // (SELECT c FROM pnn))) // 1000
+          AS fp,
+          nd.w_out
+      FROM pnodes nd LEFT JOIN pc{i} c ON c.entity_id = nd.entity_id)"""
+        )
+    parts.append(
+        f"""prk AS (SELECT entity_id, fp / {float(PR_SCALE)} AS rank
+      FROM pr{pr_iters})"""
+    )
+    harmonic_sub = sql_harmonic(
+        "e2 AS (SELECT DISTINCT subj_id, obj_id FROM edg)",
+        iters=hb_iters,
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    harm AS MATERIALIZED ({harmonic_sub})
+    SELECT l.entity_id, l.canonical, l.etype, l.n_mentions,
+           coalesce(p.rank, 0.0) AS rank,
+           coalesce(h.harmonic, 0.0) AS harmonic
+    FROM lnk l
+    LEFT JOIN prk p ON p.entity_id = l.entity_id
+    LEFT JOIN harm h ON h.entity_id = l.entity_id
+    """
     )
 
 
@@ -4908,6 +5111,10 @@ def oracle_sql() -> dict[str, str]:
                np AS n_triples
         FROM pr
     """
+    # kg_release: the composed release pipeline re-derived end-to-end in
+    # one WITH chain (crawl dedup → gates → content dedup → links →
+    # schema filter → edges → fixed-point PageRank → harmonic)
+    out["kg_release"] = _release_sql()
     out["dedup_components_bsp"] = out["dedup_components"]
     out["kg_communities_bsp"] = out["kg_communities"]
     out["kg_random_walks_bsp"] = out["kg_random_walks"]
