@@ -242,3 +242,52 @@ def test_quantile_sketch_accuracy_and_merge(ray_session) -> None:
         .sort_index()
     )
     assert got.equals(re64)
+
+
+def test_hash_grouped_checked_sum_raises_on_int64_overflow(
+    ray_session,
+) -> None:
+    """`checked=True` widens int64 sums to decimal128 and safe-casts the
+    group total back — a sum past int64 must RAISE (Arrow's plain int64
+    sum kernel wraps silently), the betweenness overflow discipline."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from promptner_ray.shuffle import hash_grouped
+
+    big = (1 << 62) + 7
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+            "v": pa.array([big, big, 5, -3], type=pa.int64()),
+        }
+    )
+
+    # in-range sums round-trip exactly through the decimal widen
+    ok = (
+        hash_grouped(
+            ray.data.from_arrow(tbl.slice(2)),
+            ["k"],
+            [("v", "sum")],
+            rename={"v_sum": "v"},
+            checked=True,
+        )
+        .to_pandas()
+        .set_index("k")["v"]
+        .sort_index()
+    )
+    assert list(ok) == [5, -3]
+
+    # 2 * (2^62 + 7) leaves int64: the checked reduce must raise, not wrap
+    with pytest.raises(Exception) as exc_info:
+        hash_grouped(
+            ray.data.from_arrow(tbl),
+            ["k"],
+            [("v", "sum")],
+            rename={"v_sum": "v"},
+            checked=True,
+        ).to_pandas()
+    assert "out of bounds" in str(exc_info.value) or "Invalid" in str(
+        exc_info.value
+    )
