@@ -277,9 +277,14 @@ def run_release(
     )
     # Ray's write_parquet APPENDS uniquely-named files; a rebuild must
     # start from empty dirs or re-runs double the release tables (same
-    # discipline as kg._clear_uncommitted_parts)
+    # discipline as kg._clear_uncommitted_parts).  The release manifest
+    # is retracted FIRST: a kill between the clear and the write must
+    # not leave a marker claiming counts for data that is gone.
     import shutil
 
+    stale = lineage.manifest_dir(out) / "release.json"
+    if stale.exists():
+        stale.unlink()
     for stage in ("release_nodes", "release_edges"):
         d = out / stage
         if d.is_dir():
