@@ -1553,6 +1553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reference equality ALSO lives in tests, and round 1's pair
         # table is separately oracled via doc_bpe_pairs
         "doc_bpe_merges": lambda sf: ngrams.bpe_merges(_docs(sf)),
+        # tokenizer-aware per-doc token census: train the 8 rules, then
+        # one exchange-free streaming encode pass (round 5)
+        "doc_bpe_encode": lambda sf: ngrams.bpe_train_encode(_docs(sf)),
         # RAG retrieval-corpus chunking: overlapping 64-token windows
         "doc_chunks": lambda sf: _docs(sf).map_batches(
             packing.chunk_batch, batch_format="pyarrow"
@@ -3555,6 +3558,12 @@ def _bpe_merges_sql() -> str:
     return sql_bpe_merges(BPE_N_MERGES)
 
 
+def _bpe_encode_sql() -> str:
+    from promptner_ray.functions.ngrams import BPE_N_MERGES, sql_bpe_encode
+
+    return sql_bpe_encode(BPE_N_MERGES)
+
+
 def _cooc_pmi_sql() -> str:
     from promptner_ray.functions.ngrams import sql_cooc_pmi
 
@@ -3964,6 +3973,9 @@ def oracle_sql() -> dict[str, str]:
         # the full training loop, unrolled: 8 × (pair census →
         # (n DESC, a, b) argmax → recursive-CTE greedy merge rewrite)
         "doc_bpe_merges": _bpe_merges_sql(),
+        # the training chain extended through the final rewrite, joined
+        # onto per-doc word counts
+        "doc_bpe_encode": _bpe_encode_sql(),
         "doc_cooc_pmi": _cooc_pmi_sql(),
         "doc_chunks": _chunks_sql(),
         # deterministic global training-shuffle order: dense zero-based

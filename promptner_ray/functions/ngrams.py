@@ -217,6 +217,7 @@ def token_counts_salted(
 
 
 BPE_EOW = "</w>"
+BPE_N_MERGES = 8
 
 
 def _bpe_pair_batch(batch: pa.Table) -> pa.Table:
@@ -351,20 +352,14 @@ def sql_bpe_pairs() -> str:
     """
 
 
-def sql_bpe_merges(n_merges: int = 8) -> str:
-    """DuckDB twin of :func:`bpe_merges` — the full training loop
-    UNROLLED: per round r, pair counts over the current symbol tables
-    (``p{r}``), the identical (n DESC, sym_a ASC, sym_b ASC) argmax
-    (``r{r}``), and the left-to-right non-overlapping merge rewrite as a
-    RECURSIVE CTE that walks each word's symbol list exactly like
-    ``_word_symbols`` (``scan{r}`` — one state row per word per scan
-    position, accumulator list carried in the recursion).  A plain
-    string ``replace()`` replay is NOT equivalent: the separator shared
-    by consecutive matches makes replace skip the greedy scan's second
-    merge in runs like ``a a a a`` — hence the positional recursion.
-    Empty words (consecutive-space artifacts) are excluded: their symbol
-    sequence is the bare end-of-word marker, contributing zero pairs in
-    every round on both sides."""
+def _sql_bpe_chain(n_merges: int, final_syms: bool) -> list[str]:
+    """Shared CTE chain for the BPE twins: word counts, per-round pair
+    census (``p{r}``) + argmax rule (``r{r}``), and the greedy merge
+    rewrite as a RECURSIVE positional scan (``scan{r}`` → ``s{r+1}``).
+    ``final_syms=True`` extends the rewrite through the last adopted
+    rule so ``s{n_merges}`` (the fully-merged symbol tables the ENCODE
+    pass consumes) exists; the trainer itself only needs rules, so it
+    stops one rewrite earlier."""
     parts = [
         """wc AS (
           SELECT w AS word, count(*)::BIGINT AS n
@@ -387,7 +382,7 @@ def sql_bpe_merges(n_merges: int = 8) -> str:
         parts.append(f"""r{r} AS MATERIALIZED (
           SELECT sym_a AS a, sym_b AS b, n FROM p{r}
           ORDER BY n DESC, sym_a ASC, sym_b ASC LIMIT 1)""")
-        if r + 1 < n_merges:
+        if final_syms or r + 1 < n_merges:
             parts.append(f"""scan{r} AS (
           SELECT word, n, syms, 1 AS i, []::VARCHAR[] AS acc FROM s{r}
           UNION ALL
@@ -403,6 +398,24 @@ def sql_bpe_merges(n_merges: int = 8) -> str:
             parts.append(f"""s{r + 1} AS MATERIALIZED (
           SELECT word, n, acc AS syms FROM scan{r}
           WHERE i > len(syms))""")
+    return parts
+
+
+def sql_bpe_merges(n_merges: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_merges` — the full training loop
+    UNROLLED: per round r, pair counts over the current symbol tables
+    (``p{r}``), the identical (n DESC, sym_a ASC, sym_b ASC) argmax
+    (``r{r}``), and the left-to-right non-overlapping merge rewrite as a
+    RECURSIVE CTE that walks each word's symbol list exactly like
+    ``_word_symbols`` (``scan{r}`` — one state row per word per scan
+    position, accumulator list carried in the recursion).  A plain
+    string ``replace()`` replay is NOT equivalent: the separator shared
+    by consecutive matches makes replace skip the greedy scan's second
+    merge in runs like ``a a a a`` — hence the positional recursion.
+    Empty words (consecutive-space artifacts) are excluded: their symbol
+    sequence is the bare end-of-word marker, contributing zero pairs in
+    every round on both sides."""
+    parts = _sql_bpe_chain(n_merges, final_syms=False)
     out = "\n          UNION ALL ".join(
         f"SELECT {r}::BIGINT AS step, a AS sym_a, b AS sym_b, n FROM r{r}"
         for r in range(n_merges)
@@ -411,6 +424,96 @@ def sql_bpe_merges(n_merges: int = 8) -> str:
         "\n        WITH RECURSIVE " + ",\n        ".join(parts)
         + f"\n        {out}\n    "
     )
+
+
+def sql_bpe_encode(n_merges: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_train_encode`: the training chain
+    extended through the final rewrite (``s{n_merges}`` = symbols per
+    word under all adopted rules), then per-doc word counts joined onto
+    per-word token counts — ``n_tokens_bpe = Σ_word c_doc(word) ·
+    len(syms(word))``.  Empty words are excluded on both sides."""
+    parts = _sql_bpe_chain(n_merges, final_syms=True)
+    parts.append(
+        """dw AS (
+          SELECT doc_id, w AS word, count(*)::BIGINT AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE w != '' GROUP BY doc_id, w)"""
+    )
+    parts.append(
+        f"""wl AS (SELECT word, len(syms)::BIGINT AS n_toks
+          FROM s{n_merges})"""
+    )
+    return (
+        "\n        WITH RECURSIVE " + ",\n        ".join(parts)
+        + """
+        SELECT dw.doc_id, sum(dw.c * wl.n_toks)::BIGINT AS n_tokens_bpe
+        FROM dw JOIN wl USING (word)
+        GROUP BY dw.doc_id
+    """
+    )
+
+
+def bpe_encode(docs, merges: list[tuple[str, str]], num_partitions=None):
+    """documents → (doc_id, n_tokens_bpe): per-document token count
+    under a TRAINED merge list — the tokenizer-aware token census a
+    training-data pipeline budgets with (sequence packing, cost
+    estimates, per-source token accounting), replacing the
+    whitespace-proxy ``doc_token_stats`` number with the real thing.
+
+    Stateless streaming map, ZERO exchanges: the merge list is a
+    handful of rules shipped as a task literal; each block tokenizes
+    its distinct-in-block words once (memo keyed by word — web text
+    repeats words heavily, so the per-row cost is a dict hit) and sums
+    ``count · len(symbols(word))`` per doc.  Empty words
+    (consecutive-space artifacts) are excluded, matching the trainer's
+    vocabulary."""
+    merges = [tuple(m) for m in merges]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens_bpe": pa.array([], type=pa.int64()),
+                }
+            )
+        memo: dict[str, int] = {}
+        out = []
+        for text in batch.column("text").to_pylist():
+            n = 0
+            for w in text.split(" "):
+                if not w:
+                    continue
+                k = memo.get(w)
+                if k is None:
+                    k = len(_word_symbols(w, merges))
+                    memo[w] = k
+                n += k
+            out.append(n)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens_bpe": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(enc, batch_format="pyarrow")
+
+
+def bpe_train_encode(
+    docs, n_merges: int = BPE_N_MERGES, num_partitions=None
+):
+    """Train ``n_merges`` BPE rules on the corpus, then encode the same
+    corpus under them (train + one extra streaming pass).  The merge
+    list lands on the driver by construction (it IS the trainer's
+    output); the encode pass is exchange-free."""
+    rules = bpe_merges(docs, n_merges=n_merges, num_partitions=num_partitions)
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in sorted(rules.take_all(), key=lambda r: r["step"])
+    ]
+    return bpe_encode(docs, merges, num_partitions=num_partitions)
 
 
 COOC_WINDOW = 2
@@ -717,8 +820,6 @@ def sql_cooc_pmi(
         WHERE p.c >= {min_count}
     """
 
-
-BPE_N_MERGES = 8
 
 
 def _word_symbols(word: str, merges: list[tuple[str, str]]) -> list[str]:

@@ -168,3 +168,76 @@ def test_bpe_merges_match_reference(ray_session) -> None:
         for a, b, n in zip(got["sym_a"], got["sym_b"], got["n"])
     ] == want
     assert list(got["step"]) == list(range(len(want)))
+
+
+def test_bpe_encode_hand_computed(ray_session) -> None:
+    """Token counts under a given merge list, against hand-derived
+    symbol sequences (merge order applies left-to-right per word)."""
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.functions.ngrams import bpe_encode
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            # doc1: "low low" — 'lo' then 'low' merges collapse each
+            # word to [low, </w>] = 2 tokens → 4
+            # doc2: "lot  x" (double space → empty word skipped):
+            # lot → [lo, t, </w>] = 3; x → [x, </w>] = 2 → 5
+            "text": pa.array(["low low", "lot  x"]),
+        }
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    got = (
+        bpe_encode(ray.data.from_arrow(docs), merges)
+        .to_pandas()
+        .set_index("doc_id")["n_tokens_bpe"]
+        .sort_index()
+    )
+    assert list(got) == [4, 5]
+
+
+def test_bpe_train_encode_matches_single_process(ray_session) -> None:
+    """End-to-end train+encode equals a single-process replay of the
+    same rules over the same corpus."""
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.functions.ngrams import (
+        _word_symbols,
+        bpe_merges,
+        bpe_train_encode,
+    )
+
+    texts = [
+        "the newest lower tower",
+        "lower the tower newest newest",
+        "new lowest low tower the the",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    rules = [
+        (r["sym_a"], r["sym_b"])
+        for r in sorted(
+            bpe_merges(ds, n_merges=4).take_all(), key=lambda r: r["step"]
+        )
+    ]
+    want = {
+        i: sum(
+            len(_word_symbols(w, rules)) for w in t.split(" ") if w
+        )
+        for i, t in enumerate(texts)
+    }
+    got = (
+        bpe_train_encode(ds, n_merges=4)
+        .to_pandas()
+        .set_index("doc_id")["n_tokens_bpe"]
+        .to_dict()
+    )
+    assert got == want
