@@ -724,6 +724,34 @@ def _sql_anchor_link() -> str:
     return sql_anchor_link(_CORPUS_GLOB)
 
 
+def _kg_grounding(sf_dir: str):
+    """Anchor-dictionary entity grounding: each canonical KG entity
+    whose normalized surface appears as web anchor text gets the web's
+    majority link target as an external grounding URL (Spitkovsky &
+    Chang 2012 composition of the links table × `cc_anchor_link`)."""
+    from promptner_ray.functions.urls import (
+        entity_anchor_dict,
+        ground_entities,
+    )
+
+    return ground_entities(
+        _kg_links(sf_dir), entity_anchor_dict(_pages(sf_dir))
+    )
+
+
+def _kg_grounding_sql() -> str:
+    from promptner_ray.functions.urls import (
+        sql_entity_anchor_link,
+        sql_ground_entities,
+    )
+
+    return sql_ground_entities(
+        sql_entity_anchor_link(_CORPUS_GLOB, _sql_hash64),
+        _sql_links_cte(),
+        _sql_norm,
+    )
+
+
 def _cc_section_graph(sf_dir: str):
     """Site-section contraction of the page link graph (host-level
     contraction on a multi-host corpus) — contracted map-side, one
@@ -1788,6 +1816,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_anchor_texts": _cc_anchor_texts,
         # alias→target majority dictionary (the inverse grouping)
         "cc_anchor_link": _cc_anchor_link,
+        # entity grounding: links × anchor dictionary (round 5)
+        "kg_grounding": _kg_grounding,
         # crawl-frontier URL canonicalization + canonical-form dedup
         "cc_canonical_urls": _cc_canonical_urls,
         "cc_url_dedup": _cc_url_dedup,
@@ -5031,6 +5061,9 @@ def oracle_sql() -> dict[str, str]:
         # by subscript, argmax replayed as a row_number window
         "cc_anchor_texts": _sql_anchor_texts(),
         "cc_anchor_link": _sql_anchor_link(),
+        # the anchor-dictionary SQL + one normalize/argmax pass joined
+        # onto the links chain on the surface string itself
+        "kg_grounding": _kg_grounding_sql(),
         "cc_canonical_urls": _sql_canonical_urls(),
         "cc_url_dedup": _sql_url_dedup(),
         # site-section contraction over the same href-resolution CTE

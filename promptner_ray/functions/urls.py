@@ -1119,3 +1119,321 @@ def sql_url_dedup(corpus_glob: str, hash64_sql_fn) -> str:
           FROM ({inner}))
         WHERE rk = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# anchor-dictionary entity grounding (Spitkovsky & Chang 2012 composition)
+# ---------------------------------------------------------------------------
+
+def ground_entities(links, anchor_dict, num_partitions=None):
+    """KG links table × web anchor dictionary → externally GROUNDED
+    entities — (entity_id, canonical, etype, n_mentions, grounded_url,
+    link_n, n_targets): for each canonical entity whose normalized
+    surface form appears as web anchor text, the majority link target
+    (the URL the web "votes" for when it names the entity), plus the
+    dictionary's support and ambiguity counts.  The classic anchor-
+    dictionary grounding step of an entity linker, composed from two
+    already-shipped operators (`pipelines/kg.py::links` ×
+    :func:`anchor_link`).
+
+    Scale shape: the dictionary's anchors normalize map-side (same
+    kernel as canonicalization) and collapse to ONE representative row
+    per normalized form — the (n_total DESC, anchor ASC) argmax inside
+    a digest-keyed partition pass; the join onto links keys on the
+    int64 surface hash links ALREADY carries, with a post-join string
+    recheck so a digest collision cannot ground the wrong entity
+    (the collision-safe regroup discipline).  Both sides are
+    entity/vocabulary-sized — the corpus never re-enters."""
+    import numpy as np
+
+    from ..kernels.cleaning import normalize_surface, surface_hash64
+    from ..shuffle import hash_partitioned, local_hash_join
+
+    def norm_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dict_norm": pa.array([], type=pa.string()),
+                "anchor": pa.array([], type=pa.string()),
+                "top_target": pa.array([], type=pa.string()),
+                "n_total": pa.array([], type=pa.int64()),
+                "n_targets": pa.array([], type=pa.int64()),
+                "surface_hash": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "anchor" not in t.column_names:
+            return empty
+        anchors = t.column("anchor").to_pylist()
+        norms = [normalize_surface(a) for a in anchors]
+        keep = [i for i, s in enumerate(norms) if s != ""]
+        if not keep:
+            return empty
+        kept = t.take(pa.array(keep, type=pa.int64()))
+        kn = pa.array([norms[i] for i in keep], type=pa.string())
+        return pa.table(
+            {
+                "dict_norm": kn,
+                "anchor": kept.column("anchor"),
+                "top_target": kept.column("top_target"),
+                "n_total": kept.column("n_total"),
+                "n_targets": kept.column("n_targets"),
+                # the SAME md5-based digest the links table carries —
+                # the join key must be computed by one kernel on both
+                # sides (not the blake2b block-combine key)
+                "surface_hash": pa.array(
+                    [surface_hash64(x) for x in kn.to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def rep_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        norm = t.column("dict_norm").to_numpy(zero_copy_only=False)
+        anc = t.column("anchor").to_numpy(zero_copy_only=False)
+        n = t.column("n_total").to_numpy(zero_copy_only=False)
+        order = np.lexsort((anc, -n, norm))
+        first = np.ones(len(order), dtype=bool)
+        sn = norm[order]
+        first[1:] = sn[1:] != sn[:-1]
+        return t.take(pa.array(order[first], type=pa.int64()))
+
+    rep = hash_partitioned(
+        anchor_dict.map_batches(norm_batch, batch_format="pyarrow"),
+        ["surface_hash"],
+        rep_part,
+        num_partitions=num_partitions,
+    )
+
+    links_schema = pa.schema(
+        [
+            ("surface_norm", pa.string()),
+            ("surface_hash", pa.int64()),
+            ("entity_id", pa.int64()),
+            ("canonical", pa.string()),
+            ("etype", pa.string()),
+            ("n_mentions", pa.int64()),
+        ]
+    )
+    joined = local_hash_join(
+        links.select_columns(
+            [
+                "surface_norm",
+                "surface_hash",
+                "entity_id",
+                "canonical",
+                "etype",
+                "n_mentions",
+            ]
+        ),
+        rep,
+        on=["surface_hash"],
+        left_schema=links_schema,
+        right_schema=pa.schema(
+            [
+                ("dict_norm", pa.string()),
+                ("anchor", pa.string()),
+                ("top_target", pa.string()),
+                ("n_total", pa.int64()),
+                ("n_targets", pa.int64()),
+                ("surface_hash", pa.int64()),
+            ]
+        ),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        empty = pa.table(
+            {
+                "entity_id": pa.array([], type=pa.int64()),
+                "canonical": pa.array([], type=pa.string()),
+                "etype": pa.array([], type=pa.string()),
+                "n_mentions": pa.array([], type=pa.int64()),
+                "grounded_url": pa.array([], type=pa.string()),
+                "link_n": pa.array([], type=pa.int64()),
+                "n_targets": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "entity_id" not in t.column_names:
+            return empty
+        # digest-collision recheck: the dictionary word must equal the
+        # entity's surface form
+        kept = t.filter(
+            pc_.equal(t.column("surface_norm"), t.column("dict_norm"))
+        )
+        return pa.table(
+            {
+                "entity_id": kept.column("entity_id"),
+                "canonical": kept.column("canonical"),
+                "etype": kept.column("etype"),
+                "n_mentions": kept.column("n_mentions"),
+                "grounded_url": kept.column("top_target"),
+                "link_n": kept.column("n_total"),
+                "n_targets": kept.column("n_targets"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_ground_entities(
+    anchor_sql: str, links_cte: str, norm_fn
+) -> str:
+    """DuckDB twin of :func:`ground_entities`: the caller's
+    anchor-dictionary SQL as a subquery, normalized + argmax'd to one
+    representative per form, joined onto the caller's links CTE chain
+    on the surface string itself (stronger than the engine's digest
+    join + recheck).  ``links_cte`` must define ``lnk`` with
+    (surface_norm, entity_id, canonical, etype, n_mentions);
+    ``norm_fn(expr)`` is the caller's normalize twin."""
+    ad = anchor_sql
+    nrm = norm_fn("anchor")
+    return f"""
+        WITH {links_cte},
+        ad AS MATERIALIZED ({ad}),
+        rep AS (
+          SELECT surface_norm, top_target, n_total, n_targets FROM (
+            SELECT {nrm} AS surface_norm, anchor, top_target, n_total,
+                   n_targets,
+                   row_number() OVER (
+                     PARTITION BY {nrm}
+                     ORDER BY n_total DESC, anchor ASC) AS rk
+            FROM ad WHERE {nrm} != '') WHERE rk = 1)
+        SELECT l.entity_id, l.canonical, l.etype, l.n_mentions,
+               r.top_target AS grounded_url, r.n_total AS link_n,
+               r.n_targets
+        FROM lnk l JOIN rep r USING (surface_norm)
+    """
+
+
+# ---------------------------------------------------------------------------
+# entity-anchor injection for the grounding query (disclosed device)
+# ---------------------------------------------------------------------------
+
+def _ground_vocab() -> tuple:
+    """The synthetic corpus's entity vocabulary in one FIXED order —
+    the anchor-injection alphabet.  Single source of truth: the corpus
+    generator's own lists; the SQL twin inlines the same tuple at
+    SQL-build time (the stopword-list idiom)."""
+    from ..synth import LOC, MISC, ORG, PER
+
+    return tuple(PER) + tuple(ORG) + tuple(LOC) + tuple(MISC)
+
+
+def inject_entity_anchors_batch(batch: pa.Table) -> pa.Table:
+    """Plant deterministic ENTITY-NAMED anchors — a disclosed
+    test/benchmark device (the nav-banner / PII / URL-noise idiom): the
+    synthetic renderer links whole sentences, so anchor text never
+    equals an entity surface form and dictionary grounding would be an
+    empty-set identity.  Per url with ``h = md5-hash64(url) & 2⁶³−1``:
+    ``h % 4`` anchors are appended to the html, the j-th naming
+    ``vocab[(h // 7 + j·13) % |vocab|]`` and pointing at
+    ``https://synth.test/wiki/<idx>`` — so one vocabulary entity
+    accumulates links from many pages and the mined dictionary carries
+    real majority/ambiguity structure.  Pure integer arithmetic,
+    replayed verbatim by the SQL twin."""
+    from ..kernels.cleaning import surface_hash64
+
+    vocab = _ground_vocab()
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    out = []
+    for u, hbytes in zip(urls, htmls):
+        h = surface_hash64(u) & _URL_MASK
+        k = h % 4
+        frag = "".join(
+            (
+                f'<a href="https://synth.test/wiki/'
+                f'{(h // 7 + j * 13) % len(vocab)}">'
+                f"{vocab[(h // 7 + j * 13) % len(vocab)]}</a>"
+            )
+            for j in range(k)
+        )
+        base = (
+            hbytes
+            if isinstance(hbytes, (bytes, bytearray))
+            else str(hbytes).encode()
+        )
+        out.append(bytes(base) + frag.encode("utf-8"))
+    cols = {name: batch.column(name) for name in batch.column_names}
+    cols["html"] = pa.array(out, type=pa.binary())
+    return pa.table(cols)
+
+
+def entity_anchor_dict(pages, num_partitions=None):
+    """Anchor dictionary mined from the entity-anchor-injected pages —
+    the grounding query's dictionary side.  The injection only touches
+    this query's own pipeline; `cc_anchor_*` stay un-injected."""
+    return anchor_link(
+        pages.map_batches(
+            inject_entity_anchors_batch, batch_format="pyarrow"
+        ),
+        num_partitions=num_partitions,
+    )
+
+
+def sql_entity_anchor_link(corpus_glob: str, hash64_sql_fn) -> str:
+    """DuckDB twin of :func:`entity_anchor_dict`: the proven
+    `cc_anchor_link` extraction plus the injected rows UNION'd in at
+    the (anchor, target) level — appended anchors extract to exactly
+    (vocab[idx], wiki/idx), so the union replay is equivalent to
+    re-rendering the html."""
+    vocab = _ground_vocab()
+    arr = ", ".join("'" + v.replace("'", "''") + "'" for v in vocab)
+    pat_sql = ANCHOR_PATTERN.replace("'", "''")
+    h = f"({hash64_sql_fn('p.url')} & {_URL_MASK})"
+    return f"""
+        WITH pg AS (
+          SELECT url, decode(html) AS h
+          FROM read_parquet('{corpus_glob}')),
+        m AS (
+          SELECT url,
+                 regexp_extract_all(h, '{pat_sql}', 1) AS hrefs,
+                 regexp_extract_all(h, '{pat_sql}', 2) AS inners
+          FROM pg),
+        z AS (
+          SELECT url, unnest(hrefs) AS href,
+                 generate_subscripts(hrefs, 1) AS i, inners
+          FROM m),
+        res AS (
+          SELECT
+            CASE
+              WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://') THEN href
+              WHEN href LIKE '/%' THEN
+                regexp_extract(url, '{ORIGIN_PATTERN}') || href
+              ELSE NULL
+            END AS target_url,
+            trim(regexp_replace(inners[i], '{_TAG_SQL}', '', 'g'),
+                 ' ') AS anchor
+          FROM z),
+        vocab AS (SELECT [{arr}] AS v),
+        inj AS (
+          SELECT 'https://synth.test/wiki/' || idx::VARCHAR AS target_url,
+                 v[idx + 1] AS anchor
+          FROM (
+            SELECT ((hh // 7) + (j * 13)) % {len(vocab)} AS idx
+            FROM (SELECT p.url, {h} AS hh
+                  FROM read_parquet('{corpus_glob}') p),
+                 UNNEST(generate_series(0, 2)) t(j)
+            WHERE j < hh % 4), vocab),
+        counts AS (
+          SELECT anchor, target_url, count(*)::BIGINT AS n
+          FROM (SELECT target_url, anchor FROM res
+                WHERE target_url IS NOT NULL AND anchor != ''
+                UNION ALL
+                SELECT target_url, anchor FROM inj)
+          GROUP BY anchor, target_url),
+        ranked AS (
+          SELECT anchor, target_url, n,
+                 row_number() OVER (PARTITION BY anchor
+                                    ORDER BY n DESC, target_url ASC) AS rk,
+                 sum(n) OVER (PARTITION BY anchor) AS tot,
+                 count(*) OVER (PARTITION BY anchor) AS nt
+          FROM counts)
+        SELECT anchor, target_url AS top_target, n AS top_n,
+               tot::BIGINT AS n_total, nt::BIGINT AS n_targets
+        FROM ranked WHERE rk = 1
+    """

@@ -424,3 +424,64 @@ def test_url_noise_injection_creates_canonical_dups(ray_session) -> None:
     # keep-first: the kept raw url is the smallest for its canonical
     m = canon.groupby("canonical_url")["url"].min()
     assert all(m[c] == u for u, c in zip(kept["url"], kept["canonical_url"]))
+
+
+def test_ground_entities_argmax_and_collision_safety(ray_session) -> None:
+    """Per normalized form the dictionary representative is the
+    (n_total DESC, anchor ASC) argmax; unmatched surfaces drop (inner
+    join); the normalize kernel folds case/punctuation variants."""
+    import pyarrow as pa
+    import ray
+
+    from promptner_ray.functions.urls import ground_entities
+    from promptner_ray.kernels.cleaning import (
+        normalize_surface,
+        surface_hash64,
+    )
+
+    def links_tbl(surfaces):
+        norms = [normalize_surface(s) for s in surfaces]
+        return pa.table(
+            {
+                "surface_norm": pa.array(norms),
+                "surface_hash": pa.array(
+                    [surface_hash64(n) for n in norms], type=pa.int64()
+                ),
+                "entity_id": pa.array(
+                    [surface_hash64(n) for n in norms], type=pa.int64()
+                ),
+                "canonical": pa.array(surfaces),
+                "etype": pa.array(["ORG"] * len(surfaces)),
+                "n_mentions": pa.array(
+                    [5] * len(surfaces), type=pa.int64()
+                ),
+            }
+        )
+
+    dict_tbl = pa.table(
+        {
+            # "Acme Corp." and "acme corp" normalize to the same form;
+            # the higher-support anchor must win the representative pick
+            "anchor": pa.array(
+                ["Acme Corp.", "acme corp", "Unrelated Thing"]
+            ),
+            "top_target": pa.array(["https://a/1", "https://a/2", "https://u"]),
+            "top_n": pa.array([9, 3, 1], type=pa.int64()),
+            "n_total": pa.array([10, 4, 1], type=pa.int64()),
+            "n_targets": pa.array([2, 1, 1], type=pa.int64()),
+        }
+    )
+    out = (
+        ground_entities(
+            ray.data.from_arrow(links_tbl(["Acme Corp", "Globex"])),
+            ray.data.from_arrow(dict_tbl),
+        )
+        .to_pandas()
+        .sort_values("canonical", ignore_index=True)
+    )
+    # Globex has no dictionary entry -> dropped; Acme grounds to the
+    # 10-support variant's target
+    assert list(out["canonical"]) == ["Acme Corp"]
+    assert out.loc[0, "grounded_url"] == "https://a/1"
+    assert out.loc[0, "link_n"] == 10
+    assert out.loc[0, "n_targets"] == 2
