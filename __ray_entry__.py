@@ -1896,11 +1896,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bowtie", "kg_hyperball", "kg_harmonic",
         "kg_effective_diameter",
         # BSP plan twins (bit-identical to the dataflow twins, shared
-        # oracles — first driver rows for the BSP execution path)
+        # oracles — first driver rows for the BSP execution path).
+        # kg_random_walks_bsp / kg_communities_bsp yielded their slots
+        # to the two brand-new round-5 operators below: a bit-identical
+        # twin of a driver-green dataflow plan is the weakest marginal
+        # evidence in the window, a new operator the strongest.
         "kg_bowtie_bsp", "kg_hyperball_bsp", "kg_harmonic_bsp",
         "kg_hits_bsp", "kg_ppr_bsp", "kg_pagerank_bsp", "kg_kcore_bsp",
-        "kg_reachability_bsp", "kg_random_walks_bsp",
-        "kg_communities_bsp",
+        "kg_reachability_bsp",
+        # round-5 NEW operators: tokenizer-aware token census and
+        # anchor-dictionary entity grounding
+        "doc_bpe_encode", "kg_grounding",
         # web-graph ops (incl. the ADVICE-anchored URL canonicalization)
         "cc_anchor_texts", "cc_anchor_link", "cc_canonical_urls",
         "cc_url_dedup", "cc_section_graph",

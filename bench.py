@@ -413,6 +413,7 @@ def _operator_suite() -> dict[str, float]:
         "doc_word_counts",
         "doc_bpe_pairs",
         "doc_bpe_merges",
+        "doc_bpe_encode",
         "doc_c4",
         "doc_cooc_pmi",
         "doc_chunks",
@@ -453,6 +454,7 @@ def _operator_suite() -> dict[str, float]:
         "events_zscores",
         "cc_anchor_link",
         "cc_url_dedup",
+        "kg_grounding",
         "kg_effective_diameter",
         "kg_betweenness",
     ]
