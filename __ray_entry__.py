@@ -1804,6 +1804,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coloring": _kg_coloring,
         # k-source Brandes betweenness, fixed-point dependency sums
         "kg_betweenness": _kg_betweenness,
+        # the same recursion on the dual-direction BSP shards (round 5)
+        "kg_betweenness_bsp": _kg_betweenness_bsp,
         # incremental-crawl wave merge must equal the batch edge table
         "kg_edges_incremental": _kg_edges_incremental,
         # oracle: full-outer join of the two wave-replay edge CTEs
@@ -2683,6 +2685,16 @@ def _kg_betweenness(sf_dir: str):
 
     edges = _kg_edges_raw(sf_dir).materialize()
     return betweenness(edges, sources=_top_hubs(edges, BC_SOURCES))
+
+
+def _kg_betweenness_bsp(sf_dir: str):
+    """The same k-source Brandes on the dual-direction BSP actor pool —
+    bit-identical (shared oracle), the scale path (round 5)."""
+    from promptner_ray.functions.graphbsp import betweenness_bsp
+    from promptner_ray.functions.graphops import BC_SOURCES
+
+    edges = _kg_edges_raw(sf_dir).materialize()
+    return betweenness_bsp(edges, sources=_top_hubs(edges, BC_SOURCES))
 
 
 def _betweenness_sql(max_depth: int | None = None) -> str:
@@ -5174,6 +5186,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_bowtie_bsp"] = out["kg_bowtie"]
     out["kg_hyperball_bsp"] = out["kg_hyperball"]
     out["kg_harmonic_bsp"] = out["kg_harmonic"]
+    out["kg_betweenness_bsp"] = out["kg_betweenness"]
     return out
 
 

@@ -276,6 +276,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     pure exchange latency), so this section is where the graph ops'
     scaling behavior is actually visible."""
     from promptner_ray.functions.graphbsp import (
+        betweenness_bsp,
         bfs_bsp,
         bowtie_bsp,
         components_bsp,
@@ -292,6 +293,7 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
     )
     from promptner_ray.functions.graphops import (
         assortativity,
+        betweenness,
         bfs_hops,
         bowtie,
         connected_components,
@@ -369,6 +371,16 @@ def _web_graph_analytics(corpus_root: pathlib.Path) -> dict:
         (
             "web_harmonic_bsp",
             lambda e: harmonic_bsp(e, iters=pr_iters),
+        ),
+        (
+            "web_betweenness",
+            lambda e: betweenness(e, sources=[int(hub)], max_depth=4),
+        ),
+        (
+            "web_betweenness_bsp",
+            lambda e: betweenness_bsp(
+                e, sources=[int(hub)], max_depth=4
+            ),
         ),
     ):
         t0 = time.monotonic()

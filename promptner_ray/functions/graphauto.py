@@ -194,6 +194,28 @@ def bowtie_auto(
     return fn(edges, source, max_hops=max_hops, num_partitions=num_partitions)
 
 
+def betweenness_auto(
+    edges,
+    sources,
+    max_depth: int = 6,
+    num_partitions: int | None = None,
+    threshold: int = BSP_EDGE_THRESHOLD,
+):
+    """k-source Brandes betweenness.  Twins: :func:`graphops.betweenness`
+    / :func:`graphbsp.betweenness_bsp` (shared oracle:
+    ``kg_betweenness``)."""
+    from . import graphbsp, graphops
+
+    edges, big = _prep(edges, threshold)
+    fn = graphbsp.betweenness_bsp if big else graphops.betweenness
+    return fn(
+        edges,
+        sources,
+        max_depth=max_depth,
+        num_partitions=num_partitions,
+    )
+
+
 def hyperball_auto(
     edges,
     iters: int = 4,

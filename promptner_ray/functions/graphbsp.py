@@ -1466,6 +1466,203 @@ class _HITSShard:
         ).astype(np.int64)
         return [int((tag == k).sum()) for k in range(4)]
 
+    # -- k-source Brandes betweenness over the same dual-direction
+    #    shards: forward σ-BFS pushes along "fwd", the backward
+    #    dependency recursion pulls along "rev"; per-source state is a
+    #    (n_local, k) int64 matrix and every sum is the dataflow twin's
+    #    commutative integer op, so results are bit-identical ----------
+
+    def bc_reset(self, sources) -> None:
+        n, k = len(self.ids), len(sources)
+        self.bc_depth = np.full((n, k), -1, dtype=np.int64)
+        self.bc_sigma = np.zeros((n, k), dtype=np.int64)
+        self.bc_delta = np.zeros((n, k), dtype=np.int64)
+        for s_i, s in enumerate(sources):
+            pos = int(np.searchsorted(self.ids, s))
+            if pos < n and int(self.ids[pos]) == s:
+                self.bc_depth[pos, s_i] = 0
+                self.bc_sigma[pos, s_i] = 1
+
+    def bc_fwd_scatter(self, d: int):
+        """Round-d forward messages: per distinct out-neighbor run, the
+        per-source σ sum over edges whose LOCAL src sits at depth
+        d−1 — the dataflow plan's ``fwd_partial`` combine, computed on
+        the static structure."""
+        dd = self.dirs["fwd"]
+        E = len(dd["join_idx"])
+        R = len(dd["starts"])
+        k = self.bc_depth.shape[1]
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty((0, k), dtype=np.int64),
+        )
+        if not R:
+            return [empty for _ in range(self.n_parts)]
+        act = self.bc_depth[dd["join_idx"]] == d - 1
+        contrib = np.where(act, self.bc_sigma[dd["join_idx"]], 0)
+        if contrib.size:
+            lengths = np.diff(np.r_[dd["starts"], E])
+            m = int(contrib.max())
+            if m and m * int(lengths.max()) >= 2**63:
+                raise OverflowError(
+                    "betweenness σ partial exceeds int64; lower max_depth"
+                )
+        run_sum = np.add.reduceat(contrib, dd["starts"], axis=0)
+        run_active = run_sum.any(axis=1)
+        jb = dd["jbounds"]
+        out = []
+        for j in range(self.n_parts):
+            sl = run_active[jb[j]: jb[j + 1]]
+            idx = np.flatnonzero(sl).astype(np.int64)
+            out.append((idx, run_sum[jb[j]: jb[j + 1]][idx]))
+        return out
+
+    def bc_fwd_gather(self, d: int, *msgs) -> int:
+        """Sum incoming σ per (node, source); nodes still unvisited for
+        a source are discovered at depth d with that σ (the dataflow
+        ``unseen_only`` filter) — later arrivals are discarded."""
+        flat: list = []
+        for v in msgs:
+            if isinstance(v, list):
+                flat.extend(v)
+            else:
+                flat.append(v)
+        g = self.gath["fwd"]
+        n, k = self.bc_depth.shape
+        inc = np.zeros((n, k), dtype=np.int64)
+        for i, (pos, mat) in enumerate(flat):
+            pos = np.asarray(pos)
+            if not len(pos):
+                continue
+            li = g["idx"][g["off"][i] + pos.astype(np.intp)]
+            np.add.at(inc, li, np.asarray(mat))
+        # contributions are nonnegative: a negative or near-limit sum
+        # means the int64 accumulate wrapped — raise, never continue
+        if inc.size and (int(inc.min()) < 0 or int(inc.max()) >= 2**62):
+            raise OverflowError(
+                "betweenness σ sum exceeds int64; lower max_depth"
+            )
+        new_mask = (self.bc_depth == -1) & (inc > 0)
+        self.bc_depth[new_mask] = d
+        self.bc_sigma[new_mask] = inc[new_mask]
+        return int(new_mask.sum())
+
+    def bc_bwd_scatter(self, d: int):
+        """Backward round-d messages: for every in-edge (v, w) whose
+        LOCAL node w sits at depth d+1 (per source), ship (σ_w, δ_w)
+        toward v as per-edge rows addressed by v's run position — the
+        receiver holds σ_v and applies the fixed-point rule."""
+        dd = self.dirs["rev"]
+        E = len(dd["join_idx"])
+        R = len(dd["starts"])
+        k = self.bc_depth.shape[1]
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty((0, k), dtype=np.int64),
+            np.empty((0, k), dtype=np.int64),
+        )
+        if not R:
+            return [empty for _ in range(self.n_parts)]
+        if not hasattr(self, "_bc_rev_roe"):
+            lengths = np.diff(np.r_[dd["starts"], E])
+            self._bc_rev_roe = np.repeat(
+                np.arange(R, dtype=np.int64), lengths
+            )
+        roe = self._bc_rev_roe
+        jidx = dd["join_idx"]
+        act = self.bc_depth[jidx] == d + 1
+        swm = np.where(act, self.bc_sigma[jidx], 0)
+        dwm = np.where(act, self.bc_delta[jidx], 0)
+        edge_active = act.any(axis=1)
+        jb = dd["jbounds"]
+        starts = dd["starts"]
+        out = []
+        for j in range(self.n_parts):
+            lo = int(starts[jb[j]]) if jb[j] < R else E
+            hi = int(starts[jb[j + 1]]) if jb[j + 1] < R else E
+            sel = np.flatnonzero(edge_active[lo:hi]).astype(np.intp) + lo
+            out.append((roe[sel] - jb[j], swm[sel], dwm[sel]))
+        return out
+
+    def bc_bwd_gather(self, d: int, *msgs) -> None:
+        """Apply the dependency rule at the receiver: for each incoming
+        (σ_w, δ_w) row landing on a LOCAL node v at depth d,
+        ``δ_v += (σ_v · (SCALE + δ_w)) // σ_w`` — the dataflow twin's
+        exact integer expression, products bound-checked in Python ints
+        before the vectorized evaluation (numpy int64 wraps silently)."""
+        from .graphops import BC_SCALE
+
+        flat: list = []
+        for v in msgs:
+            if isinstance(v, list):
+                flat.extend(v)
+            else:
+                flat.append(v)
+        g = self.gath["rev"]
+        for i, (pos, swm, dwm) in enumerate(flat):
+            pos = np.asarray(pos)
+            if not len(pos):
+                continue
+            li = g["idx"][g["off"][i] + pos.astype(np.intp)]
+            swm = np.asarray(swm)
+            dwm = np.asarray(dwm)
+            sv = self.bc_sigma[li]
+            valid = (swm > 0) & (self.bc_depth[li] == d)
+            if not valid.any():
+                continue
+            max_sv = int(sv[valid].max())
+            max_dw = int(dwm[valid].max())
+            if max_sv * (BC_SCALE + max_dw) >= 2**63:
+                raise OverflowError(
+                    "betweenness δ fixed-point product exceeds int64; "
+                    "lower max_depth or BC_SCALE"
+                )
+            num = np.where(valid, sv, 0) * (
+                BC_SCALE + np.where(valid, dwm, 0)
+            )
+            c = num // np.where(valid, swm, 1)
+            np.add.at(self.bc_delta, li, np.where(valid, c, 0))
+        if self.bc_delta.size and (
+            int(self.bc_delta.min()) < 0
+            or int(self.bc_delta.max()) >= 2**62
+        ):
+            raise OverflowError(
+                "betweenness δ sum exceeds int64; lower max_depth"
+            )
+
+    def bc_result(self) -> pa.Table:
+        """(entity_id, bc_fp, bc) over this shard's home nodes reached
+        at depth ≥ 1 by any source; per-source δ is counted only for
+        sources that reached the node at depth ≥ 1 (the dataflow plan's
+        levels-≥-1 union), summed in Python ints."""
+        from .graphops import BC_SCALE
+
+        reached = self.bc_depth >= 1
+        rows = reached.any(axis=1)
+        ids = self.ids[rows]
+        masked = np.where(reached[rows], self.bc_delta[rows], 0)
+        fp = [int(x) for x in masked.astype(object).sum(axis=1)] if len(
+            ids
+        ) else []
+        for v in fp:
+            if not (-(1 << 63) <= v < (1 << 63)):
+                raise OverflowError(
+                    "betweenness bc_fp total exceeds int64"
+                )
+        fp_arr = np.array(fp, dtype=np.int64) if fp else np.empty(
+            0, dtype=np.int64
+        )
+        return pa.table(
+            {
+                "entity_id": pa.array(ids, type=pa.int64()),
+                "bc_fp": pa.array(fp_arr, type=pa.int64()),
+                "bc": pa.array(
+                    fp_arr.astype(np.float64) / float(BC_SCALE),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
     def scatter(self, direction: str):
         """One half-round's outgoing combined contributions + this
         shard's contribution total (returned last, ``num_returns =
@@ -1683,6 +1880,60 @@ class HITSBSP:
             )
         )
 
+    def betweenness(self, sources, max_depth: int = 6):
+        """k-source Brandes betweenness over the SAME dual-direction
+        shards — (entity_id, bc_fp, bc), bit-identical to
+        :func:`graphops.betweenness` for the same ``sources`` on a
+        DISTINCT-pair edge table (feed the handle deduped edges; see
+        :func:`betweenness_bsp`).  Forward: ≤ ``max_depth``
+        σ-propagation waves; backward: one wave per level, deepest
+        first; driver state is one scalar per forward round."""
+        import ray
+
+        if not self.actors:
+            raise RuntimeError("HITSBSP handle is closed")
+        n_parts = self.n_parts
+        ray.get(
+            [a.bc_reset.remote(list(sources)) for a in self.actors]
+        )
+        deepest = 0
+        for d in range(1, max_depth + 1):
+            scat = [
+                a.bc_fwd_scatter.options(num_returns=n_parts).remote(d)
+                for a in self.actors
+            ]
+            if n_parts == 1:
+                scat = [[s] for s in scat]
+            new = ray.get(
+                [
+                    self.actors[j].bc_fwd_gather.remote(
+                        d, *[scat[i][j] for i in range(n_parts)]
+                    )
+                    for j in range(n_parts)
+                ]
+            )
+            if sum(new) == 0:
+                break
+            deepest = d
+        for d in range(deepest - 1, -1, -1):
+            scat = [
+                a.bc_bwd_scatter.options(num_returns=n_parts).remote(d)
+                for a in self.actors
+            ]
+            if n_parts == 1:
+                scat = [[s] for s in scat]
+            ray.get(
+                [
+                    self.actors[j].bc_bwd_gather.remote(
+                        d, *[scat[i][j] for i in range(n_parts)]
+                    )
+                    for j in range(n_parts)
+                ]
+            )
+        result_refs = [a.bc_result.remote() for a in self.actors]
+        ray.get(result_refs)  # seal before any close()
+        return ray.data.from_arrow_refs(result_refs)
+
     def close(self) -> None:
         import ray
 
@@ -1757,6 +2008,48 @@ def replicate_edges(edges, k: int, batch_size: int = 65536):
     return edges.map_batches(
         rep, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def betweenness_bsp(
+    edges,
+    sources,
+    max_depth: int = 6,
+    num_partitions: int | None = None,
+):
+    """edges(subj_id, obj_id, …) → (entity_id, bc_fp, bc): k-source
+    Brandes betweenness on the dual-direction BSP actor pool,
+    bit-identical to :func:`graphops.betweenness` — forward σ-BFS
+    pushes along the forward shards, the backward dependency recursion
+    pulls along the reverse shards, all sums the twin's commutative
+    int64 fixed-point ops (products bound-checked in Python ints —
+    overflow raises, never wraps).  The edge table is deduplicated to
+    DISTINCT (subj_id, obj_id) pairs first, exactly like the dataflow
+    twin, so both plans share the ``kg_betweenness`` oracle.  The
+    dataflow plan pays ~4 exchanges per BFS level plus ~3 per backward
+    level; here the structures are static after one shard build."""
+    from ..shuffle import hash_grouped
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj_id": t.column("subj_id").cast(pa.int64()),
+                "obj_id": t.column("obj_id").cast(pa.int64()),
+            }
+        )
+
+    dd = hash_grouped(
+        edges.map_batches(to_pairs, batch_format="pyarrow"),
+        ["subj_id", "obj_id"],
+        [],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: t.append_column(
+            "weight", pa.array([1] * len(t), type=pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    with HITSBSP(dd, num_partitions=num_partitions) as h:
+        return h.betweenness(sources, max_depth=max_depth)
 
 
 def bowtie_bsp(

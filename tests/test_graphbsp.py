@@ -581,3 +581,61 @@ def test_harmonic_bsp_bit_equal(ray_session) -> None:
     for n_parts in (1, 3):
         got = harm(harmonic_bsp(ds, iters=3, num_partitions=n_parts))
         assert want.equals(got), f"mismatch at num_partitions={n_parts}"
+
+
+def test_betweenness_bsp_bit_equal_across_partition_counts(
+    ray_session,
+) -> None:
+    """BSP k-source Brandes == the dataflow twin, bit for bit (bc_fp
+    int64 AND the bc double), at several partition counts — incl. a
+    duplicate pair (deduped like the twin) and a self-loop."""
+    from promptner_ray.functions.graphbsp import betweenness_bsp
+    from promptner_ray.functions.graphops import betweenness
+
+    edges = _random_edges(19, 120, 900)
+    edges.append(edges[0])
+    edges.append((5, 5, 1))
+    tbl = _edge_table(edges)
+    sources = [0, 7, 33, 90]
+    want = (
+        betweenness(ray.data.from_arrow(tbl), sources)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    for n_parts in (1, 3, 5):
+        got = (
+            betweenness_bsp(
+                ray.data.from_arrow(tbl), sources, num_partitions=n_parts
+            )
+            .to_pandas()
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+        )
+        assert want.equals(got), f"mismatch at num_partitions={n_parts}"
+
+
+def test_betweenness_auto_both_routes_equal(ray_session) -> None:
+    from promptner_ray.functions import graphauto
+
+    edges = _random_edges(23, 60, 300)
+    tbl = _edge_table(edges)
+    sources = [0, 3]
+    lo = (
+        graphauto.betweenness_auto(
+            ray.data.from_arrow(tbl), sources, threshold=10**9
+        )
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    hi = (
+        graphauto.betweenness_auto(
+            ray.data.from_arrow(tbl), sources, threshold=0
+        )
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    assert lo.equals(hi)
