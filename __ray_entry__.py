@@ -1473,6 +1473,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "doc_hashed_tf": lambda sf: vectorize.hashed_tf(_docs(sf)),
         "doc_classifier_score": lambda sf: vectorize.linear_score(_docs(sf)),
+        # distributed quality-classifier TRAINING: full-batch logistic
+        # regression over hashed-TF, quantized-gradient checked sums,
+        # per-round loss — bit-exact weight trajectory vs the unrolled
+        # SQL replay (round 5)
+        "doc_classifier_train": lambda sf: vectorize.train_linear_classifier(
+            _docs(sf)
+        ),
         "doc_repetition": lambda sf: _docs(sf).map_batches(
             textstats.repetition_stats_batch, batch_format="pyarrow"
         ),
@@ -3582,6 +3589,14 @@ def _linear_score_sql() -> str:
     return sql_linear_score()
 
 
+def _classifier_train_sql() -> str:
+    from promptner_ray.functions.vectorize import (
+        sql_train_linear_classifier,
+    )
+
+    return sql_train_linear_classifier()
+
+
 def _gopher_sql() -> str:
     from promptner_ray.functions.textstats import sql_gopher
 
@@ -3915,6 +3930,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_redact": _pii_redact_sql(),
         "doc_hashed_tf": _hashed_tf_sql(),
         "doc_classifier_score": _linear_score_sql(),
+        # the training loop unrolled: per round one σ/error CTE, dim
+        # quantized-gradient sums + the loss sum, the identical update
+        "doc_classifier_train": _classifier_train_sql(),
         "doc_blocklist": _blocklist_sql(),
         "doc_gopher": _gopher_sql(),
         "doc_c4": _c4_sql(),

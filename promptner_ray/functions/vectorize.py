@@ -793,3 +793,207 @@ def sql_ccnet_buckets(dim: int = DIM) -> str:
                     ELSE 'head' END AS bucket
         FROM s JOIN t USING (lang)
     """
+
+
+# ---------------------------------------------------------------------------
+# distributed quality-classifier TRAINING (logistic regression, the
+# DataComp/CCNet "train a fasttext-style filter on the corpus" stage)
+# ---------------------------------------------------------------------------
+
+TRAIN_ROUNDS = 6
+TRAIN_LR = 0.01
+#: per-sample gradients quantize to 2^-24 fixed point before the global
+#: sum, so the reduction is COMMUTATIVE int64 arithmetic — the PageRank
+#: fixed-point-mass discipline applied to SGD (full-batch deterministic
+#: gradient descent; "stochastic" ordering would be parallelism-
+#: dependent, which is exactly what this engine refuses to ship)
+GRAD_Q = float(1 << 24)
+
+
+def _label_and_features_batch(batch: pa.Table, dim: int) -> pa.Table:
+    """documents → (doc_id, y, b0..b{dim-1}): hashed-TF features + the
+    training label (y = 1.0 for English pages — the corpus's own
+    language column, the classic "seed set vs rest" quality-classifier
+    setup)."""
+    tf = hashed_tf_batch(batch, dim=dim)
+    y = [
+        1.0 if lang == "en" else 0.0
+        for lang in batch.column("lang").to_pylist()
+    ]
+    cols = {"doc_id": tf.column("doc_id"), "y": pa.array(y, type=pa.float64())}
+    for b in range(dim):
+        cols[f"b{b}"] = tf.column(f"b{b}")
+    return pa.table(cols)
+
+
+def _grad_partial_batch(batch: pa.Table, w: list, dim: int) -> pa.Table:
+    """One block's quantized-gradient partial: per row the logistic
+    error ``p_err = σ(x·w) − y`` (margin accumulated LEFT-TO-RIGHT over
+    the dim columns, σ via libm ``math.exp`` — both replayed verbatim
+    by the SQL twin), then per coordinate ``floor((p_err·x_b)·Q)``
+    summed over the block.  Emits ONE row (k=0, g0..g{dim-1})."""
+    import math
+
+    cols = {"k": pa.array([0], type=pa.int64())}
+    if len(batch) == 0:
+        for b in range(dim):
+            cols[f"g{b}"] = pa.array([0], type=pa.int64())
+        cols["lf"] = pa.array([0], type=pa.int64())
+        return pa.table(cols)
+    x = np.column_stack(
+        [
+            batch.column(f"b{b}").to_numpy(zero_copy_only=False)
+            for b in range(dim)
+        ]
+    ).astype(np.float64)
+    yv = batch.column("y").to_numpy(zero_copy_only=False)
+    m = x[:, 0] * w[0]
+    for b in range(1, dim):
+        m = m + x[:, b] * w[b]
+    # libm exp row-by-row: numpy's SIMD exp can differ from DuckDB's
+    # libm by 1 ulp, which would break the bit-exact float contract
+    p = np.fromiter(
+        (1.0 / (1.0 + math.exp(-v)) for v in m),
+        dtype=np.float64,
+        count=len(m),
+    )
+    perr = p - yv
+    for b in range(dim):
+        g = np.floor((perr * x[:, b]) * GRAD_Q).astype(np.int64)
+        cols[f"g{b}"] = pa.array([int(g.sum())], type=pa.int64())
+    # the round's training loss in the SAME pass (pre-update weights):
+    # per-row −ln(p or 1−p), floor-quantized so the global sum commutes
+    lf = sum(
+        math.floor(
+            -math.log(max(pi if yi == 1.0 else 1.0 - pi, 1e-308))
+            * GRAD_Q
+        )
+        for pi, yi in zip(p, yv)
+    )
+    cols["lf"] = pa.array([int(lf)], type=pa.int64())
+    return pa.table(cols)
+
+
+def train_linear_classifier(
+    docs,
+    n_rounds: int = TRAIN_ROUNDS,
+    lr: float = TRAIN_LR,
+    dim: int = DIM,
+    num_partitions: int | None = None,
+):
+    """documents → (round, w0..w{dim-1}): ``n_rounds`` of full-batch
+    deterministic logistic-regression training over hashed-TF features
+    — the "train your own quality filter on the corpus" stage of a
+    DataComp/CCNet-style pipeline, as a distributed iterative loop in
+    the BPE-trainer shape:
+
+    - the corpus collapses ONCE into the (doc_id, y, features) table
+      (materialized — row-count × (dim+2) ints, columnar-narrow; at
+      10^12 docs a disk-backed hand-off replaces the pin, the same
+      trade the release pipeline documents);
+    - each round is one streaming pass emitting ONE quantized-gradient
+      partial row per block plus a single tiny CHECKED int64 exchange
+      (``hash_grouped(checked=True)`` — a gradient sum leaving int64
+      raises instead of wrapping);
+    - the weight update runs on the driver over dim scalars and ships
+      to the next round as a task literal — never a broadcast table.
+
+    Every float expression (margin accumulation order, libm σ, the
+    ``w − lr·((g/Q)/n)`` update) is replayed verbatim by
+    :func:`sql_train_linear_classifier`, so the weight trajectory is
+    bit-exact against DuckDB."""
+    import ray.data
+
+    from ..shuffle import hash_grouped
+
+    feats = docs.map_batches(
+        _label_and_features_batch,
+        fn_kwargs={"dim": dim},
+        batch_format="pyarrow",
+    ).materialize()
+    n = feats.count()
+    w = [0.0] * dim
+    rows = []
+    for r in range(n_rounds):
+        partial = feats.map_batches(
+            _grad_partial_batch,
+            fn_kwargs={"w": list(w), "dim": dim},
+            batch_format="pyarrow",
+        )
+        total = hash_grouped(
+            partial,
+            ["k"],
+            [(f"g{b}", "sum") for b in range(dim)] + [("lf", "sum")],
+            rename={
+                **{f"g{b}_sum": f"g{b}" for b in range(dim)},
+                "lf_sum": "lf",
+            },
+            num_partitions=1,
+            checked=True,
+        ).take_all()[0]
+        loss = (int(total["lf"]) / GRAD_Q) / n
+        w = [
+            w[b] - lr * ((int(total[f"g{b}"]) / GRAD_Q) / n)
+            for b in range(dim)
+        ]
+        rows.append((r, loss, list(w)))
+    cols = {
+        "round": pa.array([r for r, _, _ in rows], type=pa.int64()),
+        "loss": pa.array([lv for _, lv, _ in rows], type=pa.float64()),
+    }
+    for b in range(dim):
+        cols[f"w{b}"] = pa.array(
+            [wv[b] for _, _, wv in rows], type=pa.float64()
+        )
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def sql_train_linear_classifier(
+    n_rounds: int = TRAIN_ROUNDS, lr: float = TRAIN_LR, dim: int = DIM
+) -> str:
+    """DuckDB twin of :func:`train_linear_classifier`: the feature
+    table once, then per round one error CTE (identical left-to-right
+    margin + ``1/(1+exp(−m))``), dim quantized-gradient sums, and the
+    identical update expression — weights bit-exact per round."""
+    margin = " + ".join(f"f.b{b} * w.w{b}" for b in range(dim))
+    parts = [
+        f"""f AS MATERIALIZED (
+          SELECT t.*, CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM ({sql_hashed_tf(dim)}) t
+          JOIN documents d USING (doc_id))""",
+        """nn AS (SELECT count(*)::BIGINT AS n FROM f)""",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{b}" for b in range(dim))
+        + ")",
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+          SELECT f.*, 1.0 / (1.0 + exp(-({margin}))) AS p
+          FROM f, w{r} w)"""
+        )
+        gsums = ", ".join(
+            f"sum(floor(((p - y) * b{b}) * {GRAD_Q!r}))::BIGINT AS g{b}"
+            for b in range(dim)
+        )
+        parts.append(
+            f"""g{r} AS (SELECT {gsums},
+          sum(floor(-ln(greatest(
+                CASE WHEN y = 1.0 THEN p ELSE 1.0 - p END,
+                1e-308)) * {GRAD_Q!r}))::BIGINT AS lf
+          FROM p{r})"""
+        )
+        upd = ", ".join(
+            f"w.w{b} - {lr!r} * ((g.g{b} / {GRAD_Q!r}) / nn.n) AS w{b}"
+            for b in range(dim)
+        )
+        parts.append(
+            f"""w{r + 1} AS (SELECT (g.lf / {GRAD_Q!r}) / nn.n AS loss,
+          {upd}
+          FROM w{r} w, g{r} g, nn)"""
+        )
+    out = "\n          UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS round, * FROM w{r + 1}"
+        for r in range(n_rounds)
+    )
+    return "\n        WITH " + ",\n        ".join(parts) + f"\n        {out}\n    "

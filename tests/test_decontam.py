@@ -81,3 +81,32 @@ def test_bloom_flags_superset_of_exact(ray_session) -> None:
     assert exact_flagged <= bloom_flagged
     # 2^16 bits / K=4 against a few thousand grams: FP rate ~0 here
     assert len(bloom_flagged - exact_flagged) <= 0.02 * len(bl)
+
+
+def test_classifier_training_converges_and_is_partition_invariant(
+    ray_session,
+) -> None:
+    """The distributed trainer's contract: per-round loss is monotone
+    non-increasing at the default lr, and the weight trajectory is
+    IDENTICAL at any input partitioning (quantized int64 gradient sums
+    commute)."""
+    import ray
+
+    from promptner_ray.functions.vectorize import train_linear_classifier
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    a = (
+        train_linear_classifier(docs)
+        .to_pandas()
+        .sort_values("round", ignore_index=True)
+    )
+    assert a["loss"].is_monotonic_decreasing
+    assert abs(a.loc[0, "loss"] - 0.6931471805599453) < 1e-6  # ln 2 @ w=0
+    b = (
+        train_linear_classifier(docs.repartition(13))
+        .to_pandas()
+        .sort_values("round", ignore_index=True)
+    )
+    assert a.equals(b)
