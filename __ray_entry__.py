@@ -1892,8 +1892,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_pairs", "doc_bpe_merges", "doc_cooc_pmi", "doc_chunks",
         # PQ / IVF-ADC compressed-index path
         "embed_pq", "embed_knn_ivfadc",
-        # events tail + plan twins
-        "events_asof_orders_part", "events_range_orders_part",
+        # events tail.  The two _part plan twins yielded their slots to
+        # the round-5 classifier trainer and the BSP Brandes (same
+        # weakest-evidence rule as the random_walks/communities BSP
+        # twins below: a bit-identical twin of a driver-green plan
+        # gives way to a genuinely new implementation).
+        "doc_classifier_train", "kg_betweenness_bsp",
         "events_funnel", "events_retention", "events_zscores",
         # KG schema / ontology / temporal / sampling ops
         "kg_entity_times", "kg_pred_cooc", "kg_schema",
