@@ -1480,6 +1480,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_classifier_train": lambda sf: vectorize.train_linear_classifier(
             _docs(sf)
         ),
+        # the full learned-filter loop: train, then one exchange-free
+        # scoring pass with the final weights
+        "doc_classifier_apply": lambda sf: vectorize.score_with_trained(
+            _docs(sf)
+        ),
         "doc_repetition": lambda sf: _docs(sf).map_batches(
             textstats.repetition_stats_batch, batch_format="pyarrow"
         ),
@@ -3601,6 +3606,12 @@ def _classifier_train_sql() -> str:
     return sql_train_linear_classifier()
 
 
+def _classifier_apply_sql() -> str:
+    from promptner_ray.functions.vectorize import sql_score_with_trained
+
+    return sql_score_with_trained()
+
+
 def _gopher_sql() -> str:
     from promptner_ray.functions.textstats import sql_gopher
 
@@ -3937,6 +3948,7 @@ def oracle_sql() -> dict[str, str]:
         # the training loop unrolled: per round one σ/error CTE, dim
         # quantized-gradient sums + the loss sum, the identical update
         "doc_classifier_train": _classifier_train_sql(),
+        "doc_classifier_apply": _classifier_apply_sql(),
         "doc_blocklist": _blocklist_sql(),
         "doc_gopher": _gopher_sql(),
         "doc_c4": _c4_sql(),

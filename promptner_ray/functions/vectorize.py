@@ -997,3 +997,81 @@ def sql_train_linear_classifier(
         for r in range(n_rounds)
     )
     return "\n        WITH " + ",\n        ".join(parts) + f"\n        {out}\n    "
+
+
+def score_with_trained(
+    docs,
+    n_rounds: int = TRAIN_ROUNDS,
+    lr: float = TRAIN_LR,
+    dim: int = DIM,
+):
+    """documents → (doc_id, prob, keep): the full learned-filter loop —
+    train the logistic quality classifier on the corpus
+    (:func:`train_linear_classifier`), then score every document with
+    the FINAL weights in one exchange-free streaming pass (weights ship
+    as a task literal; σ via libm ``math.exp`` row-wise, the same float
+    contract as training).  ``keep = prob > 0.5`` is the filter
+    decision a curation pipeline acts on."""
+    import math
+
+    trained = train_linear_classifier(
+        docs, n_rounds=n_rounds, lr=lr, dim=dim
+    ).take_all()
+    last = max(trained, key=lambda r: r["round"])
+    w = [float(last[f"w{b}"]) for b in range(dim)]
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = hashed_tf_batch(batch, dim=dim)
+        if len(tf) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "prob": pa.array([], type=pa.float64()),
+                    "keep": pa.array([], type=pa.bool_()),
+                }
+            )
+        x = np.column_stack(
+            [
+                tf.column(f"b{b}").to_numpy(zero_copy_only=False)
+                for b in range(dim)
+            ]
+        ).astype(np.float64)
+        m = x[:, 0] * w[0]
+        for b in range(1, dim):
+            m = m + x[:, b] * w[b]
+        prob = np.fromiter(
+            (1.0 / (1.0 + math.exp(-v)) for v in m),
+            dtype=np.float64,
+            count=len(m),
+        )
+        return pa.table(
+            {
+                "doc_id": tf.column("doc_id"),
+                "prob": pa.array(prob, type=pa.float64()),
+                "keep": pa.array(prob > 0.5, type=pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def sql_score_with_trained(
+    n_rounds: int = TRAIN_ROUNDS, lr: float = TRAIN_LR, dim: int = DIM
+) -> str:
+    """DuckDB twin of :func:`score_with_trained`: the training chain's
+    final weight CTE joined (1-row cross) onto the hashed-TF table,
+    identical margin order and σ."""
+    train = sql_train_linear_classifier(n_rounds=n_rounds, lr=lr, dim=dim)
+    # reuse the training WITH chain by nesting it: its SELECT returns
+    # (round, loss, w0..) — take the final round's weights
+    margin = " + ".join(f"t.b{b} * w.w{b}" for b in range(dim))
+    return f"""
+        WITH trained AS MATERIALIZED ({train}),
+        wfin AS (SELECT * FROM trained
+                 ORDER BY round DESC LIMIT 1),
+        sc AS (
+          SELECT t.doc_id,
+                 1.0 / (1.0 + exp(-({margin}))) AS prob
+          FROM ({sql_hashed_tf(dim)}) t, wfin w)
+        SELECT doc_id, prob, prob > 0.5 AS keep FROM sc
+    """
